@@ -1,0 +1,61 @@
+"""Bench harness: time every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": <sf>}
+
+Each query is forced with a count() action (results not collected to the
+driver — we time the distributed execution, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tytodb_spark.session import get_spark
+from tytodb_spark import queries as Q
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("tytodb_spark_bench", cpus=cpus)
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    Q.REGISTRY["q01_filter_scan"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, qd in Q.REGISTRY.items():
+        t0 = time.perf_counter()
+        try:
+            qd.fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a failing query should not zero the bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,644 @@
+"""Declared query registry — the correctness-gate surface.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle string (run by DuckDB over the same parquet). The driver compares
+row-count + schema + order-insensitive value hash at sf0.01
+(__spark_entry__.py). Conventions that keep the two engines hash-equal:
+
+- Every computed column is aliased identically on both sides.
+- Money/double aggregates go through DECIMAL(18,2) (exact, order-
+  independent) and are cast to DOUBLE at the end — identical bits in both
+  engines, immune to float summation order across 32 shuffle partitions.
+- double→int casts: Spark truncates, DuckDB rounds — oracles use
+  cast(trunc(x) as int) to express the truncation semantic (which is also
+  the reference's `as` cast semantic, src/alba_types.rs:146-151).
+- Top-k / pagination always order by a unique key (no ambiguous ties).
+
+Query naming: q0x = reference-parity surface (SURVEY §2.1-§2.3),
+q2x = analytics extensions (§2.6), q4x = LLM-pipeline ops (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tytodb_spark.catalog import load_tables
+from tytodb_spark.operators.predicates import compile_chain
+from tytodb_spark.functions.tyto import bounded_string, coerce
+
+DEC = "decimal(18,2)"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# q0x — reference-parity surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_filter_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE ((l_quantity < 24.0 AND l_returnflag = 'R') OR l_discount >= 0.09)
+    """,
+    doc="SEARCH WHERE chain (P1-P6 + left-fold AND/OR, SURVEY §2.2 P10; "
+    "reference src/query_conditions.rs:482-487). Filter is pushed to the "
+    "parquet scan by Catalyst.",
+)
+def q01_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pred = compile_chain(
+        [
+            ("l_quantity", "<", 24.0),
+            ("l_returnflag", "=", "R"),
+            ("l_discount", ">=", 0.09),
+        ],
+        ["AND", "OR"],
+    )
+    return li.filter(pred).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "q02_contains",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE (contains(p_name, 'gold') OR contains(lower(p_type), lower('BRUSHED')))
+    """,
+    doc="String containment predicates &> and &&> (P7/P8, "
+    "src/query_conditions.rs:422-459; intended direction per SURVEY §8/N2).",
+)
+def q02_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pred = compile_chain(
+        [("p_name", "&>", "gold"), ("p_type", "&&>", "BRUSHED")],
+        ["OR"],
+    )
+    return part.filter(pred).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "q03_regex",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE regexp_matches(c_name, 'Customer#0*1[0-9]$')
+    """,
+    doc="Regex predicate &&&> (P9, src/query_conditions.rs:460-479) → rlike.",
+)
+def q03_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pred = compile_chain([("c_name", "&&&>", "Customer#0*1[0-9]$")], [])
+    return cust.filter(pred).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q04_projection",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    doc="Projection with filter — the reference parses but ignores the "
+    "column list (N1, src/parser.rs:295-308 vs src/database.rs:636-698); "
+    "we implement the intended select. Catalyst prunes the parquet scan "
+    "to exactly these columns (ReadSchema).",
+)
+def q04_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q05_union_all",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_totalprice > 400000.0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="Multi-source SEARCH = UNION ALL of per-source scans (D4, "
+    "src/database.rs:636-693, Query::join src/query.rs:86-108).",
+)
+def q05_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    a = orders.filter(F.col("o_totalprice") > 400000.0).select(*cols)
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(*cols)
+    return a.unionByName(b)
+
+
+@query(
+    "q06_subquery_source",
+    """
+    SELECT l_orderkey, l_extendedprice
+    FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+    WHERE l_extendedprice > 90000.0
+    """,
+    doc="Subquery-as-source (D5, AlbaContainer::Virtual src/main.rs:136-140, "
+    "recursive run src/database.rs:638-647) — composes as a nested DataFrame.",
+)
+def q06_subquery_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    inner = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+    return inner.filter(F.col("l_extendedprice") > 90000.0).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "q07_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1337
+    """,
+    doc="Point lookup on the lead column (D7; reference indexed Strict path "
+    "src/indexing.rs:279-309) — here parquet row-group pruning via pushed "
+    "equality filter.",
+)
+def q07_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 1337).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "q08_range_scan",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderkey >= 100 AND o_orderkey < 200)
+    """,
+    doc="Range lookup on the lead column (D8, src/indexing.rs:215-277) — "
+    "min/max row-group stats prune the scan.",
+)
+def q08_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pred = compile_chain([("o_orderkey", ">=", 100), ("o_orderkey", "<", 200)], ["AND"])
+    return orders.filter(pred).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q09_pagination",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, page_rn FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS page_rn
+      FROM lineitem WHERE l_returnflag = 'A'
+    ) WHERE page_rn > 200 AND page_rn <= 300
+    """,
+    doc="Cursor pagination: 100-row pages (PAGE_SIZE src/query.rs:9; "
+    "QYCNNXT/QYCNPVS S9/S10) as a row_number window slice — page 3 here.",
+)
+def q09_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("page_rn", F.row_number().over(w))
+        .filter((F.col("page_rn") > 200) & (F.col("page_rn") <= 300))
+    )
+
+
+@query(
+    "q10_coercion",
+    """
+    SELECT l_orderkey, l_linenumber,
+           cast(trunc(l_quantity) as int) AS qty_int,
+           cast(l_linenumber as string) AS line_str,
+           (CASE WHEN lower(CASE WHEN l_linenumber % 2 = 1 THEN 't' ELSE 'false' END)
+                 IN ('1','t','true') THEN TRUE ELSE FALSE END) AS odd_bool
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    doc="Implicit coercion matrix (src/alba_types.rs:117-275): float→int "
+    "truncation, int→string, string→bool over 0/1/t/f/true/false.",
+)
+def q10_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    odd_str = F.when(F.col("l_linenumber") % 2 == 1, F.lit("t")).otherwise(F.lit("false"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        coerce(F.col("l_quantity"), "INT").alias("qty_int"),
+        coerce(F.col("l_linenumber"), "TEXT").alias("line_str"),
+        F.coalesce(coerce(odd_str, "BOOL"), F.lit(False)).alias("odd_bool"),
+    )
+
+
+@query(
+    "q11_bounded_string",
+    """
+    SELECT doc_id, substring(lang, 1, 10) AS lang10, substring(source, 1, 10) AS src10
+    FROM documents WHERE n_chars > 100
+    """,
+    doc="Bounded-string truncation semantics (NANO-STRING cap 10, "
+    "src/alba_types.rs:285,317-323).",
+)
+def q11_bounded_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 100)
+    return docs.select(
+        "doc_id",
+        bounded_string("lang", 10).alias("lang10"),
+        bounded_string("source", 10).alias("src10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2x — analytics extensions (SURVEY §2.6 / §7 step 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as {DEC})) as double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice as {DEC}) * (1 - cast(l_discount as {DEC}))) as double) AS sum_disc_price,
+           cast(count(*) as bigint) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style hash aggregation with map-side partial agg; decimal "
+    "sums are order-independent so the result is bit-stable across any "
+    "partitioning (100 TB-safe determinism).",
+)
+def q20_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q21_broadcast_join",
+    f"""
+    SELECT p_brand,
+           cast(sum(cast(l_extendedprice as {DEC}) * (1 - cast(l_discount as {DEC}))) as double) AS revenue,
+           cast(count(*) as bigint) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact ⋈ small dim with an explicit broadcast hint — no shuffle of "
+    "the 600k/100TB fact side; the dim ships to every executor.",
+)
+def q21_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_multiway_join",
+    f"""
+    SELECT r_name, n_name,
+           cast(sum(cast(o_totalprice as {DEC})) as double) AS total_spend,
+           cast(count(DISTINCT o_orderkey) as bigint) AS n_orders
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY r_name, n_name
+    """,
+    doc="Star-schema multiway join: fact joined to a chain of broadcast "
+    "dims (customer→nation→region). All dim joins broadcast; only the "
+    "final groupBy shuffles, on a low-cardinality key.",
+)
+def q22_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q23_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+    doc="EXISTS → left-semi join; Spark broadcasts the filtered build side.",
+)
+def q23_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q24_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="NOT EXISTS → left-anti join.",
+)
+def q24_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q25_window_rank",
+    f"""
+    SELECT n_name, c_custkey, spend, spend_rank FROM (
+      SELECT n_name, c_custkey,
+             cast(sum(cast(o_totalprice as {DEC})) as double) AS spend,
+             row_number() OVER (
+               PARTITION BY n_name
+               ORDER BY sum(cast(o_totalprice as {DEC})) DESC, c_custkey
+             ) AS spend_rank
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_custkey
+    ) WHERE spend_rank <= 3
+    """,
+    doc="Window ranking (top-3 spenders per nation). Deterministic "
+    "tie-break on c_custkey. Partial agg before the window shuffle.",
+)
+def q25_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("spend_dec").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("spend_rank", F.row_number().over(w))
+        .filter(F.col("spend_rank") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("spend_dec").cast("double").alias("spend"),
+            "spend_rank",
+        )
+    )
+
+
+@query(
+    "q26_running_sum",
+    f"""
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           cast(sum(cast(l_extendedprice as {DEC})) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) as double) AS running_rev
+    FROM lineitem WHERE l_suppkey <= 2
+    """,
+    doc="Running aggregate window over event time per supplier; ROWS frame "
+    "with a fully deterministic ORDER BY.",
+)
+def q26_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double").alias("running_rev"),
+    )
+
+
+@query(
+    "q27_topk",
+    f"""
+    SELECT p_partkey, p_name, revenue FROM (
+      SELECT p_partkey, any_value(p_name) AS p_name,
+             cast(sum(cast(l_extendedprice as {DEC}) * (1 - cast(l_discount as {DEC}))) as double) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey
+    ) ORDER BY revenue DESC, p_partkey LIMIT 10
+    """,
+    doc="Top-k: agg → orderBy+limit compiles to TakeOrderedAndProject "
+    "(per-partition top-k then merge on the driver — no global sort).",
+)
+def q27_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.any_value(F.col("p_name")).alias("p_name"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q28_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty,
+           cast(count(*) as bigint) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping-set aggregation (hierarchical subtotals).",
+)
+def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q29_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           cast(sum(cast(o_totalprice as {DEC})) as double) AS total,
+           cast(count(*) as bigint) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping-set aggregation (all subtotal combinations).",
+)
+def q29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q30_distinct_agg",
+    """
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+           cast(count(DISTINCT l_suppkey) as bigint) AS n_supps,
+           cast(count(*) as bigint) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi-column DISTINCT aggregation (expand + two-phase agg).",
+)
+def q30_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q31_set_ops",
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000.0
+    """,
+    doc="Set operations: INTERSECT and EXCEPT (beyond the reference's "
+    "UNION-ALL-only surface, D4).",
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    big = o.filter(F.col("o_totalprice") > 450000.0).select(F.col("o_custkey").alias("c_custkey"))
+    return f_cust.intersect(o_cust).exceptAll(big).distinct()
+
+
+@query(
+    "q32_scalars",
+    """
+    SELECT event_id,
+           cast(date_trunc('day', ts) as timestamp) AS day_ts,
+           cast(extract(hour FROM ts) as int) AS hour_of_day,
+           upper(event_type) AS event_upper,
+           cast(round(value * 1.1, 2) as double) AS value_taxed,
+           cast(abs(value - 100.0) as double) AS dist_from_100,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Scalar-function surface: date/time, string, math, JSON extraction "
+    "(all absent from the reference — SURVEY §2.4; Spark built-ins).",
+)
+def q32_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+        F.upper("event_type").alias("event_upper"),
+        F.round(F.col("value") * 1.1, 2).cast("double").alias("value_taxed"),
+        F.abs(F.col("value") - 100.0).cast("double").alias("dist_from_100"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@query(
+    "q33_event_windows",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(value as {DEC})) as double) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1-hour event-time windows (batch form of the Structured "
+    "Streaming windowed agg in tytodb_spark.streaming; F.window semantics).",
+)
+def q33_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def names() -> list[str]:
+    return list(REGISTRY)
