@@ -1,0 +1,144 @@
+"""Transactional tests (SURVEY §5.5): stage→commit→read-back, rollback,
+edit/delete copy-on-write, cursor paging over a 250-row result."""
+
+import pytest
+
+from tytodb_spark.engine import Engine, PAGE_SIZE
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+SCHEMA = "CREATE CONTAINER 'users' [id, name, score, ok] [INT, SMALL-STRING, FLOAT, BOOL]"
+
+
+def test_create_insert_commit_search(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id, name, score, ok] [1, 'ana', 9.5, true] ON 'users'")
+    engine.execute("CREATE ROW [id, name] [2, 'bob'] ON 'users'")
+    # staged rows visible before commit (MVCC overlay read)
+    assert len(engine.execute("SEARCH ON 'users'").rows()) == 2
+    engine.execute("COMMIT 'users'")
+    rows = {r["id"]: r for r in engine.execute("SEARCH ON 'users'").rows()}
+    assert rows[1]["name"] == "ana" and rows[1]["score"] == 9.5 and rows[1]["ok"] is True
+    # zero-defaults for unset columns — not NULL (reference semantics)
+    assert rows[2]["score"] == 0.0 and rows[2]["ok"] is False
+
+
+def test_rollback_discards(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id] [1] ON 'users'")
+    engine.execute("ROLLBACK 'users'")
+    assert engine.execute("SEARCH ON 'users'").rows() == []
+
+
+def test_edit_where(engine):
+    engine.execute(SCHEMA)
+    for i in range(5):
+        engine.execute(f"CREATE ROW [id, score] [{i}, {float(i)}] ON 'users'")
+    engine.execute("COMMIT")
+    engine.execute("EDIT ROW [score] [99.0] ON 'users' WHERE id >= 3")
+    engine.execute("COMMIT 'users'")
+    rows = {r["id"]: r["score"] for r in engine.execute("SEARCH ON 'users'").rows()}
+    assert rows == {0: 0.0, 1: 1.0, 2: 2.0, 3: 99.0, 4: 99.0}
+
+
+def test_delete_where(engine):
+    engine.execute(SCHEMA)
+    for i in range(5):
+        engine.execute(f"CREATE ROW [id] [{i}] ON 'users'")
+    engine.execute("COMMIT")
+    engine.execute("DELETE ROW ON 'users' WHERE id < 2 OR id = 4")
+    engine.execute("COMMIT")
+    ids = sorted(r["id"] for r in engine.execute("SEARCH ON 'users'").rows())
+    assert ids == [2, 3]
+
+
+def test_delete_container(engine):
+    engine.execute(SCHEMA)
+    engine.execute("DELETE CONTAINER 'users'")
+    with pytest.raises(KeyError):
+        engine.execute("SEARCH ON 'users'")
+
+
+def test_coercion_on_insert(engine):
+    engine.execute(SCHEMA)
+    # string→int, int→float, string→bool (implicit coercion matrix)
+    engine.execute("CREATE ROW [id, score, ok] ['7', 3, 't'] ON 'users'")
+    engine.execute("COMMIT")
+    r = engine.execute("SEARCH ON 'users'").rows()[0]
+    assert r["id"] == 7 and r["score"] == 3.0 and r["ok"] is True
+
+
+def test_parameterized_insert_and_search(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id, name] [?, ?] ON 'users'", args=["1", "'ana'"])
+    engine.execute("COMMIT")
+    res = engine.execute("SEARCH ON 'users' WHERE name = ?", args=["'ana'"])
+    assert len(res.rows()) == 1
+
+
+def test_cursor_paging_250_rows(engine):
+    """250 rows → 3 pages of 100/100/50 (PAGE_SIZE, src/query.rs:9)."""
+    engine.execute("CREATE CONTAINER 'nums' [id] [INT]")
+    for i in range(250):
+        engine.execute(f"CREATE ROW [id] [{i}] ON 'nums'")
+    engine.execute("COMMIT")
+    res = engine.execute("SEARCH ON 'nums'")
+    assert len(res.rows()) == PAGE_SIZE
+    qid = res.query_id
+    p2 = engine.execute(f"QYCNNXT '{qid}'")
+    assert len(p2.rows()) == 100
+    p3 = engine.execute(f"QYCNNXT '{qid}'")
+    rows3 = p3.rows()
+    assert len(rows3) == 50
+    # next past the end stays on the last page
+    p3b = engine.execute(f"QYCNNXT '{qid}'")
+    assert [r["id"] for r in p3b.rows()] == [r["id"] for r in rows3]
+    back = engine.execute(f"QYCNPVS '{qid}'")
+    assert len(back.rows()) == 100
+    engine.execute(f"QYCNEXT '{qid}'")
+    assert not engine.execute(f"QYCNNXT '{qid}'").ok
+
+
+def test_union_and_subquery_sources(engine):
+    engine.execute("CREATE CONTAINER 'a' [id] [INT]")
+    engine.execute("CREATE CONTAINER 'b' [id] [INT]")
+    for i in range(3):
+        engine.execute(f"CREATE ROW [id] [{i}] ON 'a'")
+        engine.execute(f"CREATE ROW [id] [{i + 10}] ON 'b'")
+    engine.execute("COMMIT")
+    res = engine.execute("SEARCH ON ['a', (SEARCH ON 'b' WHERE id <= 11)]")
+    assert sorted(r["id"] for r in res.rows()) == [0, 1, 2, 10, 11]
+
+
+def test_projection_intended_semantics(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id, name] [1, 'ana'] ON 'users'")
+    engine.execute("COMMIT")
+    res = engine.execute("SEARCH [id, name] ON 'users'")
+    assert set(res.rows()[0].keys()) == {"id", "name"}
+
+
+def test_commit_is_per_container(engine):
+    engine.execute("CREATE CONTAINER 'a' [id] [INT]")
+    engine.execute("CREATE CONTAINER 'b' [id] [INT]")
+    engine.execute("CREATE ROW [id] [1] ON 'a'")
+    engine.execute("CREATE ROW [id] [2] ON 'b'")
+    engine.execute("COMMIT 'a'")
+    engine.execute("ROLLBACK 'b'")
+    assert len(engine.execute("SEARCH ON 'a'").rows()) == 1
+    assert engine.execute("SEARCH ON 'b'").rows() == []
+
+
+def test_snapshot_swap_durability(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh)
+    e1.execute("CREATE CONTAINER 'a' [id] [INT]")
+    e1.execute("CREATE ROW [id] [42] ON 'a'")
+    e1.execute("COMMIT")
+    # a fresh engine over the same directory sees committed data
+    e2 = Engine(spark, wh)
+    assert [r["id"] for r in e2.execute("SEARCH ON 'a'").rows()] == [42]

@@ -97,7 +97,10 @@ def coerce(col: Column, target_alba_type: str) -> Column:
         return (
             F.when(s.isin("1", "t", "true"), F.lit(True))
             .when(s.isin("0", "f", "false"), F.lit(False))
-            .otherwise(F.lit(None).cast("boolean"))
+            # numeric→bool: nonzero is true (bool↔int coercion,
+            # src/alba_types.rs:152-170); non-boolean strings → NULL
+            # (try_cast: ANSI mode would throw on malformed input)
+            .otherwise(col.try_cast("boolean"))
         )
     if isinstance(spark_t, T.BinaryType):
         # string→bytes via base64 decode (src/alba_types.rs:331-334)

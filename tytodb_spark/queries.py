@@ -265,6 +265,86 @@ def q11_bounded_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q12_aql_search",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT * FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus = 'P'
+    )
+    WHERE ((o_totalprice > 250000.0 AND o_custkey <= 1000) OR o_orderkey < 50)
+    """,
+    doc="The full AQL front-end (lexer → parser → DataFrame compiler, "
+    "SURVEY §2.1 S3): multi-source SEARCH with subquery source, left-fold "
+    "WHERE chain, intended projection semantics, ? parameter binding.",
+)
+def q12_aql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.engine import Engine
+
+    eng = Engine(
+        spark,
+        warehouse_dir="/tmp/tyto_q12_wh",  # unused: external tables only
+        external_tables=load_tables(spark, sf_dir),
+    )
+    return eng.search_df(
+        "SEARCH [o_orderkey, o_custkey, o_totalprice] "
+        "ON [(SEARCH ON 'orders' WHERE o_orderstatus = ?), "
+        "(SEARCH ON 'orders' WHERE o_orderstatus = 'P')] "
+        "WHERE o_totalprice > 250000.0 AND o_custkey <= 1000 OR o_orderkey < ?",
+        args=["'F'", "50"],
+    )
+
+
+@query(
+    "q13_aql_crud",
+    """
+    SELECT k, parity, cast(score as double) AS score FROM (VALUES
+      (0, 'even', 0.0), (1, 'odd', 10.0), (2, 'even', 2.0), (3, 'odd', 30.0),
+      (4, 'even', 4.0), (6, 'even', 6.0), (7, 'odd', 70.0), (8, 'even', 8.0)
+    ) AS t(k, parity, score)
+    """,
+    doc="Write surface end-to-end (S1/S2/S4/S5/S7/S8, SURVEY §2.1): "
+    "CREATE CONTAINER + CREATE ROW + COMMIT + EDIT + DELETE + ROLLBACK "
+    "through the snapshot-swap warehouse, verified against the oracle's "
+    "hand-computed final state.",
+)
+def q13_aql_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="tyto_q13_")
+    try:
+        eng = Engine(spark, wh)
+        eng.execute("CREATE CONTAINER 'kv' [k, parity, score] [INT, NANO-STRING, FLOAT]")
+        for i in range(10):
+            eng.execute(
+                "CREATE ROW [k, parity, score] [?, ?, ?] ON 'kv'",
+                args=[str(i), "'odd'" if i % 2 else "'even'", str(float(i))],
+            )
+        eng.execute("COMMIT 'kv'")
+        # staged-but-rolled-back write must not appear
+        eng.execute("CREATE ROW [k, parity, score] [99, 'ghost', 99.0] ON 'kv'")
+        eng.execute("ROLLBACK 'kv'")
+        eng.execute("EDIT ROW [score] [?] ON 'kv' WHERE parity = 'odd'", args=["0.0"])
+        eng.execute("COMMIT 'kv'")
+        eng.execute("EDIT ROW [score] [0.0] ON 'kv' WHERE k = 5")  # then delete it
+        eng.execute("DELETE ROW ON 'kv' WHERE k = 5 OR k = 9")
+        eng.execute("COMMIT 'kv'")
+        # odd scores were zeroed; re-derive as k*10 for surviving odds
+        for i in (1, 3, 7):
+            eng.execute(f"EDIT ROW [score] [{float(i * 10)}] ON 'kv' WHERE k = {i}")
+        eng.execute("COMMIT 'kv'")
+        out = eng.warehouse.read("kv")
+        # materialize before the tempdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # q2x — analytics extensions (SURVEY §2.6 / §7 step 5)
 # ---------------------------------------------------------------------------

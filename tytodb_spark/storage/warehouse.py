@@ -1,0 +1,237 @@
+"""Warehouse: mutable-table semantics over immutable Parquet snapshots.
+
+Reproduces the reference's transactional surface (SURVEY §2.5):
+- MVCC write buffer → an in-memory, per-table op log (inserts / edits /
+  deletes) overlaid on the committed snapshot at read time (reference
+  overlays its buffer over the file in get_rows, src/container.rs:354-363).
+- COMMIT → materialize overlay, write a NEW snapshot directory, atomically
+  flip a CURRENT pointer (replaces write_all_at + strix checksum daemon +
+  graveyard slot reuse, src/container.rs:248-342 / src/strix.rs:18-56 —
+  Parquet page checksums + atomic rename make those obsolete, SURVEY §4.3).
+- ROLLBACK → drop the op log (src/container.rs:241-247).
+- Per-table (not cross-table) atomicity, matching the reference
+  (Database::commit loops containers independently, src/database.rs:252-261).
+
+Scale: snapshots are plain Parquet dirs — on a cluster this is the same
+copy-on-write pattern Delta/Iceberg formalize; reads stay pushdown-able
+and partition-prunable, writes are append-only files + one pointer flip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tytodb_spark.functions.tyto import ALBA_TYPES, coerce, zero_default
+from tytodb_spark.operators.predicates import compile_chain
+
+CURRENT = "CURRENT"
+
+
+@dataclass
+class _Op:
+    kind: str  # insert | edit | delete
+    rows: list[dict] | None = None  # insert
+    assignments: dict[str, object] | None = None  # edit
+    conditions: tuple = ((), ())  # edit/delete: (triples, gates)
+
+
+@dataclass
+class _TableState:
+    schema: list[tuple[str, str]]  # (col, ALBA type)
+    ops: list[_Op] = field(default_factory=list)
+
+
+class Warehouse:
+    """A directory of snapshot-versioned Parquet tables with staged writes.
+
+    ``external_tables`` lets read-only DataFrames (e.g. the testdata
+    parquet) be addressed by name alongside warehouse tables — used by the
+    AQL query surface.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        external_tables: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.external = external_tables or {}
+        self._state: dict[str, _TableState] = {}
+        os.makedirs(root, exist_ok=True)
+        for name in os.listdir(root):
+            if os.path.isfile(self._schema_path(name)):
+                with open(self._schema_path(name)) as f:
+                    self._state[name] = _TableState(schema=[tuple(c) for c in json.load(f)])
+
+    # -- paths ------------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _schema_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "schema.json")
+
+    def _current_version(self, name: str) -> int:
+        with open(os.path.join(self._dir(name), CURRENT)) as f:
+            return int(f.read().strip())
+
+    def _snapshot_path(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"v_{version}")
+
+    # -- schema helpers ----------------------------------------------------
+    def spark_schema(self, name: str) -> T.StructType:
+        fields = []
+        for col, alba in self._state[name].schema:
+            dt, _cap = ALBA_TYPES[alba]
+            fields.append(T.StructField(col, dt, True))
+        return T.StructType(fields)
+
+    def exists(self, name: str) -> bool:
+        return name in self._state
+
+    def tables(self) -> list[str]:
+        return sorted(self._state)
+
+    # -- DDL ----------------------------------------------------------------
+    def create_table(self, name: str, schema: list[tuple[str, str]]) -> None:
+        if name in self._state or name in self.external:
+            raise ValueError(f"container {name!r} already exists")
+        self._state[name] = _TableState(schema=schema)
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(self._schema_path(name), "w") as f:
+            json.dump(schema, f)
+        empty = self.spark.createDataFrame([], self.spark_schema(name))
+        self._write_snapshot(name, empty, version=0)
+
+    def drop_table(self, name: str) -> None:
+        if name not in self._state:
+            raise ValueError(f"no such container {name!r}")
+        del self._state[name]
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    # -- reads ---------------------------------------------------------------
+    def read_committed(self, name: str) -> DataFrame:
+        v = self._current_version(name)
+        return self.spark.read.schema(self.spark_schema(name)).parquet(
+            self._snapshot_path(name, v)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        """Committed snapshot + staged-op overlay (MVCC-buffer read)."""
+        if name in self._state:
+            df = self.read_committed(name)
+            for op in self._state[name].ops:
+                df = self._apply_op(name, df, op)
+            return df
+        if name in self.external:
+            return self.external[name]
+        raise KeyError(f"no such container {name!r}")
+
+    def _apply_op(self, name: str, df: DataFrame, op: _Op) -> DataFrame:
+        if op.kind == "insert":
+            new = self.spark.createDataFrame(op.rows, self.spark_schema(name))
+            return df.unionByName(new)
+        pred = compile_chain(*op.conditions) if op.conditions[0] else F.lit(True)
+        if op.kind == "delete":
+            return df.filter(~pred)
+        if op.kind == "edit":
+            for col, val in op.assignments.items():
+                df = df.withColumn(col, F.when(pred, F.lit(val)).otherwise(F.col(col)))
+            return df
+        raise ValueError(op.kind)
+
+    # -- staged writes ---------------------------------------------------------
+    def _coerce_value(self, value: object, alba: str) -> object:
+        """Driver-side literal coercion to the column type (the implicit
+        coercion matrix, src/alba_types.rs:117-275, applied on CREATE ROW
+        at src/database.rs:600-617)."""
+        import base64 as _b64
+
+        t = alba.upper()
+        _dt, cap = ALBA_TYPES[t]
+        if t in ("INT", "BIGINT"):
+            return int(float(value)) if not isinstance(value, bool) else int(value)
+        if t == "FLOAT":
+            return float(value)
+        if t == "BOOL":
+            if isinstance(value, bool):
+                return value
+            s = str(value).strip().lower()
+            if s in ("1", "t", "true"):
+                return True
+            if s in ("0", "f", "false"):
+                return False
+            raise ValueError(f"cannot coerce {value!r} to BOOL")
+        if t.endswith("BYTES"):
+            b = value if isinstance(value, (bytes, bytearray)) else _b64.b64decode(str(value))
+            return bytes(b)[:cap] if cap else bytes(b)
+        s = _b64.b64encode(value).decode() if isinstance(value, (bytes, bytearray)) else str(value)
+        return s[:cap] if cap else s
+
+    def stage_insert(self, name: str, columns: list[str], values: list[object]) -> None:
+        st = self._state[name]
+        schema = dict(st.schema)
+        unknown = [c for c in columns if c not in schema]
+        if unknown:
+            raise ValueError(f"unknown columns {unknown} on {name!r}")
+        # zero-defaults for unset columns — the reference has no NULL
+        # (src/database.rs:568 starts from the column defaults)
+        row = {col: zero_default(alba) for col, alba in st.schema}
+        for c, v in zip(columns, values):
+            row[c] = self._coerce_value(v, schema[c])
+        st.ops.append(_Op("insert", rows=[row]))
+
+    def stage_edit(self, name: str, columns, values, conditions) -> None:
+        st = self._state[name]
+        schema = dict(st.schema)
+        assignments = {}
+        for c, v in zip(columns, values):
+            if c not in schema:
+                raise ValueError(f"unknown column {c!r} on {name!r}")
+            assignments[c] = self._coerce_value(v, schema[c])
+        st.ops.append(_Op("edit", assignments=assignments, conditions=conditions))
+
+    def stage_delete(self, name: str, conditions) -> None:
+        self._state[name].ops.append(_Op("delete", conditions=conditions))
+
+    # -- commit / rollback --------------------------------------------------
+    def _write_snapshot(self, name: str, df: DataFrame, version: int) -> None:
+        """Write parquet to a staged dir, atomic-rename into place, then
+        flip CURRENT via write-temp + rename (SURVEY §4.3)."""
+        final = self._snapshot_path(name, version)
+        staged = os.path.join(self._dir(name), f"_staged_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staged)
+        os.rename(staged, final)
+        tmp = os.path.join(self._dir(name), f".current_{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.rename(tmp, os.path.join(self._dir(name), CURRENT))
+        # retire older snapshots (keep previous for readers mid-flight)
+        for entry in os.listdir(self._dir(name)):
+            if entry.startswith("v_") and int(entry[2:]) < version - 1:
+                shutil.rmtree(os.path.join(self._dir(name), entry), ignore_errors=True)
+
+    def commit(self, name: str | None = None) -> None:
+        names = [name] if name else [n for n, st in self._state.items() if st.ops]
+        for n in names:
+            st = self._state[n]
+            if not st.ops:
+                continue
+            df = self.read(n)  # overlay view
+            self._write_snapshot(n, df, self._current_version(n) + 1)
+            st.ops.clear()
+
+    def rollback(self, name: str | None = None) -> None:
+        names = [name] if name else list(self._state)
+        for n in names:
+            self._state[n].ops.clear()
