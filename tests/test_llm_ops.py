@@ -1,0 +1,257 @@
+"""Unit tests for the LLM-pipeline operators: dedup, text analysis,
+similarity search, multimodal plumbing (operators/{dedup,textual,
+similarity,multimodal}.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tytodb_spark.operators import dedup as D
+from tytodb_spark.operators import multimodal as M
+from tytodb_spark.operators import similarity as S
+from tytodb_spark.operators import textual as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="The  quick brown FOX jumps over the lazy dog "),  # exact dup of 0 (normalized)
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text="one"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# textual
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_and_ngrams(spark, docs):
+    out = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n"),
+        X.word_ngrams("text", 3).alias("g3"),
+        X.char_ngrams("text", 4).alias("c4"),
+    ).orderBy("doc_id").collect()
+    assert out[0]["n"] == 9
+    assert out[0]["g3"][0] == "the quick brown"
+    assert len(out[0]["g3"]) == 7  # 9 tokens -> 7 trigrams
+    assert out[4]["n"] == 0 and out[4]["g3"] == []  # empty doc
+    assert out[5]["g3"] == []  # fewer tokens than n
+    assert out[5]["c4"] == []  # "one" shorter than 4 chars
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma"), Row(doc_id=1, text="gamma  Alpha beta")]
+    )
+    fps = [r["fp"] for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat is in the house and it is warm"),
+            Row(t="el gato que vive en la casa de los vecinos es gris"),
+            Row(t="der Hund ist nicht da und das ist gut"),
+            Row(t="zzz qqq xxx"),
+        ]
+    )
+    out = [r[0] for r in df.select(X.lang_id("t")).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r[0] for r in docs.select(X.quality_score("text")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # a real sentence should outscore an empty doc
+    named = dict(zip([r["doc_id"] for r in docs.select("doc_id").collect()], vals))
+    assert named[0] > named[4]
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    out = X.jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # docs 0/1 identical after lowering -> jaccard 1.0 on unigram sets
+    assert pairs[(0, 1)] == 1.0
+    # docs 0/2: 7 common distinct tokens, union of 9
+    assert math.isclose(pairs[(0, 2)], 7 / 9)
+    assert (0, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs):
+    survivors = D.exact_dedup(docs, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert 0 in ids and 1 not in ids  # min-id survivor policy
+    groups = {
+        r["keep_id"]: r["n_copies"]
+        for r in D.exact_dedup_groups(docs, "doc_id", "text").collect()
+    }
+    assert groups[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=1, num_hashes=64, num_bands=32, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs  # j=0.8 near-dup: recall 1-(1-0.8^2)^32 ≈ 1-3e-15
+    assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_simhash_identical_docs(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]  # same token multiset -> same signature
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        Row(vec_id=0, v=[1.0, 0.0, 0.0], b=0),
+        Row(vec_id=1, v=[0.999, 0.01, 0.0], b=0),
+        Row(vec_id=2, v=[0.0, 1.0, 0.0], b=0),
+        Row(vec_id=3, v=[1.0, 0.0, 0.0], b=1),  # same dir, other block
+    ]
+    df = spark.createDataFrame(rows).withColumn("v", F.col("v").cast("array<float>"))
+    out = D.embedding_dup_pairs(df, "vec_id", "v", threshold=0.95, block_col="b")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}  # 0-3 blocked apart; 0-2 orthogonal
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)]) for i in range(60)
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def _numpy_knn(rows, qids, k):
+    import numpy as np
+
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    out = {}
+    for q in qids:
+        order = sorted(
+            (i for i in range(len(rows)) if i != q),
+            key=lambda i: (-round(sims[q, i], 6), i),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_knn_matches_numpy(spark, vecs):
+    rows = sorted(vecs.collect(), key=lambda r: r["vec_id"])
+    expected = _numpy_knn(rows, [0, 1, 2], k=5)
+    got = S.brute_force_knn(
+        vecs.filter(F.col("vec_id") < 3), vecs, "vec_id", "embedding", k=5
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == expected
+
+
+def test_topk_per_key_equals_global(spark, vecs):
+    scored = vecs.select(
+        (F.col("vec_id") % 3).alias("key"),
+        F.col("vec_id").alias("item"),
+        (F.col("vec_id") * 7 % 13).alias("score"),
+    ).repartition(8)
+    got = S.topk_per_key(scored, "key", [F.col("score").desc(), F.col("item")], 4)
+    rows = sorted(
+        ((r["key"], r["rank"], r["item"]) for r in got.collect())
+    )
+    base = sorted(
+        ((r["key"], r["score"], r["item"]) for r in scored.collect())
+    )
+    expect = []
+    for k in {b[0] for b in base}:
+        items = sorted(((-s, i) for kk, s, i in base if kk == k))[:4]
+        expect += [(k, rank + 1, i) for rank, (_, i) in enumerate(items)]
+    assert rows == sorted(expect)
+
+
+def test_srp_ann_recall(spark, vecs):
+    exact = S.brute_force_knn(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", k=3
+    ).collect()
+    approx = S.srp_ann(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding",
+        dim=16, k=3, bits=4, tables=8,
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # loose: 4-bit × 8-table SRP on gaussians
+    # every ANN hit must carry the exactly-rescored cosine
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_media_table_schema(spark, docs):
+    media = M.to_media_table(docs, "doc_id", "text", mime="text/plain")
+    assert [f.name for f in media.schema] == ["doc_id", "payload", "meta"]
+    row = media.filter(F.col("doc_id") == 0).collect()[0]
+    assert bytes(row["payload"]).decode() == "the quick brown fox jumps over the lazy dog"
+    assert row["meta"]["mime"] == "text/plain"
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
+
+
+def test_extract_features_sha256(spark, docs):
+    media = M.to_media_table(docs, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+    text0 = "the quick brown fox jumps over the lazy dog"
+    assert feats[0]["payload_sha256"] == hashlib.sha256(text0.encode()).hexdigest()
+    assert feats[0]["n_bytes"] == len(text0)
+    assert feats[4]["n_bytes"] == 0
+
+
+def test_sample_frames_deterministic(spark, docs):
+    media = M.to_media_table(docs.filter(F.col("doc_id") == 0), "doc_id", "text")
+    frames = M.sample_frames(media, every_n_bytes=8, max_frames=3).collect()
+    frames = sorted(frames, key=lambda f: f["frame_idx"])
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+    raw = "the quick brown fox jumps over the lazy dog".encode()
+    assert frames[0]["frame_sha256"] == hashlib.sha256(raw[0:8]).hexdigest()
+
+
+def test_decode_image_is_gated():
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_image(b"not an image")

@@ -51,7 +51,9 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div`, not `/`: double division of ~1.7e18 ns loses the
+        # low bits (53-bit mantissa) and can round the microsecond up
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

@@ -1,0 +1,249 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json mandate).
+
+Four families, each the standard scale-out construction:
+
+- exact: normalize → hash-groupBy (one shuffle on the content key).
+- MinHash + LSH banding: shingle → H seeded min-hashes → b bands →
+  bucket-join candidates → exact-Jaccard verify. All JVM expressions
+  (seeded xxhash64 per shingle), no Python in the hot path; candidate
+  generation touches only same-bucket pairs, never O(N²).
+- SimHash: 64-bit weighted bit-vote signature; near-dups join on
+  16-bit band equality (Hamming ≤ 3 over 4 bands guarantee).
+- Embedding cosine: exact pair similarity above a threshold (see
+  operators/similarity.py for the ANN variant).
+
+Reference parity note: the reference has no dedup surface at all —
+closest is first-column uniqueness via the index (src/indexing.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tytodb_spark.operators.textual import word_ngrams
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col):
+    """Canonical form for exact matching: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups: (content_key, keep_id, n_copies). Keep the
+    minimum id as the survivor — deterministic at any parallelism."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_key"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("content_key")
+        .agg(F.min("__id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors only (min-id per normalized content)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles, num_hashes: int = 64):
+    """H seeded min-hashes over a shingle array — xxhash64(seed, shingle)
+    is an independent-enough hash family per seed, all codegen'd."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(seed, s))
+        ),
+    )
+
+
+def lsh_bands(signature, num_bands: int, rows_per_band: int):
+    """Band the signature: array of (band_idx, band_hash) structs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band)).alias(
+                "bucket"
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact Jaccard.
+
+    Shuffle profile at scale: explode is b rows/doc (16×), the band join
+    only meets same-bucket docs, and the verify join ships shingle sets
+    for candidate pairs only. Skewed buckets (boilerplate docs) are the
+    risk — AQE skew-join handles moderate skew; extreme boilerplate
+    should be exact-deduped first (it is, in the declared pipeline).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    banded = base.select(
+        "__id",
+        F.explode(
+            lsh_bands(minhash_signature(F.col("__sh"), num_hashes), num_bands, rows_per_band)
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+    left = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    verified = (
+        candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its xxhash64; sign of the vote sum becomes the bit.
+    Entirely groupBy/bitwise expressions — one shuffle on the doc id."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, 1))).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col("__id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into
+    4 16-bit bands; Hamming ≤ 3 implies at least one band is identical
+    (pigeonhole), so a 4-way band self-join finds all such pairs without
+    a cross join. Verified with an exact popcount filter."""
+    sh = simhash64(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "simhash", "bb.band", "bb.bucket")
+    left = banded.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bucket")
+    right = banded.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact; ANN variant in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def cosine(vec_a, vec_b):
+    """Cosine similarity between two array<float> columns, accumulated in
+    double with a deterministic left-fold (same fold DuckDB's list ops
+    use — bit-stable across engines)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(vec_a, vec_b) / (F.sqrt(dot(vec_a, vec_a)) * F.sqrt(dot(vec_b, vec_b)))
+
+
+def embedding_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ threshold. With ``block_col``
+    the self-join is restricted to equal blocking keys (e.g. an LSH
+    bucket or a label) — the scale path; without it this is the small-N
+    exact baseline."""
+    keys = [block_col] if block_col else []
+    a = df.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column handling for LLM-data pipelines.
+
+Design: media are opaque ``binary`` payload columns plus a typed metadata
+struct — the 100 TB-scale idiom (payload stays columnar in Parquet,
+metadata is prunable without touching bytes). The closest reference
+artifact is the five fixed-width BYTES types (src/alba_types.rs:290-294).
+
+All heavy per-item work (decode, feature-extract, resize, frame-sample)
+runs as Arrow-batched ``mapInPandas`` — one Python worker per partition,
+vectorized transfer, no row-at-a-time serialization. The actual codec
+step is STUBBED (PIL/ffmpeg are not in this container): decode attempts
+the real library import and otherwise falls back to a clearly-marked
+deterministic fake, so the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested while the codec is
+swappable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Metadata struct carried next to every payload.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a source column as (id, payload binary, meta struct). The
+    testdata has no real media, so document text bytes stand in as the
+    opaque payload — the schema/partitioning contract is identical."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload. Real decode needs PIL, absent here —
+    gate behind an import-try and fail loudly rather than fake pixels."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL; container has no codec libs"
+        ) from e
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-payload features via Arrow-batched mapInPandas: byte length +
+    sha256 content hash (the deterministic stand-in for an embedding /
+    EXIF / spectrogram extractor — swap the body, keep the plumbing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling, stubbed deterministically: "frames"
+    are fixed-stride byte windows of the payload (a real implementation
+    replaces the window slice with an ffmpeg keyframe decode; the
+    explode shape, schema, and partition behavior are what's tested)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = min(max_frames, max(1, len(raw) // every_n_bytes))
+                for i in range(n):
+                    window = raw[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_hash.append(hashlib.sha256(window).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_sha256": out_hash}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

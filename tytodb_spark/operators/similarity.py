@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (BASELINE.json mandate; the
+reference has no vector surface — its closest artifact is the BYTES
+payload types, src/alba_types.rs:290-294).
+
+Two paths:
+
+- Brute-force cosine top-k — the exact baseline. Scored entirely with
+  JVM expressions (`zip_with` + `aggregate` fold, no Python), then a
+  TWO-PHASE top-k: local top-k inside each shuffle partition, then
+  global top-k over the survivors. At 100 TB the naive
+  window-over-all-scores shuffles |queries|×|corpus| rows; the two-phase
+  form shuffles |queries|×k×partitions — the standard distributed
+  top-k construction.
+
+- SRP-LSH (signed random projection) ANN — the scale path. Each vector
+  gets `n_tables` b-bit signatures (sign of dot(v, random hyperplane));
+  candidates are corpus vectors sharing any table's full signature with
+  the query; candidates are scored exactly and top-k'd. Hyperplanes are
+  generated from a fixed seed so plans are deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from tytodb_spark.operators.dedup import cosine
+
+
+def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFrame:
+    """Two-phase distributed top-k: per-(key, input-partition) top-k first
+    (no shuffle — window partitioned by key AND spark_partition_id), then
+    the global top-k over at most k×partitions survivors per key."""
+    local_w = W.partitionBy(key, F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        df.withColumn("__local_rank", F.row_number().over(local_w))
+        .filter(F.col("__local_rank") <= k)
+        .drop("__local_rank")
+    )
+    global_w = W.partitionBy(key).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_knn(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    The query side is broadcast (queries ≪ corpus is the normal shape);
+    the corpus side streams through untouched — one scan, no corpus
+    shuffle until the (much smaller) scored-survivor top-k.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
+    deterministic tie-break on neighbor_id.
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    return topk_per_key(scored, "query_id", order, k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    64-bit LCG) — [tables][bits][dim]. No numpy dependency in the plan;
+    the literals are baked into the expression tree."""
+    state = seed & 0x7FFFFFFFFFFFFFFF
+
+    def rnd() -> float:  # uniform (0,1)
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        return (state + 1) / float((1 << 63) + 1)
+
+    def gauss() -> float:
+        return math.sqrt(-2.0 * math.log(rnd())) * math.cos(2.0 * math.pi * rnd())
+
+    return [
+        [[gauss() for _ in range(dim)] for _ in range(bits)] for _ in range(tables)
+    ]
+
+
+def srp_signatures(
+    vec: Column, dim: int, bits: int = 16, tables: int = 4, seed: int = 7
+) -> Column:
+    """Array of `tables` bucket ids; bucket = b sign-bits of random
+    projections packed into a long. Pure JVM expressions."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def dot_plane(plane: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def table_bucket(t: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes[t]):
+            bit = F.when(dot_plane(plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket.bitwiseOR(bit)
+        return bucket
+
+    return F.array(*[table_bucket(t) for t in range(tables)])
+
+
+def srp_ann(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    bits: int = 12,
+    tables: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate nearest neighbors via SRP-LSH bucket join.
+
+    Shuffle profile: corpus is exploded ×tables (signature rows), the
+    bucket join meets only same-bucket (table, bucket) pairs — never the
+    full cross product — and exact scoring runs on candidates only.
+    Recall is tunable with (bits, tables): fewer bits → bigger buckets →
+    higher recall and cost.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — rank within the
+    retrieved candidate set.
+    """
+    sig = lambda df, idn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(f"__{idn}_v"),
+        F.posexplode(srp_signatures(F.col(vec_col), dim, bits, tables, seed)).alias(
+            "table", f"__{idn}_bucket"
+        ),
+    )
+    q = sig(queries_df, "query_id").withColumnRenamed("__query_id_bucket", "bucket")
+    c = sig(corpus_df, "neighbor_id").withColumnRenamed("__neighbor_id_bucket", "bucket")
+    candidates = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "cos_sim", F.round(cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")), 6)
+    )
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    return topk_per_key(scored, "query_id", order, k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

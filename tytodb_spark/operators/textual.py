@@ -1,0 +1,213 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json mandate;
+no reference counterpart — the reference's only text ops are the three
+string predicates, src/query_conditions.rs:422-479).
+
+Everything here is built-in-expression-only (whole-stage codegen, no
+Python in the hot path) so it scales to a 100 TB documents table:
+tokenization, n-gram shingles, language-ID heuristic, quality scoring,
+token counting, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens; empty-string-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-ish proxy token count: word pieces + digits + punctuation
+    counted separately (regex segmentation, not a trained vocab)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0)
+    return F.size(pieces)
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+    Returns an empty array when the document has fewer than n tokens."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """Character n-gram shingles (for MinHash over short texts)."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+# Marker stopwords per language — tiny, deterministic, good enough to
+# demonstrate the operator; swap for fastText/CLD3 scores in production.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "est", "et"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+}
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {lang: _marker_hits(c, ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over marker-hit counts; 'und' when no marker hits.
+    Deterministic tie-break: language name ascending."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores, reverse=True):  # later iterations win ties by name asc
+        s = scores[lang]
+        take = s >= F.greatest(best_score, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword / digit ratios — the standard
+    cheap pre-filters for pretraining corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    safe = F.greatest(n_chars, F.lit(1))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    n_tokens = token_count(c)
+    n_stop = _marker_hits(c, LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / safe,
+        "digit_ratio": n_digit / safe,
+        "punct_ratio": n_punct / safe,
+        "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
+        "mean_word_len": n_alpha / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1]-ish score: favor alphabetic, stopword-bearing,
+    mid-length documents; penalize digit/punct noise."""
+    f = quality_features(col)
+    raw = (
+        0.4 * f["alpha_ratio"]
+        + 0.3 * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + 0.3 * F.least(f["n_tokens"] / F.lit(64.0), F.lit(1.0))
+        - 0.2 * f["digit_ratio"]
+        - 0.2 * f["punct_ratio"]
+    )
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set. Identical wording-permutations collide — by
+    design (it's a bag-of-words content key)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def rolling_hashes(col: Column | str, window: int = 8) -> Column:
+    """Rolling (Rabin-Karp-style) window hashes over the token stream —
+    the winnowing building block. Returns array<bigint> of xxhash64 per
+    window; pair with array_min for a winnowed doc key."""
+    grams = word_ngrams(col, window)
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def winnow_key(col: Column | str, window: int = 8) -> Column:
+    """Min rolling-window hash — a locality-robust near-exact key."""
+    h = rolling_hashes(col, window)
+    return F.when(F.size(h) > 0, F.array_min(h)).otherwise(F.xxhash64(F.col(col) if isinstance(col, str) else col))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pair similarity (inverted-index join — shuffle-scalable)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via an inverted-index self-join:
+    explode distinct shingles → join on shingle (only docs sharing ≥1
+    shingle ever meet — no O(N²) cross join) → common counts → Jaccard.
+
+    At 100 TB the join key distribution decides the cost: stop-shingles
+    (shared by a large fraction of docs) explode the join. Callers can
+    pre-filter with ``max_shingle_df`` semantics upstream; the default
+    pipeline keeps exactness for the correctness gate.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("__sh"),
+    ).withColumn("__n_sh", F.size("__sh"))
+    exploded = shingled.select("__id", "__n_sh", F.explode("__sh").alias("__s"))
+    a = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__n_sh").alias("n_a"), F.col("__s")
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__n_sh").alias("n_b"), F.col("__s")
+    )
+    common = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -720,5 +720,399 @@ def q33_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q34_stream_windows",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(value as {DEC})) as double) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Structured Streaming end-to-end: file source → tumbling 1-hour "
+    "event-time window agg → memory sink (complete mode, availableNow "
+    "trigger). Result must equal the batch/oracle windowed aggregation.",
+)
+def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.windows import stream_window_counts
+
+    return stream_window_counts(spark, _t(spark, sf_dir, "events"))
+
+
+@query(
+    "q35_session_windows",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(value as {DEC})) as double) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization via the built-in session_window "
+    "stateful operator (JVM-side; applyInPandasWithState reserved for "
+    "semantics Spark can't express). Oracle reconstructs sessions with "
+    "a lag/cumsum break-flag window.",
+)
+def q35_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.windows import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# q4x — LLM-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragments mirroring tytodb_spark.operators.textual exactly
+# (same regexes, same fold shapes) so value hashes are bit-stable.
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _NGRAMS(n: int) -> str:
+    return (
+        f"list_transform(range(1, len({_TOKS})-{n}+2), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n}-1], ' '))"
+    )
+
+
+@query(
+    "q40_exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+           min(doc_id) AS keep_id, cast(count(*) as bigint) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: normalize → content-hash groupBy; one shuffle on "
+    "the md5 key, min-id survivor is deterministic at any parallelism "
+    "(operators/dedup.py).",
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q41_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(2)}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM ex a JOIN ex b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING jaccard >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "— only docs sharing a shingle ever meet (no O(N²) cross join); "
+    "operators/textual.py jaccard_pairs.",
+)
+def q41_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+    )
+
+
+@query(
+    "q42_minhash_lsh",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM ex a JOIN ex b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING jaccard >= 0.5
+    """,
+    doc="MinHash+LSH banding near-dup detection (64 hashes, 16 bands of "
+    "4): shingle → seeded-xxhash64 min-signature → band-bucket join → "
+    "exact-Jaccard verify. Oracle is the exhaustive trigram-Jaccard "
+    "pair set: at threshold 0.5 and r=4/b=16, LSH recall for the data's "
+    "j≥0.9 near-dups is 1-3e-8, so the verified output equals the exact "
+    "set; operators/dedup.py minhash_lsh_pairs.",
+)
+def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=64,
+        num_bands=16,
+        threshold=0.5,
+    )
+
+
+@query(
+    "q43_simhash",
+    None,  # hash-family-dependent pair set → rows-only check
+    doc="SimHash near-dup pairs: 64-bit weighted bit-vote signature, "
+    "4×16-bit band self-join (Hamming≤3 ⇒ some band equal, pigeonhole), "
+    "exact popcount verify; operators/dedup.py simhash_near_pairs.",
+)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
+    )
+
+
+@query(
+    "q44_embedding_dups",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs, label-blocked self-join (the "
+    "blocking key bounds the pair blow-up — the 100 TB path swaps the "
+    "label for an LSH bucket); dot products are deterministic left-fold "
+    "doubles in both engines; operators/dedup.py embedding_dup_pairs.",
+)
+def q44_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        block_col="label",
+    )
+
+
+@query(
+    "q45_text_stats",
+    f"""
+    SELECT doc_id,
+           cast(len({_TOKS}) as int) AS n_ws_tokens,
+           cast(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d|[^\\sA-Za-z\\d]')) as int)
+             AS n_bpe_tokens,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+    doc="Token counting (whitespace + BPE-ish regex segmentation) and "
+    "order-insensitive document fingerprint (md5 of the sorted distinct "
+    "token set); operators/textual.py.",
+)
+def q45_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators import textual as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        X.fingerprint("text").alias("fp"),
+    )
+
+
+def _lang_hits_sql(langs_words: dict[str, list[str]]) -> dict[str, str]:
+    return {
+        lang: (
+            "len(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(ws)})\\b'))"
+        )
+        for lang, ws in langs_words.items()
+    }
+
+
+@query(
+    "q46_lang_id",
+    None,  # oracle set below (needs the marker table)
+    doc="Language-ID heuristic: per-language marker-stopword hit counts, "
+    "argmax with deterministic alphabetical tie-break, 'und' on zero "
+    "hits; operators/textual.py lang_id.",
+)
+def q46_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+def _q46_oracle() -> str:
+    from tytodb_spark.operators.textual import LANG_MARKERS
+
+    hits = _lang_hits_sql(LANG_MARKERS)
+    packs = ", ".join(
+        f"struct_pack(negs := -s_{lang}, l := '{lang}')" for lang in sorted(hits)
+    )
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in hits.items())
+    greatest = ", ".join(f"s_{lang}" for lang in sorted(hits))
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN greatest({greatest}) < 1 THEN 'und'
+                ELSE list_sort([{packs}])[1].l END AS lang_pred
+    FROM (SELECT doc_id, lang, {scores} FROM documents)
+    """
+
+
+REGISTRY["q46_lang_id"] = QueryDef(
+    fn=REGISTRY["q46_lang_id"].fn,
+    oracle=_q46_oracle(),
+    doc=REGISTRY["q46_lang_id"].doc,
+)
+
+
+@query(
+    "q47_quality",
+    None,  # oracle set below (shares the marker table with q46)
+    doc="Quality scoring: length/punct/stopword/digit ratio features and "
+    "a composite [0,1] score; operators/textual.py quality_score.",
+)
+def q47_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import quality_features, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].cast("int").alias("n_chars_m"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q47_oracle() -> str:
+    from tytodb_spark.operators.textual import LANG_MARKERS
+
+    stop = "|".join(LANG_MARKERS["en"])
+    toks = _TOKS
+    return rf"""
+    SELECT doc_id,
+           cast(n_chars as int) AS n_chars_m,
+           round(n_alpha / safe, 6) AS alpha_ratio,
+           round(n_digit / safe, 6) AS digit_ratio,
+           round(n_punct / safe, 6) AS punct_ratio,
+           round(n_stop / tok_safe, 6) AS stopword_ratio,
+           round(greatest(least(
+               0.4 * (n_alpha / safe)
+             + 0.3 * least((n_stop / tok_safe) * 4, 1.0)
+             + 0.3 * least(n_tokens / 64.0, 1.0)
+             - 0.2 * (n_digit / safe)
+             - 0.2 * (n_punct / safe), 1.0), 0.0), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             greatest(length(text), 1) AS safe,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+             len({toks}) AS n_tokens,
+             greatest(len({toks}), 1) AS tok_safe,
+             len(regexp_extract_all(lower(text), '\b({stop})\b')) AS n_stop
+      FROM documents
+    )
+    """
+
+
+REGISTRY["q47_quality"] = QueryDef(
+    fn=REGISTRY["q47_quality"].fn, oracle=_q47_oracle(), doc=REGISTRY["q47_quality"].doc
+)
+
+
+@query(
+    "q48_knn_brute",
+    f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 3
+    """,
+    doc="Exact cosine top-k (brute force baseline): broadcast query set × "
+    "one corpus scan, two-phase distributed top-k (local per-partition "
+    "then global — no full-score shuffle); operators/similarity.py "
+    "brute_force_knn.",
+)
+def q48_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding", k=3
+    )
+
+
+@query(
+    "q49_ann_srp",
+    None,  # approximate retrieval set → rows-only check
+    doc="SRP-LSH approximate nearest neighbors: per-vector multi-table "
+    "sign-bit signatures, bucket join (never O(N²)), exact re-score of "
+    "candidates, two-phase top-k; operators/similarity.py srp_ann.",
+)
+def q49_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import srp_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_ann(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        dim=64, k=3, bits=8, tables=4,
+    )
+
+
+@query(
+    "q50_multimodal_features",
+    """
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Multimodal column plumbing: opaque binary payload + typed "
+    "metadata struct, Arrow-batched mapInPandas feature extraction "
+    "(sha256 content hash as the deterministic stand-in for a codec); "
+    "operators/multimodal.py.",
+)
+def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import extract_features, to_media_table
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return extract_features(to_media_table(docs, "doc_id", "text"))
+
+
 def names() -> list[str]:
     return list(REGISTRY)

@@ -1,0 +1,117 @@
+"""Structured Streaming surface over the `events` table.
+
+The reference has no streaming at all (SURVEY §2.6) — this is the
+BASELINE.json extension surface, built on the standard Spark shapes:
+file source → event-time windowed aggregation → sink, with watermarks
+for late-data bounds and `applyInPandasWithState`-style sessionization
+expressed via the built-in `session_window` (JVM-side, no Python state).
+
+Batch/stream parity: every streaming query here has a batch twin using
+the same expressions, so the DuckDB oracle that checks the batch form
+checks the streaming output too (complete mode + availableNow trigger
+drains the full input deterministically).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """The shared (batch == streaming) tumbling-window aggregation."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_window_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Run the windowed aggregation as a real streaming job: stage the
+    input as parquet, readStream it back, drain with availableNow into
+    a memory sink (complete mode — every window emitted), and return
+    the sink table. Deterministic: equals the batch `windowed_counts`.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_stream_")
+    name = f"tyto_stream_{uuid.uuid4().hex[:12]}"
+    try:
+        events.write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory-sink rows live on the driver; safe to drop the staging dir
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def late_data_window_counts(
+    spark: SparkSession, events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Append-mode variant with a watermark: only windows the watermark
+    has passed are emitted (the late-data-bound shape you would run
+    against a live source). The trailing window(s) are withheld by
+    design — callers asserting totals must use `stream_window_counts`.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_stream_wm_")
+    name = f"tyto_wm_{uuid.uuid4().hex[:12]}"
+    try:
+        events.write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        agg = windowed_counts(stream.withWatermark("ts", watermark))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{staging}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: activity separated by ≥`gap` starts a
+    new session (built-in session_window — JVM stateful op; the custom
+    `applyInPandasWithState` escape hatch is only needed for semantics
+    Spark can't express, which this one can). Works batch or streaming."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
