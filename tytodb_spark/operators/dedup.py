@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tytodb_spark.operators.textual import word_ngrams
+from tytodb_spark.operators.textual import shingle_table, spread, word_ngrams
 
 
 # ---------------------------------------------------------------------------
@@ -71,19 +71,6 @@ def minhash_signature(shingles, num_hashes: int = 64):
     )
 
 
-def lsh_bands(signature, num_bands: int, rows_per_band: int):
-    """Band the signature: array of (band_idx, band_hash) structs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band)).alias(
-                "bucket"
-            ),
-        ),
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -101,19 +88,35 @@ def minhash_lsh_pairs(
     risk — AQE skew-join handles moderate skew; extreme boilerplate
     should be exact-deduped first (it is, in the declared pipeline).
 
+    Plan shape matters: the signature is materialized in a projection
+    BELOW the band explode (the Generate boundary stops CollapseProject
+    from inlining it), so the 64-minhash array is computed once per doc
+    and each band row just slices it — inlining the signature into the
+    band structs re-min-hashes per band (~10× slower, measured).
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    banded = base.select(
-        "__id",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("__sh"), num_hashes), num_bands, rows_per_band)
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    # materialized + cached shingle sets (optimizer barrier — see
+    # textual.shingle_table): banding and both verify sides reuse them
+    base = shingle_table(df, id_col, text_col, shingle_n).select("__id", "__sh")
+    sig = base.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    banded = (
+        sig.select(
+            "__id",
+            "__sig",
+            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+        )
+        .select(
+            "__id",
+            "band",
+            F.xxhash64(
+                F.slice("__sig", F.col("band") * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+    )
 
     left = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
@@ -147,10 +150,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each distinct token votes ±1 on every
     bit of its xxhash64; sign of the vote sum becomes the bit.
     Entirely groupBy/bitwise expressions — one shuffle on the doc id."""
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, 1))).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
+    tok = (
+        spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")), "__id")
+        .select("__id", F.explode(F.array_distinct(word_ngrams("__txt", 1))).alias("__t"))
+        .withColumn("__h", F.xxhash64("__t"))
+    )
     votes = tok.groupBy("__id").agg(
         *[
             F.sum(
@@ -238,12 +242,23 @@ def embedding_dup_pairs(
     bucket or a label) — the scale path; without it this is the small-N
     exact baseline."""
     keys = [block_col] if block_col else []
-    a = df.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # spread the probe side / broadcast the build side: every core then
+    # PRODUCES its share of pairs and scores them in place — no pair
+    # shuffle at all, and the (few, skewed) block keys never serialize
+    # the join. At corpus scale the build side becomes the per-block
+    # shuffle partition instead of a broadcast; the probe-side spread
+    # stays.
+    a = spread(
+        df.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        id_col if id_col in keys else "id_a",
+    )
+    b = F.broadcast(
+        df.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    )
     joined = a.join(b, keys) if keys else a.crossJoin(b)
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

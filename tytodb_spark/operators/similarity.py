@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from tytodb_spark.operators.dedup import cosine
+from tytodb_spark.operators.textual import spread
 
 
 def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFrame:
@@ -65,8 +66,11 @@ def brute_force_knn(
     q = queries_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = spread(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "neighbor_id",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -150,15 +154,22 @@ def srp_ann(
     Output: (query_id, neighbor_id, cos_sim, rank) — rank within the
     retrieved candidate set.
     """
-    sig = lambda df, idn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(f"__{idn}_v"),
-        F.posexplode(srp_signatures(F.col(vec_col), dim, bits, tables, seed)).alias(
-            "table", f"__{idn}_bucket"
-        ),
-    )
-    q = sig(queries_df, "query_id").withColumnRenamed("__query_id_bucket", "bucket")
-    c = sig(corpus_df, "neighbor_id").withColumnRenamed("__neighbor_id_bucket", "bucket")
+    def sig(df: DataFrame, idn: str) -> DataFrame:
+        # signatures materialized below the posexplode Generate boundary:
+        # computed once per vector, not once per (vector, table) row
+        with_sig = df.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(f"__{idn}_v"),
+            srp_signatures(F.col(vec_col), dim, bits, tables, seed).alias("__sigs"),
+        )
+        return with_sig.select(
+            idn,
+            f"__{idn}_v",
+            F.posexplode("__sigs").alias("table", "bucket"),
+        )
+
+    q = sig(queries_df, "query_id")
+    c = sig(spread(corpus_df, id_col), "neighbor_id")
     candidates = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -10,8 +10,23 @@ token counting, and document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on `key` so expression-heavy per-row work uses
+    every core. On a real many-file table the scan already yields many
+    splits; the local single-file testdata arrives as ONE partition
+    (single parquet row group — not even byte-range splittable), which
+    would serialize all downstream codegen work.
+
+    The partition count is explicit (defaultParallelism) on purpose:
+    these shuffles carry few BYTES but fan out heavy per-row COMPUTE,
+    and AQE's byte-based coalescing would squash an unnumbered
+    repartition back to one partition (measured: 40×)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -168,6 +183,29 @@ def winnow_key(col: Column | str, window: int = 8) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Materialized shingle sets: (__id, __sh array<string>, __n).
+
+    Spread first (tokenization must fan out, not run on the scan's map
+    side), then PERSIST the arrays. The persist is load-bearing twice:
+    (a) every downstream branch — candidate generation and both verify
+    join sides — reuses the arrays instead of re-tokenizing the corpus,
+    and (b) it is an optimizer barrier: CollapseProject would otherwise
+    inline the n-gram expression into every consumer lambda (e.g. all
+    64 per-seed MinHash lambdas — a measured ~30× blowup) and push the
+    size-filter down into the file scan as a second full tokenization.
+    MEMORY_AND_DISK so a corpus-scale run spills instead of OOMing;
+    __n is computed on the cached attribute, never on the raw text."""
+    from pyspark.storagelevel import StorageLevel
+
+    cached = (
+        spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")), "__id")
+        .select("__id", F.array_distinct(word_ngrams("__txt", n)).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return cached.withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -175,39 +213,71 @@ def jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via an inverted-index self-join:
-    explode distinct shingles → join on shingle (only docs sharing ≥1
-    shingle ever meet — no O(N²) cross join) → common counts → Jaccard.
+    """All-pairs n-gram Jaccard — EXACT, with AllPairs prefix filtering.
 
-    At 100 TB the join key distribution decides the cost: stop-shingles
-    (shared by a large fraction of docs) explode the join. Callers can
-    pre-filter with ``max_shingle_df`` semantics upstream; the default
-    pipeline keeps exactness for the correctness gate.
+    Naive inverted-index self-join generates Σ df(g)² candidate rows;
+    stop-shingles (high document frequency) make that quadratic in
+    practice. The AllPairs/PPJoin prefix filter keeps it exact while
+    pruning: order every doc's shingles by ascending global document
+    frequency and index only the first |s| - ⌈t·|s|⌉ + 1 of them. Any
+    pair with Jaccard ≥ t must share a prefix shingle (the smallest
+    common shingle in the global order cannot sit in both suffixes —
+    pigeonhole on the required overlap ⌈t·|s|⌉), so joining prefixes
+    finds every qualifying pair; frequent shingles land in suffixes and
+    never join. A size filter (min ≥ t·max) prunes further, and exact
+    Jaccard over the full shingle sets verifies each candidate.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("__sh"),
-    ).withColumn("__n_sh", F.size("__sh"))
-    exploded = shingled.select("__id", "__n_sh", F.explode("__sh").alias("__s"))
-    a = exploded.select(
-        F.col("__id").alias("id_a"), F.col("__n_sh").alias("n_a"), F.col("__s")
+    shingled = shingle_table(df, id_col, text_col, n)
+    posts = shingled.select("__id", "__n", F.explode("__sh").alias("__s"))
+    dfreq = posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = (
+        posts.join(dfreq, "__s")
+        .withColumn(
+            "__rk",
+            F.row_number().over(W.partitionBy("__id").orderBy("__df", "__s")),
+        )
+        .filter(F.col("__rk") <= prefix_len)
     )
-    b = exploded.select(
-        F.col("__id").alias("id_b"), F.col("__n_sh").alias("n_b"), F.col("__s")
-    )
-    common = (
+    a = prefix.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"), "__s")
+    b = prefix.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"), "__s")
+    candidates = (
         a.join(b, "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        # size bound: jac ≥ t ⟹ min(|a|,|b|) ≥ t·max (epsilon guards the
+        # float multiply at the boundary)
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return (
-        common.withColumn(
+    sh = shingled.select("__id", "__sh", "__n")
+    verified = (
+        candidates.join(
+            sh.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sh").alias("sh_a"),
+                F.col("__n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sh").alias("sh_b"),
+                F.col("__n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("__n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("__n_common") / (F.col("n_a") + F.col("n_b") - F.col("__n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -807,7 +807,7 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q41_jaccard_pairs",
     f"""
-    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(2)}) AS s FROM documents),
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
          ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
@@ -816,15 +816,19 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     HAVING jaccard >= 0.5
     """,
-    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
-    "— only docs sharing a shingle ever meet (no O(N²) cross join); "
+    doc="Exact n-gram Jaccard near-dup pairs: inverted-index self-join "
+    "with AllPairs prefix filtering (index only each doc's rarest "
+    "|s|-⌈t·|s|⌉+1 shingles — exact by the prefix theorem). Trigram "
+    "shingles: the synthetic corpus has a ~30-word vocabulary, so at "
+    "n=2 every shingle is a stop-shingle (frequency pruning can't bite "
+    "by construction — that regime belongs to MinHash-LSH, q42); "
     "operators/textual.py jaccard_pairs.",
 )
 def q41_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.textual import jaccard_pairs
 
     return jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
 
 
