@@ -1,0 +1,112 @@
+"""Unit tests for the as-of and interval join operators
+(tytodb_spark/operators/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        Row(sym="A", qts=_ts(0), px=10.0),
+        Row(sym="A", qts=_ts(10), px=11.0),
+        Row(sym="A", qts=_ts(20), px=12.0),
+        Row(sym="B", qts=_ts(5), px=100.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        Row(sym="A", tts=_ts(9), qty=1),    # latest quote: t=0
+        Row(sym="A", tts=_ts(10), qty=2),   # ties quote t=10
+        Row(sym="A", tts=_ts(25), qty=3),   # latest quote: t=20
+        Row(sym="B", tts=_ts(1), qty=4),    # before any quote -> NULL
+        Row(sym="C", tts=_ts(1), qty=5),    # key with no quotes -> NULL
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_asof_join_backward(spark, quotes, trades):
+    from tytodb_spark.operators.joins import asof_join
+
+    out = asof_join(trades, quotes, "sym", "tts", "qts", right_cols=["qts", "px"])
+    got = {(r["sym"], r["qty"]): r["r_px"] for r in out.collect()}
+    assert got[("A", 1)] == 10.0
+    assert got[("A", 2)] == 11.0  # inclusive: equal timestamps match
+    assert got[("A", 3)] == 12.0
+    assert got[("B", 4)] is None
+    assert got[("C", 5)] is None
+    assert out.count() == 5  # left join keeps every trade
+
+
+def test_asof_join_exclusive(spark, quotes, trades):
+    from tytodb_spark.operators.joins import asof_join
+
+    out = asof_join(
+        trades, quotes, "sym", "tts", "qts", right_cols=["px"], inclusive=False
+    )
+    got = {(r["sym"], r["qty"]): r["r_px"] for r in out.collect()}
+    assert got[("A", 2)] == 10.0  # strict <: the t=10 quote is not visible
+
+
+def test_interval_join_bounds(spark):
+    from tytodb_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([Row(k=1, lts=_ts(100), tag="L")])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts(99), v="before"),
+            Row(k=1, rts=_ts(100), v="at_lower"),
+            Row(k=1, rts=_ts(400), v="inside"),
+            Row(k=1, rts=_ts(700), v="at_upper"),
+            Row(k=1, rts=_ts(701), v="after"),
+            Row(k=2, rts=_ts(400), v="other_key"),
+        ]
+    )
+    out = interval_join(left, right, "k", "lts", "rts", 0.0, 600.0)
+    got = sorted(r["r_v"] for r in out.collect())
+    assert got == ["at_lower", "at_upper", "inside"]
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed construction equals the naive theta join on random data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tytodb_spark.operators.joins import interval_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [Row(k=rng.randrange(3), lid=i, lts=_ts(rng.uniform(0, 5000))) for i in range(120)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=rng.randrange(3), rid=i, rts=_ts(rng.uniform(0, 5000))) for i in range(120)]
+    )
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in interval_join(left, right, "k", "lts", "rts", -120.0, 300.0).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 120 SECONDS"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 300 SECONDS"))
+        )
+        .collect()
+    }
+    assert got == naive

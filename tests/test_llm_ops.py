@@ -255,3 +255,13 @@ def test_sample_frames_deterministic(spark, docs):
 def test_decode_image_is_gated():
     with pytest.raises((NotImplementedError, Exception)):
         M.decode_image(b"not an image")
+
+
+def test_approx_distinct_within_rsd(spark, oracle_sf_dir):
+    from tytodb_spark import queries as Q
+
+    rows = Q.REGISTRY["q38_approx_distinct"].fn(spark, oracle_sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_custs"] - r["exact_custs"]) / max(r["exact_custs"], 1)
+        assert rel_err < 0.05, f"{r['o_orderpriority']}: rel_err {rel_err}"

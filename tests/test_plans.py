@@ -1,0 +1,87 @@
+"""Plan-shape assertions: the scale claims (pushdown, pruning,
+broadcast, distributed top-k) hold for the declared queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from tytodb_spark import queries as Q
+from tytodb_spark.plans import inspect as P
+
+
+def _df(spark, sf_dir, name):
+    return Q.REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_filter_is_pushed_to_scan(spark, sf_dir):
+    df = _df(spark, sf_dir, "q01_filter_scan")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_quantity" in pushed or "l_returnflag" in pushed or "l_discount" in pushed
+
+
+def test_point_lookup_pushes_equality(spark, sf_dir):
+    df = _df(spark, sf_dir, "q07_point_lookup")
+    assert any("o_orderkey" in f and "EqualTo" in f for f in P.pushed_filters(df))
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = _df(spark, sf_dir, "q04_projection")
+    schemas = P.read_schemas(df)
+    assert schemas, "no parquet scan found"
+    # only the selected + filtered columns are read, not all 9
+    assert all("o_orderdate" not in s and "o_comment" not in s for s in schemas)
+    assert any("o_orderkey" in s and "o_totalprice" in s for s in schemas)
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    assert P.num_broadcast_joins(_df(spark, sf_dir, "q21_broadcast_join")) >= 1
+    assert P.num_broadcast_joins(_df(spark, sf_dir, "q22_multiway_join")) >= 3
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    assert P.has_take_ordered(_df(spark, sf_dir, "q27_topk"))
+
+
+def test_pricing_summary_single_shuffle(spark, sf_dir):
+    # partial agg map-side, one exchange on the group keys, final agg
+    df = _df(spark, sf_dir, "q20_pricing_summary")
+    assert P.num_shuffles(df) == 1
+
+
+def test_pricing_summary_codegen(spark, sf_dir):
+    # whole-stage codegen spans the scan+partial-agg and final-agg.
+    # AdaptiveSparkPlan hides codegen markers, so disable AQE AFTER
+    # building the df (planning is lazy; catalog tune() re-enables AQE
+    # during the build) and before first plan access.
+    df = _df(spark, sf_dir, "q20_pricing_summary")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert P.codegen_stages(df) >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # the as-of construction promises ONE shuffle (window on the key);
+    # the union of the two scans must not add exchanges of its own
+    df = _df(spark, sf_dir, "q36_asof_join")
+    assert P.num_shuffles(df) <= 2  # key exchange (+ AQE artifacts at most)
+
+
+def test_interval_join_is_hash_join(spark, sf_dir):
+    # the bucketed construction must plan a hash join, never a
+    # broadcast nested-loop over the inequality
+    plan = P.physical_plan(_df(spark, sf_dir, "q37_interval_join"))
+    assert "NestedLoop" not in plan
+
+
+def test_plan_report_shape(spark, sf_dir):
+    rep = P.plan_report(_df(spark, sf_dir, "q20_pricing_summary"))
+    assert set(rep) == {
+        "pushed_filters",
+        "read_schemas",
+        "num_shuffles",
+        "num_broadcast_joins",
+        "take_ordered",
+        "codegen_stages",
+    }

@@ -1,0 +1,96 @@
+"""Python UDF surfaces: Arrow-batched grouped ops (applyInPandas) and
+table functions (UDTF).
+
+The reference has no UDF surface of any kind (SURVEY §2.6). These cover
+the three Python extension points a pipeline needs beyond scalar
+``pandas_udf`` (exercised in operators/multimodal.py):
+
+- applyInPandas: whole-group pandas transforms (per-key model scoring,
+  normalization, custom ranking). One shuffle on the group key, Arrow
+  both ways, vectorized inside.
+- UDTF: row → many-rows expansion with arbitrary Python (parsers,
+  segmenters) via LATERAL join.
+
+Both are the *slow path* by design — used only where built-in
+expressions can't express the semantics; everything here has a
+built-in twin used as the test oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+RANK_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("value_rank", T.LongType()),
+    ]
+)
+
+
+def grouped_value_rank(events: DataFrame) -> DataFrame:
+    """Per-user rank of events by value (desc) via applyInPandas —
+    the grouped-map UDF shape. pandas `rank(method="min")` matches SQL
+    RANK() tie semantics exactly, so the DuckDB oracle is a plain
+    window; the point proven is the plumbing (grouping, Arrow batches,
+    schema contract), not the arithmetic."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["user_id", "event_id", "value"]].copy()
+        out["value_rank"] = (
+            out["value"].rank(method="min", ascending=False).astype("int64")
+        )
+        return out
+
+    return events.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        rank_group, RANK_SCHEMA
+    )
+
+
+_TOKEN_RE = re.compile(r"\s+")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Python twin of textual.tokens (lower, split on whitespace)."""
+    if text is None:
+        return []
+    return [t for t in _TOKEN_RE.split(text.strip().lower()) if t]
+
+
+def make_tokenize_udtf():
+    """A Python UDTF emitting (pos, token) rows per document — the
+    row-to-table extension point (LATERAL join). Built lazily so module
+    import never requires a live Spark session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, tok in enumerate(tokenize_py(text)):
+                yield i, tok
+
+    return TokenizeUDTF
+
+
+def doc_terms(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) for every document via the tokenize UDTF
+    in a LATERAL join."""
+    TokenizeUDTF = make_tokenize_udtf()
+    spark.udtf.register("tyto_tokenize", TokenizeUDTF)
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __udtf_docs d, LATERAL tyto_tokenize(d.text) t
+        """
+    )

@@ -771,6 +771,70 @@ def q35_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(_t(spark, sf_dir, "events"), gap="30 minutes")
 
 
+@query(
+    "q36_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS purchase_ts, r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    doc="As-of join (absent from Spark and the reference): each click "
+    "event picks up the same user's latest prior-or-simultaneous "
+    "purchase. Union + carry-forward window — one shuffle on the key, "
+    "no range explosion; operators/joins.py asof_join. Oracle uses "
+    "DuckDB's native ASOF JOIN.",
+)
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", right_cols=["ts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
+@query(
+    "q37_interval_join",
+    """
+    SELECT l.event_id AS error_id, l.user_id, l.ts AS error_ts,
+           r.ts AS purchase_ts, r.value AS purchase_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'error' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+    doc="Bounded interval (band/theta) join: purchases within 10 minutes "
+    "after an error by the same user. Time-bucketed equi-join + residual "
+    "range filter — a hash join on (key, bucket), never a nested-loop "
+    "cross product; operators/joins.py interval_join.",
+)
+def q37_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = interval_join(errors, purchases, "user_id", "error_ts", "ts", 0.0, 600.0)
+    return out.select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q4x — LLM-pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -1116,6 +1180,142 @@ def q50_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return extract_features(to_media_table(docs, "doc_id", "text"))
+
+
+@query(
+    "q38_approx_distinct",
+    None,  # HLL estimate ≠ exact count → rows-only check (bounds in pytest)
+    doc="Approximate distinct counting (HyperLogLog++): per-priority "
+    "approx_count_distinct over orders with the exact count alongside; "
+    "constant memory per group at any scale. Accuracy bound asserted "
+    "in tests/test_llm_ops.py.",
+)
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@query(
+    "q53_csv_roundtrip",
+    """
+    SELECT lang, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="CSV connector round-trip: documents written to CSV (quoted, "
+    "multiline-safe) and read back schema-explicit, then aggregated — "
+    "result must equal the same aggregate over the parquet original; "
+    "sources/io.py.",
+)
+def q53_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.sources import io as IO
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="tyto_csv_")
+    try:
+        path = f"{tmp}/docs.csv"
+        IO.write_table(docs, path, "csv")
+        back = IO.read_table(spark, path, "csv", schema=docs.schema)
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q54_container_source",
+    """
+    SELECT source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars
+    FROM documents WHERE doc_id < 300 GROUP BY source
+    """,
+    doc="Fixed-width binary container source (the reference's storage "
+    "model, layout re-specified — src/container.rs:435-520): documents "
+    "exported to a TYSP container file, read back distributed via "
+    "binaryFile + vectorized mapInPandas parse, aggregated; "
+    "sources/tyto_container.py.",
+)
+def q54_container_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.sources import tyto_container as TC
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cols = [
+        ("doc_id", TC.BIGINT),
+        ("source", TC.string_code(100)),
+        ("n_chars", TC.BIGINT),
+    ]
+    tmp = tempfile.mkdtemp(prefix="tyto_cont_")
+    try:
+        rows = [
+            (r["doc_id"], r["source"], r["n_chars"])
+            for r in docs.select("doc_id", "source", "n_chars").collect()
+        ]
+        TC.write_container(f"{tmp}/docs.tysp", cols, rows)
+        back = TC.read_containers(spark, tmp, cols)
+        out = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        collected = out.collect()
+        return spark.createDataFrame(collected, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q51_grouped_rank",
+    """
+    SELECT user_id, event_id, value,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank
+    FROM events
+    """,
+    doc="Grouped-map Python UDF (applyInPandas): per-user event ranking "
+    "computed inside pandas with Arrow transfer; one shuffle on the "
+    "group key. Oracle is the equivalent SQL window (pandas "
+    "rank(method='min') == SQL RANK tie semantics); "
+    "functions/python_udfs.py grouped_value_rank.",
+)
+def q51_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.functions.python_udfs import grouped_value_rank
+
+    return grouped_value_rank(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q52_udtf_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200)
+    SELECT doc_id, cast(x.pos as int) AS pos, x.token AS token
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)+1),
+                                   i -> struct_pack(pos := i-1, token := t[i]))) AS x
+      FROM toks
+    )
+    """,
+    doc="Python UDTF (table function) in a LATERAL join: per-document "
+    "(pos, token) expansion with arbitrary Python in eval(); "
+    "functions/python_udfs.py doc_terms. Oracle reproduces the "
+    "expansion with unnest over token positions.",
+)
+def q52_udtf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.functions.python_udfs import doc_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return doc_terms(spark, docs)
 
 
 def names() -> list[str]:

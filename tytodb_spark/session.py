@@ -42,7 +42,35 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable at runtime on this build — fine
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `tytodb_spark` importable on Python WORKERS. Module-level
+    functions referenced from mapInPandas/applyInPandas/UDTF closures
+    are cloudpickled BY REFERENCE, so workers must import the package —
+    which fails when the driver found it via a sys.path hack (the
+    driver-contract import runs with cwd outside the repo). Shipping a
+    zip via addPyFile covers local workers and real executors alike."""
+    sc = spark.sparkContext
+    if getattr(sc, "_tyto_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="tytodb_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._tyto_pkg_shipped = True
 
 
 def get_spark(app_name: str = "tytodb_spark", cpus: str | None = None) -> SparkSession:
