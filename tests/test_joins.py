@@ -81,6 +81,24 @@ def test_interval_join_bounds(spark):
     assert got == ["at_lower", "at_upper", "inside"]
 
 
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tytodb_spark.operators.joins import salted_join
+
+    # heavily skewed fact: 90% of rows share key 0
+    fact = spark.createDataFrame(
+        [Row(k=(0 if i % 10 else i % 7), fid=i) for i in range(2000)]
+    ).repartition(8)
+    dim = spark.createDataFrame([Row(k=i, label=f"d{i}") for i in range(7)])
+    got = sorted(
+        (r["fid"], r["label"])
+        for r in salted_join(fact, dim, "k", salt=8).collect()
+    )
+    want = sorted((r["fid"], r["label"]) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
 def test_interval_join_matches_naive(spark):
     """Bucketed construction equals the naive theta join on random data."""
     import random

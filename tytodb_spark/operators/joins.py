@@ -79,6 +79,27 @@ def asof_join(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant fact ⋈ dim equi-join: the fact side gets a random
+    salt in [0, salt), the dim side is replicated `salt` ways, and the
+    join runs on (key, salt) — a single hot key spreads over `salt`
+    tasks instead of melting one. Use when AQE's skew splitting isn't
+    enough (one key ≫ everything, e.g. a null-ish default id at corpus
+    scale); the dim replication cost is |dim|×salt, so keep the dim
+    side small. Result equals the plain join (each fact row meets each
+    matching dim row exactly once — the dim copy with its salt)."""
+    f = fact.withColumn("__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt)
+    d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

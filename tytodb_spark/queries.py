@@ -852,6 +852,24 @@ def _NGRAMS(n: int) -> str:
 
 
 @query(
+    "q39_stateful_anomalies",
+    None,  # feedback recurrence → not SQL-expressible; pandas-reference
+    # equality is asserted in tests/test_streaming.py
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user anomaly detection where flagged events are excluded from "
+    "the running mean — the state depends on the operator's own prior "
+    "output, which no window aggregate can express; "
+    "streaming/stateful.py anomalies_stateful.",
+)
+def q39_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.stateful import anomalies_stateful
+
+    return anomalies_stateful(
+        spark, _t(spark, sf_dir, "events"), factor=3.0, min_history=5
+    )
+
+
+@query(
     "q40_exact_dedup",
     r"""
     SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,

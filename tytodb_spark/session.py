@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 
 # Runtime-settable SQL confs applied to any session we receive.
 _RUNTIME_CONF = {
+    # sized for local[32]; a real cluster overrides it (AQE coalesces
+    # from the initial number anyway) — without this a default-config
+    # driver session runs 200 shuffle tasks, which multiplies Python
+    # worker batch overhead on the pandas-UDF paths
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
