@@ -125,21 +125,50 @@ class Warehouse:
             self._snapshot_path(name, v)
         )
 
+    def _local_df(self, name: str, rows: list[dict]) -> DataFrame:
+        """Rows → ONE-slice DataFrame. ``createDataFrame(list)`` parallelizes
+        into default-parallelism slices and each slice pays a Python-worker
+        round-trip downstream (~130 ms each, so a 10-row staged batch costs
+        ~4 s at the snapshot write); ``coalesce(1)`` afterwards is worse —
+        the single task drains every slice sequentially. One slice from the
+        start sidesteps both."""
+        schema = self.spark_schema(name)
+        data = [tuple(r[f.name] for f in schema.fields) for r in rows]
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(data, 1), schema
+        )
+
     def read(self, name: str) -> DataFrame:
-        """Committed snapshot + staged-op overlay (MVCC-buffer read)."""
+        """Committed snapshot + staged-op overlay (MVCC-buffer read).
+
+        Adjacent staged inserts are batched into ONE single-slice
+        DataFrame: a commit after N row inserts would otherwise union N
+        separate createDataFrame plans. Ordering across insert/edit/delete
+        boundaries is preserved — only runs of consecutive inserts merge."""
         if name in self._state:
             df = self.read_committed(name)
+            pending: list[dict] = []
+
+            def flush(d: DataFrame) -> DataFrame:
+                if not pending:
+                    return d
+                new = self._local_df(name, pending)
+                pending.clear()
+                return d.unionByName(new)
+
             for op in self._state[name].ops:
-                df = self._apply_op(name, df, op)
-            return df
+                if op.kind == "insert":
+                    pending.extend(op.rows)
+                else:
+                    df = self._apply_op(name, flush(df), op)
+            return flush(df)
         if name in self.external:
             return self.external[name]
         raise KeyError(f"no such container {name!r}")
 
     def _apply_op(self, name: str, df: DataFrame, op: _Op) -> DataFrame:
         if op.kind == "insert":
-            new = self.spark.createDataFrame(op.rows, self.spark_schema(name))
-            return df.unionByName(new)
+            return df.unionByName(self._local_df(name, op.rows))
         pred = compile_chain(*op.conditions) if op.conditions[0] else F.lit(True)
         if op.kind == "delete":
             return df.filter(~pred)
@@ -204,11 +233,32 @@ class Warehouse:
         self._state[name].ops.append(_Op("delete", conditions=conditions))
 
     # -- commit / rollback --------------------------------------------------
+    def _snapshot_bytes(self, name: str) -> int:
+        """On-disk size of the current snapshot (0 for a fresh table)."""
+        try:
+            path = self._snapshot_path(name, self._current_version(name))
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith("_")
+            )
+        except OSError:
+            return 0
+
+    # below this snapshot size a commit writes ONE file — a small table
+    # rewritten through 32 shuffle partitions is 32 tiny files and 32
+    # tasks of pure overhead; large tables keep their parallel write.
+    # repartition (not coalesce): upstream stages keep their parallelism
+    # and only the final write funnels through one task.
+    _SMALL_TABLE_BYTES = 64 << 20
+
     def _write_snapshot(self, name: str, df: DataFrame, version: int) -> None:
         """Write parquet to a staged dir, atomic-rename into place, then
         flip CURRENT via write-temp + rename (SURVEY §4.3)."""
         final = self._snapshot_path(name, version)
         staged = os.path.join(self._dir(name), f"_staged_{uuid.uuid4().hex}")
+        if self._snapshot_bytes(name) < self._SMALL_TABLE_BYTES:
+            df = df.repartition(1)
         df.write.mode("overwrite").parquet(staged)
         os.rename(staged, final)
         tmp = os.path.join(self._dir(name), f".current_{uuid.uuid4().hex}"
