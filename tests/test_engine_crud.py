@@ -142,3 +142,41 @@ def test_snapshot_swap_durability(spark, tmp_path):
     # a fresh engine over the same directory sees committed data
     e2 = Engine(spark, wh)
     assert [r["id"] for r in e2.execute("SEARCH ON 'a'").rows()] == [42]
+
+
+def test_versions_and_time_travel(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id, name] [1, 'ana'] ON 'users'")
+    engine.execute("COMMIT 'users'")
+    engine.execute("CREATE ROW [id, name] [2, 'bob'] ON 'users'")
+    engine.execute("COMMIT 'users'")
+    wh = engine.warehouse
+    vs = wh.versions("users")
+    assert vs == [1, 2]  # v0 (empty) retired, previous retained
+    assert wh.read_version("users", 1).count() == 1
+    assert wh.read_version("users", 2).count() == 2
+    with pytest.raises(KeyError):
+        wh.read_version("users", 0)
+
+
+def test_compact_single_file_and_same_rows(engine):
+    engine.execute(SCHEMA)
+    for i in range(20):
+        engine.execute(f"CREATE ROW [id, score] [{i}, {float(i)}] ON 'users'")
+    engine.execute("COMMIT 'users'")
+    wh = engine.warehouse
+    before = sorted(r["id"] for r in wh.read("users").collect())
+    nfiles = wh.compact("users")
+    assert nfiles == 1  # tiny table -> one file
+    after = sorted(r["id"] for r in wh.read("users").collect())
+    assert after == before
+    assert wh.versions("users")[-1] == wh._current_version("users")
+
+
+def test_compact_refuses_staged_ops(engine):
+    engine.execute(SCHEMA)
+    engine.execute("CREATE ROW [id] [1] ON 'users'")
+    engine.execute("COMMIT 'users'")
+    engine.execute("CREATE ROW [id] [2] ON 'users'")  # staged, uncommitted
+    with pytest.raises(RuntimeError):
+        engine.warehouse.compact("users")

@@ -26,7 +26,7 @@ def tricky(spark):
     return spark.createDataFrame(rows)
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
 def test_roundtrip_tricky_strings(spark, tricky, tmp_path, fmt):
     path = os.path.join(str(tmp_path), f"t.{fmt}")
     IO.write_table(tricky, path, fmt)

@@ -8,9 +8,10 @@ lossless round-trips, predicate pushdown where the format supports it
 (parquet), plus the knobs that keep text formats unambiguous (quoting,
 multiline, timestamp format).
 
-Scale notes: all three writers shard one file per partition (a
+Scale notes: every writer shards one file per partition (a
 100 TB write is as parallel as its partitioning); CSV/JSON are
-line-splittable on read, so a big file still fans out. Schemas are
+line-splittable on read, so a big file still fans out; parquet/ORC
+carry column stats so filters prune row groups/stripes. Schemas are
 always passed explicitly on read — inference is a full extra pass and
 non-deterministic under sampling.
 """
@@ -28,7 +29,7 @@ _TEXT_OPTS = {
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:

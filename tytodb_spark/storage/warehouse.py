@@ -125,6 +125,24 @@ class Warehouse:
             self._snapshot_path(name, v)
         )
 
+    def versions(self, name: str) -> list[int]:
+        """Snapshot versions still on disk (current + the retained
+        previous — SURVEY §4.3 keeps one back for readers mid-flight)."""
+        if name not in self._state:
+            raise KeyError(f"no such container {name!r}")
+        return sorted(
+            int(e[2:]) for e in os.listdir(self._dir(name)) if e.startswith("v_")
+        )
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot version (the snapshot
+        chain is the same mechanism Delta/Iceberg expose as AS OF)."""
+        if version not in self.versions(name):
+            raise KeyError(f"{name!r} has no retained snapshot v{version}")
+        return self.spark.read.schema(self.spark_schema(name)).parquet(
+            self._snapshot_path(name, version)
+        )
+
     def _local_df(self, name: str, rows: list[dict]) -> DataFrame:
         """Rows → ONE-slice DataFrame. ``createDataFrame(list)`` parallelizes
         into default-parallelism slices and each slice pays a Python-worker
@@ -285,3 +303,20 @@ class Warehouse:
         names = [name] if name else list(self._state)
         for n in names:
             self._state[n].ops.clear()
+
+    # -- maintenance ---------------------------------------------------------
+    _TARGET_FILE_BYTES = 128 << 20
+
+    def compact(self, name: str, target_file_bytes: int | None = None) -> int:
+        """Rewrite the current snapshot into ~target-sized files (the
+        OPTIMIZE/compaction pass every copy-on-write table needs: many
+        small commits → many small files → scan-planning and open()
+        overhead dominates at scale). Staged ops are not touched; returns
+        the new file count."""
+        if self._state.get(name) and self._state[name].ops:
+            raise RuntimeError(f"{name!r} has staged ops; COMMIT or ROLLBACK first")
+        target = target_file_bytes or self._TARGET_FILE_BYTES
+        nfiles = max(1, -(-self._snapshot_bytes(name) // target))  # ceil
+        df = self.read_committed(name).repartition(nfiles)
+        self._write_snapshot(name, df, self._current_version(name) + 1)
+        return nfiles
