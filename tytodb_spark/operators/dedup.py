@@ -18,6 +18,8 @@ closest is first-column uniqueness via the index (src/indexing.rs).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,28 +151,45 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each distinct token votes ±1 on every
     bit of its xxhash64; sign of the vote sum becomes the bit.
-    Entirely groupBy/bitwise expressions — one shuffle on the doc id."""
-    tok = (
-        spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")), "__id")
-        .select("__id", F.explode(F.array_distinct(word_ngrams("__txt", 1))).alias("__t"))
-        .withColumn("__h", F.xxhash64("__t"))
-    )
-    votes = tok.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+
+    SHUFFLE-FREE: token hashing stays JVM-side (`xxhash64` per distinct
+    token, codegen'd), and the 64-bit vote/pack runs as one vectorized
+    NumPy pass per Arrow batch. The previous formulation exploded tokens
+    and ran a 64-aggregate groupBy — a full shuffle of every token plus
+    a huge codegen unit; this one is map-only, so at corpus scale it
+    pipelines with the scan and the only shuffle left in SimHash dedup
+    is the band self-join. Docs with no tokens are dropped (same as the
+    explode+groupBy semantics, where they simply had no rows)."""
+
+    @F.pandas_udf("long")
+    def _pack(hashes: pd.Series) -> pd.Series:
+        if hashes.empty:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(a, dtype=np.int64).astype(np.uint64) for a in hashes]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate(arrs)
+        # (tokens, 64) ±1 votes; segment-sum per doc; sign → bit
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = np.add.reduceat(bits * 2 - 1, np.r_[0, np.cumsum(lens)[:-1]], axis=0)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        packed = ((votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
         )
-    return votes.select(F.col("__id").alias(id_col), sim.alias("simhash"))
+        return pd.Series(packed.view(np.int64))
+
+    tok_hashes = F.transform(
+        F.array_distinct(word_ngrams(F.col("__txt"), 1)), lambda t: F.xxhash64(t)
+    )
+    return (
+        # spread: only for the single-file local fixture — a real table's
+        # scan is already split, making this whole operator map-only
+        spread(df.select(F.col(id_col), F.col(text_col).alias("__txt")), id_col)
+        .select(F.col(id_col), tok_hashes.alias("__th"))
+        # empty docs have no votes — excluded (reduceat also requires
+        # non-empty segments)
+        .filter(F.size("__th") > 0)
+        .select(id_col, _pack("__th").alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -179,8 +198,15 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash banding: split the 64-bit signature into
     4 16-bit bands; Hamming ≤ 3 implies at least one band is identical
     (pigeonhole), so a 4-way band self-join finds all such pairs without
-    a cross join. Verified with an exact popcount filter."""
-    sh = simhash64(df, id_col, text_col)
+    a cross join. Verified with an exact popcount filter.
+
+    The signature table is persisted: both sides of the band self-join
+    consume it, and without the persist each branch would re-run the
+    signature UDF over the full corpus (map-side work gets no
+    shuffle-stage reuse, unlike the old groupBy formulation)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = simhash64(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",

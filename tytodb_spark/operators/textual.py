@@ -56,9 +56,15 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     """Word n-gram shingles as an array<string> (space-joined).
     Returns an empty array when the document has fewer than n tokens."""
     t = tokens(col)
+    if n == 1:  # the generic n-gram assembly is pure overhead at n=1
+        return t
+    # n direct element lookups beat slice()+array_join(): no per-gram
+    # array allocation, and a ~3× smaller codegen unit (measured cold)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
     )
     return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
@@ -212,6 +218,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    broadcast_dfreq: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard — EXACT, with AllPairs prefix filtering.
 
@@ -228,10 +235,21 @@ def jaccard_pairs(
     Jaccard over the full shingle sets verifies each candidate.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``broadcast_dfreq``: the document-frequency table is one row per
+    DISTINCT shingle — vocabulary-sized, not corpus-sized — and
+    broadcasting it keeps `posts` on its existing __id partitioning, so
+    BOTH the df-annotate join and the per-doc rank window run without an
+    exchange (statically; AQE's late SMJ→BHJ conversion cannot remove
+    the already-planned window exchange). Pass False when the shingle
+    vocabulary itself is too big to broadcast (web-scale char-ngrams) —
+    the plan degrades to shuffle joins, which still scale.
     """
     shingled = shingle_table(df, id_col, text_col, n)
     posts = shingled.select("__id", "__n", F.explode("__sh").alias("__s"))
     dfreq = posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if broadcast_dfreq:
+        dfreq = F.broadcast(dfreq)
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = (
         posts.join(dfreq, "__s")
