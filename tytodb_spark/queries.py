@@ -1336,5 +1336,74 @@ def q52_udtf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_terms(spark, docs)
 
 
+@query(
+    "q55_bucketed_join",
+    """
+    SELECT c_mktsegment, cast(count(*) as bigint) AS n_orders,
+           round(sum(o_totalprice), 2) AS segment_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Bucketed co-located join: both sides written bucketed on the "
+    "join key (hash layout recorded in the catalog), so the join AND "
+    "the downstream per-key aggregate run with zero Exchange — the "
+    "100 TB fact-fact join strategy (pay the shuffle once at write "
+    "time); storage/bucketing.py, plan asserted in tests/"
+    "test_bucketing.py.",
+)
+def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.storage.bucketing import bucketed_join, write_bucketed
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    write_bucketed(orders, "q55_orders", "o_custkey", 8)
+    write_bucketed(customer, "q55_customer", "c_custkey", 8)
+    try:
+        joined = bucketed_join(
+            spark,
+            "q55_orders",
+            "q55_customer",
+            spark.table("q55_orders")["o_custkey"]
+            == spark.table("q55_customer")["c_custkey"],
+        )
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_value"),
+        )
+        rows = out.collect()  # materialize before the tables are dropped
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q55_orders")
+        spark.sql("DROP TABLE IF EXISTS q55_customer")
+
+
+@query(
+    "q56_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           cast(count(*) as bigint) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    doc="GROUPING SETS aggregation (the general form of q28 rollup / "
+    "q29 cube): three groupings in ONE pass — Spark expands the sets "
+    "map-side and aggregates once, instead of three scans + union.",
+)
+def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q56_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM q56_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
