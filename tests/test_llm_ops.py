@@ -220,6 +220,45 @@ def test_srp_ann_recall(spark, vecs):
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
 
 
+def test_ivf_ann_recall_and_determinism(spark, vecs):
+    exact = S.brute_force_knn(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", k=3
+    ).collect()
+    kwargs = dict(k=3, n_centroids=8, n_probe=4, seed=7)
+    approx = S.ivf_ann(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", **kwargs
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # probing half the cells of a tiny corpus should recover most true
+    # neighbors
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.6
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+    again = S.ivf_ann(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", **kwargs
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, approx), key=lambda t: t[:2]
+    )
+
+
+def test_ivf_probe_bounds_candidates(spark, vecs):
+    # n_probe=1 must retrieve a subset of what n_probe=all retrieves
+    few = S.ivf_ann(
+        vecs.filter(F.col("vec_id") < 3), vecs, "vec_id", "embedding",
+        k=50, n_centroids=8, n_probe=1, seed=7,
+    ).collect()
+    all_cells = S.ivf_ann(
+        vecs.filter(F.col("vec_id") < 3), vecs, "vec_id", "embedding",
+        k=50, n_centroids=8, n_probe=8, seed=7,
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in few} <= {
+        (r["query_id"], r["neighbor_id"]) for r in all_cells
+    }
+    assert len(few) < len(all_cells)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

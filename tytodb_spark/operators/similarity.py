@@ -2,7 +2,7 @@
 reference has no vector surface — its closest artifact is the BYTES
 payload types, src/alba_types.rs:290-294).
 
-Two paths:
+Three paths:
 
 - Brute-force cosine top-k — the exact baseline. Scored entirely with
   JVM expressions (`zip_with` + `aggregate` fold, no Python), then a
@@ -12,11 +12,16 @@ Two paths:
   form shuffles |queries|×k×partitions — the standard distributed
   top-k construction.
 
-- SRP-LSH (signed random projection) ANN — the scale path. Each vector
+- SRP-LSH (signed random projection) ANN — a scale path. Each vector
   gets `n_tables` b-bit signatures (sign of dot(v, random hyperplane));
   candidates are corpus vectors sharing any table's full signature with
   the query; candidates are scored exactly and top-k'd. Hyperplanes are
   generated from a fixed seed so plans are deterministic.
+
+- IVF (inverted-file) ANN — the other scale path. A sampled spherical
+  k-means coarse quantizer partitions the corpus into cells; queries
+  probe their n_probe nearest cells, bounding the scanned fraction at
+  ~n_probe/n_centroids of the corpus.
 """
 
 from __future__ import annotations
@@ -133,6 +138,112 @@ def srp_signatures(
         return pd.Series(list(buckets))
 
     return _sig(vec)
+
+
+def train_ivf_centroids(
+    corpus_df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 32,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means centroids from a corpus sample — the IVF coarse
+    quantizer. Training runs driver-side on a bounded sample (centroids
+    are index METADATA; |sample| and |centroids| are independent of
+    corpus size, which is what makes this the scale path), assignment of
+    the full corpus stays distributed in :func:`ivf_ann`.
+
+    Deterministic: seeded TABLESAMPLE-style `sample` + seeded init; all
+    vectors L2-normalized so argmax-dot == cosine assignment."""
+    total = corpus_df.count()
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    sample = (
+        corpus_df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    ).toPandas()
+    x = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_ann(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate nearest neighbors via an IVF (inverted-file) index —
+    the second ANN scale path next to SRP-LSH (:func:`srp_ann`).
+
+    1. Train a coarse quantizer (driver-side spherical k-means on a
+       bounded sample — index metadata, not data-scale work).
+    2. Assign every corpus vector to its nearest centroid cell: map-only
+       vectorized pandas UDF (one BLAS matmul per Arrow batch, centroids
+       ride along in the closure ≙ broadcast). At 100 TB this is the
+       only full-corpus pass, and it pipelines with the scan.
+    3. Each query probes its `n_probe` nearest cells; the candidate join
+       meets only probed cells — the scanned fraction is ~n_probe/
+       n_centroids of the corpus, the IVF pruning guarantee.
+    4. Exact cosine re-score + two-phase top-k, same as every ANN path.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — approximate (cell
+    recall depends on n_probe/n_centroids), hence rows-only checked.
+    """
+    cent = train_ivf_centroids(
+        corpus_df, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    n_probe = min(n_probe, len(cent))
+
+    @F.pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def _probe_cells(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = spread(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "neighbor_id",
+    ).withColumn("__cell", _cell("__cv"))
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    return topk_per_key(scored, "query_id", order, k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
 
 
 def srp_ann(

@@ -1181,6 +1181,28 @@ def q49_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q57_ann_ivf",
+    None,  # approximate retrieval set → rows-only check
+    doc="IVF approximate nearest neighbors: sampled spherical-k-means "
+    "coarse quantizer (driver-side metadata), map-only distributed cell "
+    "assignment (vectorized pandas UDF, centroids broadcast in the "
+    "closure), n_probe-cell candidate join (~n_probe/n_centroids of the "
+    "corpus scanned per query), exact re-score + two-phase top-k; "
+    "operators/similarity.py ivf_ann. NOTE the synthetic gaussian "
+    "fixture is IVF's adversarial case (no cluster structure), hence "
+    "the generous probe fraction; real embedding corpora probe ~10%.",
+)
+def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        k=3, n_centroids=16, n_probe=8,
+    )
+
+
+@query(
     "q50_multimodal_features",
     """
     SELECT doc_id,
