@@ -96,7 +96,12 @@ def salted_join(
     matching dim row exactly once — the dim copy with its salt)."""
     f = fact.withColumn("__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt)
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-    out = f.join(d, [key, "__salt"], how)
+    # shuffle_hash on the dim side pins the scale-correct physical plan: a
+    # shuffle hash join on (key, salt) building on the replicated dim. It
+    # also stops local-mode stats from "helpfully" broadcasting the FACT
+    # side (tiny in tests, 100 TB in production), which would make the
+    # demo plan the opposite of what ships.
+    out = f.join(d.hint("shuffle_hash"), [key, "__salt"], how)
     return out.drop("__salt")
 
 

@@ -1427,5 +1427,240 @@ def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q58_salted_skew_join",
+    f"""
+    SELECT d.descr AS flag_descr,
+           cast(count(*) as bigint) AS n_items,
+           cast(sum(cast(l_extendedprice as {DEC}) * (1 - cast(l_discount as {DEC}))) as double) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+         AS d(flag, descr)
+      ON l.l_returnflag = d.flag
+    GROUP BY 1
+    """,
+    doc="Salt-replicated skew join (operators/joins.py salted_join): "
+    "l_returnflag has 3 distinct values, so a plain shuffle join lands "
+    "~1/3 of a 100 TB fact table on THREE reducers; salting spreads each "
+    "hot key over `salt` tasks while dim replication stays |dim|×salt. "
+    "Result provably equals the plain join, which is what the oracle "
+    "checks.",
+)
+def q58_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "l_returnflag string, descr string",
+    )
+    return (
+        salted_join(li, dim, "l_returnflag", salt=16)
+        .groupBy(F.col("descr").alias("flag_descr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q59_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+           round(quantile_cont(l_quantity, 0.99), 2) AS p99_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact grouped percentiles (median/p90/p99) via Spark's sort-"
+    "based `percentile` — partial sketches merge map-side, one shuffle "
+    "of per-group state, no full sort of the fact table. Computed on "
+    "l_quantity (integral doubles) so linear interpolation is exact in "
+    "binary floating point and hash-comparable across engines.",
+)
+def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 2).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 2).alias("p90_qty"),
+        F.round(F.percentile("l_quantity", 0.99), 2).alias("p99_qty"),
+    )
+
+
+@query(
+    "q60_pivot",
+    f"""
+    SELECT n_name,
+           cast(sum(cast(o_totalprice as {DEC})) FILTER (WHERE o_orderstatus = 'O') as double) AS "O",
+           cast(sum(cast(o_totalprice as {DEC})) FILTER (WHERE o_orderstatus = 'F') as double) AS "F",
+           cast(sum(cast(o_totalprice as {DEC})) FILTER (WHERE o_orderstatus = 'P') as double) AS "P"
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Pivot (order value by nation × order status). Explicit pivot "
+    "value list ['O','F','P'] keeps the plan one-pass (no extra job to "
+    "discover values) and fixes the output schema — on 100 TB an "
+    "unlisted pivot would scan twice. Compiles to a single hash "
+    "aggregate with conditional sums, exactly the oracle's FILTER form.",
+)
+def q60_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"))
+    )
+
+
+@query(
+    "q61_full_outer_join",
+    f"""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name AS c_name,
+           o.n_orders AS n_orders,
+           o.big_spend AS big_spend
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+    FULL JOIN (SELECT o_custkey,
+                      cast(count(*) as bigint) AS n_orders,
+                      cast(sum(cast(o_totalprice as {DEC})) as double) AS big_spend
+               FROM orders WHERE o_totalprice > 150000
+               GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer join with unmatched rows on BOTH sides (rich "
+    "customers without big orders; big orders from non-rich customers). "
+    "Null-safe coalesced key; aggregate-before-join keeps the shuffled "
+    "right side one-row-per-customer instead of one-per-order.",
+)
+def q61_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("big_spend"),
+        )
+    )
+    joined = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "big_spend",
+    )
+
+
+@query(
+    "q62_tfidf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(cast(n_docs as double) / cast(df as double)), 6)
+               AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) as int) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (SURVEY §7 step 5). Whole plan "
+    "is built-in expressions: tokenize → (doc,term) count → vocab-sized "
+    "document-frequency join → in-plan broadcast of the corpus-count "
+    "scalar (no driver round-trip) → per-doc top-k window. The df join "
+    "keys on term, the same key the tf aggregation just shuffled on, so "
+    "no extra exchange of the big side.",
+)
+def q62_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+@query(
+    "q63_correlated_subquery",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE cast(o_totalprice as {DEC})
+          * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          > 1.5 * (SELECT sum(cast(o_totalprice as {DEC}))
+                   FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subqueries (orders 1.5× above their "
+    "customer's average): Catalyst decorrelates both into ONE "
+    "aggregate + join — .explain shows a single shuffle on o_custkey, "
+    "not a per-row re-scan (which at 100 TB would be O(n²) I/O). The "
+    "avg comparison is expressed count×price > 1.5×sum so every "
+    "operand stays decimal-exact across engines.",
+)
+def q63_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q63_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM q63_orders o
+        WHERE cast(o_totalprice as {DEC})
+              * (SELECT count(*) FROM q63_orders i
+                 WHERE i.o_custkey = o.o_custkey)
+              > 1.5 * (SELECT sum(cast(o_totalprice as {DEC}))
+                       FROM q63_orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
