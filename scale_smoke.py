@@ -1,0 +1,153 @@
+"""Scale-up smoke: run headline operators on k×-replicated inputs.
+
+`bench.py` answers "how fast at sf0.1"; this answers the question the
+100 TB target actually poses: does each plan's cost grow linearly in the
+data (and stay shuffle-shaped the way the operator docstring claims)
+when the input is 10-30× bigger than the test fixture? Replication is
+IN-PLAN (crossJoin with a broadcast range + key shifting) so nothing is
+written anywhere: the scan re-reads the same parquet k times, which also
+makes per-row costs dominate — exactly what a bigger cluster would see.
+
+Replication semantics per operator family:
+- relational/agg/window: keys shifted per replica → cardinalities grow
+  k×, group count grows k×, join fan-out stays 1:1 (no artificial k²).
+- dedup: replicas are EXACT duplicates of each other (ids shifted) —
+  the operator's job is to find them; group sizes grow k, groups stay
+  constant, so the hash-groupBy cost model is exercised honestly.
+- ANN: corpus grows k× with identical vectors under fresh ids; top-k
+  contains replica copies, which is fine for a throughput measurement.
+- pair-finding (MinHash/AllPairs): NOT scaled — replicating near-dup
+  documents multiplies the true pair count by k² (every copy of A pairs
+  with every copy of B), so runtime growth would measure the answer
+  size, not the algorithm. bench.py covers these at 1×.
+
+Usage: python scale_smoke.py [k]   (default 16; ~9.6M-row lineitem)
+Prints one JSON line: {"k": k, "ops": {name: {"sec": s, "rows": n}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tytodb_spark.catalog import load_tables
+
+DEC = "decimal(18,2)"
+SHIFT = 10_000_000  # key offset per replica; far above any fixture key
+
+
+def replicate(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
+    """k lazy copies with integer keys shifted per replica."""
+    spark = df.sparkSession
+    rep = F.broadcast(spark.range(k).select(F.col("id").alias("__rep")))
+    out = df.crossJoin(rep)
+    for c in key_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__rep") * F.lit(SHIFT))
+    return out.drop("__rep")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sf_dir = "/root/testdata/sf0.1"
+    from tytodb_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+
+    li = replicate(t["lineitem"], k, ["l_orderkey"])
+    orders = replicate(t["orders"], k, ["o_orderkey", "o_custkey"])
+    cust = replicate(t["customer"], k, ["c_custkey"])
+    docs = replicate(t["documents"], k, ["doc_id"])
+    emb = replicate(t["embeddings"], k, ["vec_id"])
+
+    ops: dict[str, tuple[DataFrame, str]] = {}
+
+    # hash aggregate over the fact table (partial agg map-side; the
+    # shuffle carries |groups| rows regardless of k)
+    ops["agg_pricing"] = (
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "fact-side partial agg; shuffle size independent of k",
+    )
+
+    # broadcast join: dim stays 1× (parts are shared across replicas)
+    ops["join_broadcast"] = (
+        li.join(F.broadcast(t["part"]), li.l_partkey == t["part"].p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "k× fact never shuffles; 1× dim ships once",
+    )
+
+    # shuffle join on a k×-growing key space (orders ⋈ customer)
+    ops["join_shuffle"] = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s")),
+        "both sides shuffle on the join key; k× rows, k× groups",
+    )
+
+    # per-group top-k window over k× groups of constant size
+    from tytodb_spark.operators.similarity import topk_per_key
+
+    ops["window_topk"] = (
+        topk_per_key(
+            orders,
+            "o_custkey",
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            3,
+        ),
+        "partition count grows k×, partition size constant",
+    )
+
+    # exact dedup: replicas are true duplicates; group size grows k
+    from tytodb_spark.operators.dedup import exact_dedup_groups
+
+    ops["dedup_exact"] = (
+        exact_dedup_groups(docs, "doc_id", "text"),
+        "one shuffle on content hash; k-sized groups",
+    )
+
+    # tf-idf: k× docs (duplicated corpus; df grows k×, vocab constant)
+    from tytodb_spark.queries import REGISTRY  # reuse the declared shape
+
+    from tytodb_spark.operators.textual import spread, tokens
+
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ops["text_tf"] = (tf, "tokenize+count at k×; shuffle on (doc,term)")
+
+    # ANN: brute-force k× corpus for 20 queries
+    from tytodb_spark.operators.similarity import brute_force_knn
+
+    ops["ann_brute"] = (
+        brute_force_knn(
+            t["embeddings"].filter(F.col("vec_id") < 20),
+            emb,
+            "vec_id",
+            "embedding",
+            k=10,
+        ),
+        "scan k× corpus once; two-phase top-k shuffles |q|·k·parts rows",
+    )
+
+    results: dict[str, dict[str, float | int]] = {}
+    for name, (df, note) in ops.items():
+        t0 = time.time()
+        n = df.count()
+        sec = round(time.time() - t0, 3)
+        results[name] = {"sec": sec, "rows": n}
+        print(f"# {name}: {sec}s rows={n} ({note})", file=sys.stderr)
+    print(json.dumps({"k": k, "sf": 0.1, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
