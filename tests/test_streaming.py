@@ -74,3 +74,63 @@ def test_session_windows_gap_semantics(spark):
     first = out[0]
     assert first["session_start"] == mins(0)
     assert first["session_end"] == mins(10 + 30)  # last event + gap
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from tytodb_spark.streaming import pipeline as P
+
+    events = load_tables(spark, sf_dir)["events"]
+    streamed = P.stream_stream_join(spark, events).collect()
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts")
+    )
+    batch = P.signup_error_pairs(s, e).collect()
+    key = lambda r: (r["user_id"], r["signup_us"], r["error_us"])
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) > 0
+
+
+def test_stream_dedup_matches_distinct(spark, sf_dir):
+    from tytodb_spark.streaming import pipeline as P
+
+    events = load_tables(spark, sf_dir)["events"]
+    got = P.stream_dedup_keys(spark, events).collect()
+    want = events.select("user_id", "event_type").distinct().collect()
+    key = lambda r: (r["user_id"], r["event_type"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # streaming dedup emitted each key exactly once
+    assert len(got) == len(set(map(key, got)))
+
+
+def test_stream_append_to_warehouse_idempotent(spark, sf_dir, tmp_path):
+    from tytodb_spark.storage.warehouse import Warehouse
+    from tytodb_spark.streaming import pipeline as P
+
+    events = load_tables(spark, sf_dir)["events"].limit(300)
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("sink", [("event_id", "BIGINT"), ("user_id", "BIGINT")])
+    exprs = ["event_id", "cast(user_id as bigint) AS user_id"]
+
+    n = P.stream_append_to_warehouse(
+        spark, wh, "sink", src, events.schema, exprs,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    assert n >= 1
+    assert wh.read_committed("sink").count() == 300
+
+    # a fresh run over the same data with a NEW checkpoint replays every
+    # batch; the persisted batch marker must make the replay a no-op
+    # (batch ids restart at 0 <= last committed id)
+    n2 = P.stream_append_to_warehouse(
+        spark, wh, "sink", src, events.schema, exprs,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert n2 == 0
+    assert wh.read_committed("sink").count() == 300

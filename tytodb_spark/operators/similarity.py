@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from tytodb_spark.operators.dedup import cosine
+from tytodb_spark.operators.dedup import dot
 from tytodb_spark.operators.textual import spread
 
 
@@ -70,19 +70,28 @@ def brute_force_knn(
     Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
     deterministic tie-break on neighbor_id.
     """
+    # norms hoisted to the per-ROW side of the join: 2N folds once
+    # instead of 2·|pairs| (the cross dot is the only per-pair fold)
     q = queries_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
     c = spread(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         ),
         "neighbor_id",
-    )
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
     return topk_per_key(scored, "query_id", order, k).select(
@@ -224,21 +233,33 @@ def ivf_ann(
         order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
-    c = spread(
-        corpus_df.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-        ),
-        "neighbor_id",
-    ).withColumn("__cell", _cell("__cv"))
+    c = (
+        spread(
+            corpus_df.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
+        .withColumn("__cell", _cell("__cv"))
+    )
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__qn"),
         F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
     )
     scored = (
         c.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
     return topk_per_key(scored, "query_id", order, k).select(
@@ -274,11 +295,15 @@ def srp_ann(
         with_sig = df.select(
             F.col(id_col).alias(idn),
             F.col(vec_col).alias(f"__{idn}_v"),
+            # norm once per VECTOR (below the posexplode Generate
+            # boundary), reused by every candidate pair downstream
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias(f"__{idn}_n"),
             srp_signatures(F.col(vec_col), dim, bits, tables, seed).alias("__sigs"),
         )
         return with_sig.select(
             idn,
             f"__{idn}_v",
+            f"__{idn}_n",
             F.posexplode("__sigs").alias("table", "bucket"),
         )
 
@@ -287,11 +312,19 @@ def srp_ann(
     candidates = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .select(
+            "query_id", "__query_id_v", "__query_id_n",
+            "neighbor_id", "__neighbor_id_v", "__neighbor_id_n",
+        )
         .distinct()
     )
     scored = candidates.withColumn(
-        "cos_sim", F.round(cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")), 6)
+        "cos_sim",
+        F.round(
+            dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+            / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
+            6,
+        ),
     )
     order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
     return topk_per_key(scored, "query_id", order, k).select(

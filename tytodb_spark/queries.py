@@ -1662,5 +1662,106 @@ def q63_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q64_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_events,
+           cast(max(gap_us) as bigint) AS max_gap_us,
+           cast(sum(gap_us) as bigint) AS sum_gap_us
+    FROM g GROUP BY user_id
+    """,
+    doc="lag()-based inter-event gap analysis per user: one shuffle on "
+    "user_id serves BOTH the window and the downstream aggregate (same "
+    "key → Catalyst reuses the partitioning, .explain shows a single "
+    "exchange). Gaps are exact integer microseconds; ordering uses "
+    "µs-truncated epoch + event_id so both engines sort identically "
+    "despite DuckDB seeing the parquet's nanosecond precision.",
+)
+def q64_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    g = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
+@query(
+    "q65_ntile_deciles",
+    """
+    SELECT c_custkey, c_nationkey,
+           cast(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) as int)
+             AS balance_quartile
+    FROM customer
+    """,
+    doc="Partitioned ntile() quartiles of customer balance WITHIN each "
+    "nation — the scale-sane form: a global ntile would force one "
+    "sorted partition (driver-sized), per-nation ntile shuffles once on "
+    "nationkey and sorts locally. Unique (acctbal, custkey) ordering "
+    "makes bucket boundaries deterministic across engines.",
+)
+def q65_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+@query(
+    "q66_stream_stream_join",
+    """
+    SELECT s.user_id AS user_id,
+           epoch_us(s.ts) AS signup_us,
+           epoch_us(e.ts) AS error_us
+    FROM events s JOIN events e
+      ON s.user_id = e.user_id
+     AND epoch_us(e.ts) >= epoch_us(s.ts)
+     AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+    WHERE s.event_type = 'signup' AND e.event_type = 'error'
+    """,
+    doc="Stream-stream inner join (errors within 1 h of a signup, per "
+    "user) run as a REAL streaming job: two watermarked readStreams, "
+    "event-time range constraint bounding the join state (without it "
+    "stream-stream state grows without limit), availableNow drain. The "
+    "oracle compares at microsecond precision on both engines "
+    "(streaming/pipeline.py).",
+)
+def q66_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_stream_join
+
+    return stream_stream_join(spark, _t(spark, sf_dir, "events"))
+
+
+@query(
+    "q67_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication via dropDuplicatesWithinWatermark — "
+    "first occurrence per (user, event_type); state is one entry per "
+    "live key and is expired by the watermark, so it runs unbounded. "
+    "Key-only projection makes the drained output deterministic "
+    "(= batch DISTINCT, which is the oracle).",
+)
+def q67_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_dedup_keys
+
+    return stream_dedup_keys(spark, _t(spark, sf_dir, "events"))
+
+
 def names() -> list[str]:
     return list(REGISTRY)

@@ -304,6 +304,23 @@ class Warehouse:
         for n in names:
             self._state[n].ops.clear()
 
+    def append_df(self, name: str, df: DataFrame) -> int:
+        """Commit `committed ∪ df` as a new snapshot version in one step
+        (the bulk-append path streaming sinks use — no per-row staging).
+        Columns are matched by name against the table schema. Returns the
+        new version."""
+        if name not in self._state:
+            raise ValueError(f"no such container {name!r}")
+        if self._state[name].ops:
+            raise RuntimeError(f"{name!r} has staged ops; COMMIT or ROLLBACK first")
+        cols = [c for c, _ in self._state[name].schema]
+        batch = df.select(
+            *[F.col(c).cast(self.spark_schema(name)[c].dataType) for c in cols]
+        )
+        version = self._current_version(name) + 1
+        self._write_snapshot(name, self.read_committed(name).unionByName(batch), version)
+        return version
+
     # -- maintenance ---------------------------------------------------------
     _TARGET_FILE_BYTES = 128 << 20
 

@@ -1,0 +1,164 @@
+"""Streaming pipeline shapes beyond windowed aggregation: stream-stream
+joins, streaming deduplication, and a foreachBatch sink into the
+snapshot warehouse.
+
+The reference has no streaming (SURVEY §2.6); these are the
+BASELINE.json extension surface in the standard Structured Streaming
+idiom. Every function drains a bounded input with availableNow so the
+result is deterministic and the batch twin / DuckDB oracle can check it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tytodb_spark.storage.warehouse import Warehouse
+
+
+def _drain(stream_df: DataFrame, staging: str, mode: str) -> DataFrame:
+    """availableNow → memory sink; returns the sink table (driver-backed,
+    safe to use after the staging dir is deleted)."""
+    name = f"tyto_pipe_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(staging, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def signup_error_pairs(signups: DataFrame, errors: DataFrame) -> DataFrame:
+    """The shared (batch == streaming) join expression: every error a
+    user hits within one hour of a signup event. Event-time range
+    constraint on both sides — in streaming this bounds join state; in
+    batch Catalyst runs it as an equi-join on user with a range residual.
+    """
+    return signups.join(
+        errors,
+        F.expr(
+            """
+            s_user = e_user AND
+            error_ts >= signup_ts AND
+            error_ts <= signup_ts + interval 1 hour
+            """
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("error_ts").alias("error_us"),
+    )
+
+
+def stream_stream_join(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides: signups ⋈
+    errors within 1 hour, per user. The event-time range condition plus
+    the two watermarks let Spark expire join state (without them,
+    stream-stream state grows forever — the 100 TB failure mode).
+    Bounded drain makes the output equal the batch twin."""
+    staging = tempfile.mkdtemp(prefix="tyto_ssj_")
+    try:
+        events.write.mode("overwrite").parquet(f"{staging}/in")
+
+        def side(event_type: str, user: str, ts: str) -> DataFrame:
+            return (
+                spark.readStream.schema(events.schema)
+                .parquet(f"{staging}/in")
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(user), F.col("ts").alias(ts)
+                )
+                .withWatermark(ts, "24 hours")
+            )
+
+        joined = signup_error_pairs(
+            side("signup", "s_user", "signup_ts"),
+            side("error", "e_user", "error_ts"),
+        )
+        return _drain(joined, staging, "append")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_dedup_keys(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Streaming deduplication: first occurrence per (user_id,
+    event_type) via dropDuplicatesWithinWatermark — the streaming form
+    of exact dedup (state = one key per group, expired by watermark;
+    unbounded-safe). Emitting only the KEY columns makes the drained
+    output deterministic (which physical row survives is arrival-order
+    dependent; the key set is not)."""
+    staging = tempfile.mkdtemp(prefix="tyto_sdedup_")
+    try:
+        events.write.mode("overwrite").parquet(f"{staging}/in")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .parquet(f"{staging}/in")
+            .withWatermark("ts", "24 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        return _drain(stream, staging, "append")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_append_to_warehouse(
+    spark: SparkSession,
+    wh: Warehouse,
+    table: str,
+    source_dir: str,
+    schema,
+    select_exprs: list[str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """foreachBatch sink into a snapshot-warehouse table with
+    exactly-once batch idempotence: the last committed batchId is
+    persisted next to the table; a replayed micro-batch (foreachBatch is
+    at-least-once on restart) is skipped instead of double-appended.
+    Returns the number of batches committed this run."""
+    marker = os.path.join(wh.root, table, "_stream_batch.json")
+
+    def last_done() -> int:
+        try:
+            with open(marker) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    committed = 0
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal committed
+        if batch_id <= last_done():
+            return  # replay of an already-committed batch
+        wh.append_df(table, batch_df.selectExpr(*select_exprs))
+        tmp = marker + f".tmp_{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.rename(tmp, marker)
+        committed += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed
