@@ -85,3 +85,32 @@ def test_plan_report_shape(spark, sf_dir):
         "take_ordered",
         "codegen_stages",
     }
+
+
+def test_salted_join_is_shuffle_hash(spark, sf_dir):
+    # the whole point of salting: the plan must be a shuffle hash join
+    # on (key, salt) — not a broadcast of either side (local-mode stats
+    # would otherwise broadcast the tiny test fact and hide the shape)
+    plan = P.physical_plan(_df(spark, sf_dir, "q58_salted_skew_join"))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    # both correlated scalar subqueries must rewrite to aggregate+join
+    # (2 bounded shuffles per subquery pre-AQE), never a nested-loop
+    # per-row re-scan
+    df = _df(spark, sf_dir, "q63_correlated_subquery")
+    plan = P.physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert P.num_shuffles(df) <= 4
+
+
+def test_event_gaps_single_shuffle(spark, sf_dir):
+    # window and downstream aggregate share the user_id partitioning
+    assert P.num_shuffles(_df(spark, sf_dir, "q64_event_gaps")) == 1
+
+
+def test_pivot_single_pass(spark, sf_dir):
+    # explicit pivot values -> no value-discovery job; dims broadcast
+    df = _df(spark, sf_dir, "q60_pivot")
+    assert P.num_broadcast_joins(df) >= 2

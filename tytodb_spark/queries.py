@@ -1763,5 +1763,129 @@ def q67_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_keys(spark, _t(spark, sf_dir, "events"))
 
 
+@query(
+    "q68_stratified_sample",
+    """
+    SELECT doc_id, lang, cast(rn as int) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(cast(doc_id as varchar)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc="Deterministic stratified sampling: n-per-stratum by md5(id) "
+    "order — a seeded sample both engines reproduce bit-for-bit "
+    "(`TABLESAMPLE`/`sample()` RNGs don't cross engines). One shuffle "
+    "on the stratum key; per-stratum top-n via the same two-phase "
+    "window as top-k, so no stratum ever sorts more than its own rows. "
+    "The training-data use: balanced per-language corpus draws.",
+)
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@query(
+    "q69_dataset_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef',
+                     substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(cast(doc_id as varchar)), 32, 1)) - 1
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           cast(count(*) as bigint) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM h GROUP BY 1
+    """,
+    doc="Hash-based train/val/test split (~80/10/10): bucket = last md5 "
+    "byte of the id — deterministic, engine-portable (hex-digit lookup, "
+    "no engine RNG), stable under reshuffling and incremental ingest "
+    "(a doc's split never depends on other docs). Map-only until the "
+    "tiny count aggregate.",
+)
+def q69_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(hexd), F.substring(md5, 31, 1)) - 1) * 16 + (
+        F.instr(F.lit(hexd), F.substring(md5, 32, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def _q70_oracle() -> str:
+    return rf"""
+    WITH lang AS ({_q46_oracle()}),
+         qual AS ({_q47_oracle()}),
+         ck AS (SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                         AS k
+                FROM documents),
+         surv AS (SELECT min(doc_id) AS keep_id FROM ck GROUP BY k)
+    SELECT l.doc_id AS doc_id, l.lang_pred AS lang_pred, q.quality AS quality
+    FROM lang l JOIN qual q ON l.doc_id = q.doc_id
+    WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+      AND l.doc_id IN (SELECT keep_id FROM surv)
+    """
+
+
+@query(
+    "q70_corpus_clean",
+    None,  # oracle composed below from the q46/q47 oracle CTEs
+    doc="The composed C4-style cleaning pipeline: language-ID gate "
+    "(en) + quality-score gate (≥0.5) + exact-dedup survivorship, in "
+    "ONE declarative plan — Catalyst fuses the three gates into a "
+    "single scan of documents plus one content-hash shuffle for "
+    "survivorship (the per-doc gates are map-side; .explain shows no "
+    "extra exchange for them). This is the shape a 100 TB pretraining "
+    "clean runs as.",
+)
+def q70_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import exact_dedup_groups
+    from tytodb_spark.operators.textual import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    gated = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    return gated.join(survivors, "doc_id", "left_semi")
+
+
+REGISTRY["q70_corpus_clean"] = QueryDef(
+    fn=REGISTRY["q70_corpus_clean"].fn,
+    oracle=_q70_oracle(),
+    doc=REGISTRY["q70_corpus_clean"].doc,
+)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
