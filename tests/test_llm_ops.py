@@ -304,3 +304,26 @@ def test_approx_distinct_within_rsd(spark, oracle_sf_dir):
     for r in rows:
         rel_err = abs(r["approx_custs"] - r["exact_custs"]) / max(r["exact_custs"], 1)
         assert rel_err < 0.05, f"{r['o_orderpriority']}: rel_err {rel_err}"
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_merges_chains(spark):
+    from tytodb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["vertex"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

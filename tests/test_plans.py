@@ -114,3 +114,10 @@ def test_pivot_single_pass(spark, sf_dir):
     # explicit pivot values -> no value-discovery job; dims broadcast
     df = _df(spark, sf_dir, "q60_pivot")
     assert P.num_broadcast_joins(df) >= 2
+
+
+def test_corpus_clean_bounded_shuffles(spark, sf_dir):
+    # per-doc gates are map-side; only the dedup content-hash agg and
+    # the survivor join shuffle
+    df = _df(spark, sf_dir, "q70_corpus_clean")
+    assert P.num_shuffles(df) <= 3

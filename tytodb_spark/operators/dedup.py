@@ -305,3 +305,92 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs_df: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of the (undirected) pair graph by iterative
+    min-label propagation — the step near-dup DEDUP actually needs after
+    pair finding: "keep one doc per duplicate CLUSTER", not per pair
+    (A~B, B~C must collapse A,B,C together even when A≁C directly).
+
+    Each iteration is one shuffle round: every vertex takes the min of
+    its own label and its neighbors' labels. Iterations needed = graph
+    diameter; near-dup clusters are small and dense, so a handful. The
+    loop is driver-side CONTROL only (a convergence counter — no data
+    ever reaches the driver); per-iteration lineage is cut with
+    localCheckpoint so the plan doesn't grow exponentially. This is the
+    standard MapReduce-CC construction (cf. the large-star/small-star
+    refinement for web-scale graphs).
+
+    Output: (vertex, component) — component = min vertex id reachable.
+    """
+    edges = (
+        pairs_df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            pairs_df.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.vertex)
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram Jaccard pairs
+    (AllPairs prefix filter) → connected components → one cluster id
+    (min doc id) per document that has at least one near-duplicate."""
+    from tytodb_spark.operators.textual import jaccard_pairs
+
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
+    )

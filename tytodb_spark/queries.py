@@ -1887,5 +1887,49 @@ REGISTRY["q70_corpus_clean"] = QueryDef(
 )
 
 
+def _q71_oracle() -> str:
+    pairs_sql = REGISTRY["q41_jaccard_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """
+
+
+@query(
+    "q71_near_dup_clusters",
+    None,  # oracle composed below (recursive closure over the q41 pairs)
+    doc="Near-dup CLUSTERING: pair finding alone can't dedup (A~B, B~C "
+    "must collapse {A,B,C} even when A≁C) — connected components over "
+    "the pair graph via iterative min-label propagation: one shuffle "
+    "round per iteration (graph diameter ≈ a handful for near-dup "
+    "clusters), driver sees only a convergence flag, lineage cut per "
+    "round with localCheckpoint. The MapReduce-CC construction that "
+    "web-scale dedup (large-star/small-star) refines. Oracle: DuckDB "
+    "recursive-CTE transitive closure over the same exact-Jaccard "
+    "pairs; operators/dedup.py connected_components.",
+)
+def q71_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+REGISTRY["q71_near_dup_clusters"] = QueryDef(
+    fn=REGISTRY["q71_near_dup_clusters"].fn,
+    oracle=_q71_oracle(),
+    doc=REGISTRY["q71_near_dup_clusters"].doc,
+)
+
+
 def names() -> list[str]:
     return list(REGISTRY)

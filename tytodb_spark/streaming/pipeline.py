@@ -68,11 +68,21 @@ def stream_stream_join(spark: SparkSession, events: DataFrame) -> DataFrame:
     Bounded drain makes the output equal the batch twin."""
     staging = tempfile.mkdtemp(prefix="tyto_ssj_")
     try:
-        events.write.mode("overwrite").parquet(f"{staging}/in")
+        # stage only the join-relevant rows and columns (the filter +
+        # projection belong below the stream source, same as predicate
+        # pushdown in batch), in a handful of files — each staged file
+        # is a unit of micro-batch planning overhead
+        relevant = (
+            events.filter(F.col("event_type").isin("signup", "error"))
+            .select("user_id", "event_type", "ts")
+            .repartition(4)
+        )
+        relevant.write.mode("overwrite").parquet(f"{staging}/in")
+        staged_schema = relevant.schema
 
         def side(event_type: str, user: str, ts: str) -> DataFrame:
             return (
-                spark.readStream.schema(events.schema)
+                spark.readStream.schema(staged_schema)
                 .parquet(f"{staging}/in")
                 .filter(F.col("event_type") == event_type)
                 .select(

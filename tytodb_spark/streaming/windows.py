@@ -50,7 +50,8 @@ def stream_window_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="tyto_stream_")
     name = f"tyto_stream_{uuid.uuid4().hex[:12]}"
     try:
-        events.write.mode("overwrite").parquet(f"{staging}/in")
+        # few staged files: each file is micro-batch planning overhead
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
         stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
         q = (
             windowed_counts(stream)
@@ -79,7 +80,8 @@ def late_data_window_counts(
     staging = tempfile.mkdtemp(prefix="tyto_stream_wm_")
     name = f"tyto_wm_{uuid.uuid4().hex[:12]}"
     try:
-        events.write.mode("overwrite").parquet(f"{staging}/in")
+        # few staged files: each file is micro-batch planning overhead
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
         stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
         agg = windowed_counts(stream.withWatermark("ts", watermark))
         q = (
