@@ -383,13 +383,24 @@ def near_dup_clusters(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "lsh",
 ) -> DataFrame:
-    """End-to-end near-dup clustering: exact n-gram Jaccard pairs
-    (AllPairs prefix filter) → connected components → one cluster id
-    (min doc id) per document that has at least one near-duplicate."""
-    from tytodb_spark.operators.textual import jaccard_pairs
+    """End-to-end near-dup clustering: near-dup pairs → connected
+    components → one cluster id (min doc id) per document that has at
+    least one near-duplicate.
 
-    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    ``method="lsh"`` (default) finds pairs with MinHash-LSH banding +
+    exact verify — the 100 TB path (candidate generation never goes
+    O(N²) even without a prefix-filterable threshold). ``"exact"`` uses
+    the AllPairs prefix filter; both verify candidates with exact
+    Jaccard, so at r=4/b=16 and t=0.5 their pair sets coincide (LSH
+    miss probability for a qualifying pair is ≤(1-t^r)^b ≈ 3e-8)."""
+    if method == "lsh":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, shingle_n=n, threshold=threshold)
+    else:
+        from tytodb_spark.operators.textual import jaccard_pairs
+
+        pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
