@@ -1933,5 +1933,56 @@ REGISTRY["q71_near_dup_clusters"] = QueryDef(
 )
 
 
+def _q72_oracle() -> str:
+    pairs_sql = REGISTRY["q41_jaccard_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    dropped AS (
+        SELECT a AS doc_id FROM reach GROUP BY a
+        HAVING least(a, min(b)) <> a
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    """
+
+
+@query(
+    "q72_dedup_canonical",
+    None,  # oracle composed below (recursive closure over the q41 pairs)
+    doc="End-to-end corpus DEDUP: keep one canonical document per "
+    "near-dup cluster (the min doc id) plus every singleton. Clusters "
+    "come from q71's LSH→verify→connected-components path; the kept "
+    "set is `corpus ANTI JOIN {docs whose cluster_id != doc_id}`. At "
+    "100 TB the dropped set is a small fraction of the corpus, so the "
+    "anti join broadcasts (AQE converts it at runtime from the "
+    "cluster-side size estimate) — the full corpus is never shuffled. "
+    "Oracle: recursive-CTE closure minus non-canonical members.",
+)
+def q72_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.5)
+    dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+REGISTRY["q72_dedup_canonical"] = QueryDef(
+    fn=REGISTRY["q72_dedup_canonical"].fn,
+    oracle=_q72_oracle(),
+    doc=REGISTRY["q72_dedup_canonical"].doc,
+)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
