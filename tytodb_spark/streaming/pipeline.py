@@ -20,21 +20,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tytodb_spark.storage.warehouse import Warehouse
+from tytodb_spark.streaming.state import pinned_state_partitions
 
 
-def _drain(stream_df: DataFrame, staging: str, mode: str) -> DataFrame:
+def _drain(
+    stream_df: DataFrame,
+    staging: str,
+    mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """availableNow → memory sink; returns the sink table (driver-backed,
     safe to use after the staging dir is deleted)."""
     name = f"tyto_pipe_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", os.path.join(staging, f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(stream_df.sparkSession, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(staging, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -60,12 +67,22 @@ def signup_error_pairs(signups: DataFrame, errors: DataFrame) -> DataFrame:
     )
 
 
-def stream_stream_join(spark: SparkSession, events: DataFrame) -> DataFrame:
+def stream_stream_join(
+    spark: SparkSession,
+    events: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
     """Stream-stream inner join with watermarks on both sides: signups ⋈
     errors within 1 hour, per user. The event-time range condition plus
     the two watermarks let Spark expire join state (without them,
     stream-stream state grows forever — the 100 TB failure mode).
-    Bounded drain makes the output equal the batch twin."""
+    Bounded drain makes the output equal the batch twin.
+
+    ``state_partitions``: stream-stream join keeps FOUR state stores per
+    partition (left/right × keyed/key-to-value), so per-partition
+    checkpoint overhead is the worst of any operator here — see
+    streaming/state.py; default sized for bounded test drains, pass
+    None on a real cluster to inherit session parallelism."""
     staging = tempfile.mkdtemp(prefix="tyto_ssj_")
     try:
         # stage only the join-relevant rows and columns (the filter +
@@ -95,12 +112,16 @@ def stream_stream_join(spark: SparkSession, events: DataFrame) -> DataFrame:
             side("signup", "s_user", "signup_ts"),
             side("error", "e_user", "error_ts"),
         )
-        return _drain(joined, staging, "append")
+        return _drain(joined, staging, "append", state_partitions)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def stream_dedup_keys(spark: SparkSession, events: DataFrame) -> DataFrame:
+def stream_dedup_keys(
+    spark: SparkSession,
+    events: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
     """Streaming deduplication: first occurrence per (user_id,
     event_type) via dropDuplicatesWithinWatermark — the streaming form
     of exact dedup (state = one key per group, expired by watermark;
@@ -117,7 +138,7 @@ def stream_dedup_keys(spark: SparkSession, events: DataFrame) -> DataFrame:
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
-        return _drain(stream, staging, "append")
+        return _drain(stream, staging, "append", state_partitions)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

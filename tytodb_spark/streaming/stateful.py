@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from tytodb_spark.streaming.state import pinned_state_partitions
+
 ANOMALY_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -80,6 +82,7 @@ def anomalies_stateful(
     events: DataFrame,
     factor: float = 3.0,
     min_history: int = 5,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the anomaly state machine as a real Structured Streaming job
     (file source → applyInPandasWithState → memory sink, availableNow)
@@ -104,15 +107,19 @@ def anomalies_stateful(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            flagged.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{staging}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state_partitions also sets the Arrow/Python worker fan-out of
+        # applyInPandasWithState — kept a bit higher than the pure-JVM
+        # drains so the pandas work still parallelizes (state.py).
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                flagged.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

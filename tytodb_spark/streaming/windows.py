@@ -21,6 +21,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tytodb_spark.streaming.state import pinned_state_partitions
+
 DEC = "decimal(18,2)"
 
 
@@ -41,11 +43,18 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_window_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
+def stream_window_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
     """Run the windowed aggregation as a real streaming job: stage the
     input as parquet, readStream it back, drain with availableNow into
     a memory sink (complete mode — every window emitted), and return
     the sink table. Deterministic: equals the batch `windowed_counts`.
+
+    ``state_partitions``: see streaming/state.py — default sized for
+    bounded test drains; pass None on a real cluster to inherit.
     """
     staging = tempfile.mkdtemp(prefix="tyto_stream_")
     name = f"tyto_stream_{uuid.uuid4().hex[:12]}"
@@ -53,16 +62,17 @@ def stream_window_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
         # few staged files: each file is micro-batch planning overhead
         events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
         stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
-        q = (
-            windowed_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{staging}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                windowed_counts(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # memory-sink rows live on the driver; safe to drop the staging dir
         return spark.table(name)
     finally:
@@ -70,7 +80,10 @@ def stream_window_counts(spark: SparkSession, events: DataFrame) -> DataFrame:
 
 
 def late_data_window_counts(
-    spark: SparkSession, events: DataFrame, watermark: str = "2 hours"
+    spark: SparkSession,
+    events: DataFrame,
+    watermark: str = "2 hours",
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Append-mode variant with a watermark: only windows the watermark
     has passed are emitted (the late-data-bound shape you would run
@@ -84,15 +97,16 @@ def late_data_window_counts(
         events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
         stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
         agg = windowed_counts(stream.withWatermark("ts", watermark))
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{staging}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
