@@ -121,3 +121,27 @@ def test_corpus_clean_bounded_shuffles(spark, sf_dir):
     # the survivor join shuffle
     df = _df(spark, sf_dir, "q70_corpus_clean")
     assert P.num_shuffles(df) <= 3
+
+
+def test_top_terms_distributed_topk(spark, sf_dir):
+    # explode is map-side; one exchange for the term count; the global
+    # top-20 is TakeOrderedAndProject over partial top-k's, never a
+    # full sort of the term dictionary
+    df = _df(spark, sf_dir, "q73_top_terms")
+    assert P.has_take_ordered(df)
+    assert P.num_shuffles(df) == 1
+
+
+def test_range_frame_window_single_shuffle(spark, sf_dir):
+    # the RANGE frame evaluates in one ordered pass per customer
+    # partition — exactly the o_custkey exchange, nothing else
+    assert P.num_shuffles(_df(spark, sf_dir, "q74_range_frame_window")) == 1
+
+
+def test_time_rollup_reuses_partials(spark, sf_dir):
+    # day grain must re-aggregate the hourly partials through the
+    # cache, not rescan events. The hourly exchange prints once per
+    # union branch (same cached segment), so: 2× hourly + 1 day re-agg.
+    df = _df(spark, sf_dir, "q76_time_rollup")
+    assert "InMemoryTableScan" in P.physical_plan(df)
+    assert P.num_shuffles(df) <= 3

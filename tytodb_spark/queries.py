@@ -1984,5 +1984,187 @@ REGISTRY["q72_dedup_canonical"] = QueryDef(
 )
 
 
+@query(
+    "q73_top_terms",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    )
+    SELECT term, cast(count(*) AS bigint) AS n
+    FROM toks WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+    doc="Corpus-wide top-k frequent terms (the word-count of LLM corpus "
+    "statistics): explode whitespace tokens, count, take the global top "
+    "20. Scale shape: the explode is map-side only; the count is a "
+    "partial-agg shuffle on term (map-side combine collapses the heavy "
+    "head before the exchange); the final top-k is TakeOrderedAndProject "
+    "over 32 partial top-k's — no global sort of the term dictionary. "
+    "Ties broken by term so the limit is deterministic.",
+)
+def q73_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q74_range_frame_window",
+    f"""
+    SELECT o_custkey, o_orderkey, day,
+           cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS DOUBLE) AS spend_30d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               cast(datediff('day', TIMESTAMP '1992-01-01 00:00:00',
+                             o_orderdate) AS bigint) AS day
+        FROM orders
+    )
+    """,
+    doc="RANGE-frame window (value-based frame, not row-based): per "
+    "customer, 30-day rolling spend ordered by order day. RANGE frames "
+    "include all peers of the boundary values, so the result is "
+    "deterministic under ties without a unique sort key. One shuffle on "
+    "o_custkey; the frame scan is a single ordered pass per partition "
+    "(Spark WindowExec keeps a sliding aggregate — no O(n·frame) "
+    "recompute). DECIMAL accumulator keeps the rolling sum "
+    "order-independent bit-exact vs the oracle.",
+)
+def q74_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+        "bigint"
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, W.currentRow)
+    )
+    return orders.withColumn("day", day).select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast(DEC)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@query(
+    "q75_json_roundtrip",
+    f"""
+    SELECT event_type, cast(count(*) AS bigint) AS n_events,
+           cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON source/sink roundtrip (sources/io.py): events written as "
+    "line-delimited JSON (the interchange format of most LLM corpus "
+    "pipelines), read back with an explicit schema (no inference pass "
+    "at scale — schema-on-read is a full extra scan on 100 TB), then "
+    "aggregated. Oracle computes the same aggregate from the original "
+    "parquet — the assertion is that the JSON hop is lossless for the "
+    "grouped measures. Doubles survive via Jackson shortest-roundtrip "
+    "encoding; the DECIMAL accumulator removes summation-order variance.",
+)
+def q75_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.sources import io as IO
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="tyto_json_")
+    try:
+        path = f"{tmp}/events.json"
+        IO.write_table(ev, path, "json")
+        back = IO.read_table(spark, path, "json", schema=ev.schema)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias(
+                "total_value"
+            ),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q76_time_rollup",
+    f"""
+    WITH hourly AS (
+        SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               date_trunc('hour', ts) AS hour,
+               cast(count(*) AS bigint) AS n_events,
+               cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, hour, 'hour' AS grain, n_events,
+           cast(v AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT day, cast(NULL AS TIMESTAMP) AS hour, 'day' AS grain,
+           cast(sum(n_events) AS bigint) AS n_events,
+           cast(cast(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM hourly GROUP BY day
+    """,
+    doc="Hypertable-style multi-granularity time rollup (continuous-"
+    "aggregate cascade): bucket events to the hour, then derive the "
+    "daily rollup FROM THE HOURLY PARTIALS rather than rescanning the "
+    "raw table — at 100 TB the raw scan happens once and the coarser "
+    "grain aggregates ~3 orders of magnitude fewer rows. The hourly "
+    "aggregate shuffles on (day, hour); the day re-aggregate reuses "
+    "that tiny intermediate (cached here; a real deployment would "
+    "persist it as the continuous-aggregate table).",
+)
+def q76_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("v"),
+        )
+        .cache()  # partials reused by the coarser grain
+    )
+    hour_grain = hourly.select(
+        "day",
+        "hour",
+        F.lit("hour").alias("grain"),
+        "n_events",
+        F.col("v").cast("double").alias("total_value"),
+    )
+    day_grain = hourly.groupBy("day").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("v").cast(DEC).alias("v"),
+    ).select(
+        "day",
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.lit("day").alias("grain"),
+        "n_events",
+        F.col("v").cast("double").alias("total_value"),
+    )
+    return hour_grain.unionByName(day_grain)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
