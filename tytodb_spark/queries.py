@@ -2166,5 +2166,102 @@ def q76_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour_grain.unionByName(day_grain)
 
 
+@query(
+    "q77_partition_pruning",
+    f"""
+    SELECT event_type, cast(count(*) AS bigint) AS n_events,
+           cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    doc="Hive-partitioned layout + partition pruning "
+    "(storage/layout.py write_partitioned): events rewritten "
+    "partitionBy(event_type), then read with a partition filter. The "
+    "filter resolves at file-listing time — pruned partitions' files "
+    "are never opened (PartitionFilters in the scan node, asserted in "
+    "tests/test_layout.py). At 100 TB this turns a cluster-wide scan "
+    "into a directory listing; the reference's single first-column "
+    "range index (src/indexing.rs:33-40) has no analogue for "
+    "categorical columns. Oracle computes the same aggregate over the "
+    "unpartitioned source — the layout hop must be lossless.",
+)
+def q77_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.storage.layout import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="tyto_part_")
+    try:
+        path = f"{tmp}/events_by_type"
+        write_partitioned(ev, path, ["event_type"])
+        back = spark.read.parquet(path)
+        out = (
+            back.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast(DEC).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q78_zorder_box",
+    """
+    SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+      AND l_partkey BETWEEN 200 AND 400
+    """,
+    doc="Z-order clustered layout (storage/layout.py write_zordered): "
+    "lineitem rewritten clustered on the Morton interleave of "
+    "(l_orderkey, l_partkey), then a 2-D box predicate aggregates over "
+    "it. Every file covers a small 2-D box of the key space, so "
+    "parquet min/max stats prune BOTH dimensions — the multi-column "
+    "generalization of the reference's first-column-only range index "
+    "(src/indexing.rs:215-309). tests/test_layout.py asserts the "
+    "pruning advantage from the footers; this query asserts the "
+    "layout is value-lossless vs the oracle on the unclustered source.",
+)
+def q78_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.storage.layout import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="tyto_zord_")
+    try:
+        path = f"{tmp}/lineitem_z"
+        write_zordered(li, path, ["l_orderkey", "l_partkey"])
+        back = spark.read.parquet(path)
+        out = back.filter(
+            F.col("l_orderkey").between(1000, 2000)
+            & F.col("l_partkey").between(200, 400)
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).cast("double").alias(
+                "revenue"
+            ),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
