@@ -82,6 +82,22 @@ def make_tokenize_udtf():
     return TokenizeUDTF
 
 
+def make_median_udaf():
+    """Grouped-aggregate pandas UDF (the UDAF extension point): one
+    scalar per group, computed over the whole group as an Arrow batch.
+    Median is the canonical choice — not expressible as an algebraic
+    built-in combination, but pandas' interpolated median matches SQL
+    ``median()`` exactly on the half-integer quantity domain, so the
+    DuckDB oracle stays exact. Built lazily: decorating at import time
+    would require a live Spark session."""
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    return median_udaf
+
+
 def doc_terms(spark, docs: DataFrame) -> DataFrame:
     """(doc_id, pos, token) for every document via the tokenize UDTF
     in a LATERAL join."""

@@ -2263,5 +2263,73 @@ def q78_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q79_label_centroids",
+    """
+    WITH e AS (
+        SELECT label,
+               cast(generate_subscripts(embedding, 1) - 1 AS int) AS pos,
+               cast(trunc(cast(unnest(embedding) AS DOUBLE) * 1e7) AS bigint)
+                 AS q
+        FROM embeddings
+    )
+    SELECT label, pos,
+           cast(sum(q) AS DOUBLE) / count(*) / 1e7 AS c
+    FROM e GROUP BY label, pos
+    """,
+    doc="Distributed vector mean (per-label embedding centroids — the "
+    "aggregation primitive of k-means, IVF training, and class "
+    "prototypes): posexplode the vectors and aggregate per (label, "
+    "dimension). Scale shape: the explode is map-side; the single "
+    "shuffle key (label, pos) spreads every vector dimension across "
+    "the cluster, so one hot label cannot skew a reducer the way a "
+    "whole-vector groupBy(label) would — partial aggregation collapses "
+    "dim-partials before the exchange. Components are quantized to "
+    "1e-7 by truncation (the header's trunc convention — double→"
+    "decimal casts tie-break differently across engines), so the "
+    "bigint sum is exact and order-independent and the trailing "
+    "double divisions are IEEE-deterministic in both engines.",
+)
+def q79_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    q = (F.col("v").cast("double") * F.lit(1e7)).cast("bigint")  # trunc
+    return (
+        e.select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+            ).alias("c")
+        )
+    )
+
+
+@query(
+    "q80_pandas_udaf_median",
+    """
+    SELECT l_returnflag, l_linestatus,
+           median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped-aggregate pandas UDF (UDAF surface — completes the "
+    "Python extension triad with q51's grouped-map and q52's UDTF): "
+    "per-(returnflag, linestatus) median quantity computed in pandas "
+    "over Arrow group batches. One shuffle on the group key; no "
+    "partial aggregation is possible for a holistic aggregate, which "
+    "is exactly when a UDAF is worth its Python cost — the built-in "
+    "twin is the oracle's median(). Exact on the integer-valued "
+    "quantity domain (interpolation yields halves in both engines).",
+)
+def q80_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.functions.python_udfs import make_median_udaf
+
+    med = make_median_udaf()
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        med("l_quantity").alias("med_qty")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
