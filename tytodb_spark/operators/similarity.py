@@ -149,6 +149,59 @@ def srp_signatures(
     return _sig(vec)
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Fully-distributed Lloyd's k-means (the iterative-algorithm shape;
+    contrast :func:`train_ivf_centroids`, which trains on a driver-side
+    sample). Per iteration:
+
+    - **assignment** is map-side only: the k centroids are inlined as
+      array literals (k×dim doubles — metadata, the same thing a
+      broadcast would ship) and each row takes argmin of k codegen'd
+      squared-distance folds. No shuffle, no UDF.
+    - **update** is the q79 centroid pattern: posexplode the vectors
+      and average per (cluster, dimension) — ONE shuffle keyed on
+      (cluster, pos), so a dominant cluster spreads over dim reducers
+      instead of hot-spotting one. Only k×dim floats return to the
+      driver per iteration.
+
+    Deterministic: init = first k vectors by id; argmin ties resolve to
+    the lowest cluster index. Returns (id_col, cluster) assignments.
+    """
+
+    def dist_to(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.zip_with(F.col(vec_col).cast("array<double>"), lit, lambda a, b: a - b)
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
+    ]
+    def assign(cents: list[list[float]]) -> Column:
+        dists = F.array(*[dist_to(c) for c in cents])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        rows = (
+            df.withColumn("__cluster", assign(centroids))
+            .select("__cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("__cluster", "pos")
+            .agg(F.avg("v").alias("c"))
+            .collect()
+        )
+        new = {j: list(centroids[j]) for j in range(k)}  # empty keeps old
+        for r in rows:
+            new[r["__cluster"]][r["pos"]] = r["c"]
+        centroids = [new[j] for j in range(k)]
+    return df.select(id_col, assign(centroids).alias("cluster"))
+
+
 def train_ivf_centroids(
     corpus_df: DataFrame,
     vec_col: str,

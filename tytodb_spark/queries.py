@@ -2331,5 +2331,127 @@ def q80_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q81_kmeans_clusters",
+    None,  # iterative algorithm — rows-only check (driver contract)
+    doc="Fully-distributed Lloyd's k-means over the embeddings (3 "
+    "iterations, k=8): assignment is map-side argmin over inlined "
+    "centroid literals (no shuffle, no UDF); the update step is the "
+    "q79 centroid pattern — one (cluster, dimension)-keyed shuffle per "
+    "iteration, k×dim floats to the driver. Deterministic init (first "
+    "k vectors by id). Output: cluster sizes. Iterative convergence is "
+    "not SQL-expressible, so this is a declared rows-only check; "
+    "operators/similarity.py kmeans_lloyd.",
+)
+def q81_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=3)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q82_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t
+        GROUP BY e.user_id
+    )
+    SELECT cast((SELECT count(*) FROM v) AS bigint) AS n_view,
+           cast((SELECT count(*) FROM c) AS bigint) AS n_view_click,
+           cast((SELECT count(*) FROM p) AS bigint) AS n_view_click_purchase
+    """,
+    doc="Ordered funnel analysis (view → click → purchase, strictly "
+    "increasing event time): per-user first-view, first qualifying "
+    "click after it, first purchase after that; one row of stage "
+    "counts. Scale shape: three user-keyed aggregates that all share "
+    "the user_id partitioning — the stage joins land on co-partitioned "
+    "intermediates (no extra exchange under AQE), and each stage's "
+    "input shrinks monotonically (classic funnel pruning).",
+)
+def q82_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "q83_cohort_retention",
+    """
+    WITH activity AS (
+        SELECT user_id, cast(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events GROUP BY user_id, cast(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           cast(datediff('day', c.cohort_day, a.day) AS int) AS day_offset,
+           cast(count(*) AS bigint) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-active day, counted "
+    "per (cohort, day-offset) — the activity matrix behind retention "
+    "curves. Scale shape: the per-user distinct-day set and the "
+    "first-day aggregate share one user_id partitioning; the cohort "
+    "join is co-partitioned (no extra exchange), and only the final "
+    "small (cohort, offset) aggregate reshuffles. count(*) over the "
+    "deduplicated (user, day) activity = distinct active users.",
+)
+def q83_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    activity = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
