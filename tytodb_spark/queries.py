@@ -2453,5 +2453,63 @@ def q83_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q84_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, cast(doc_id % 8 AS bigint) AS part,
+               cast(len(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), t -> t <> '')) AS bigint) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT part, n_tok,
+               cast(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY part ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512) AS bigint) AS seq_id
+        FROM toks
+    )
+    SELECT part, seq_id, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tok) AS bigint) AS total_tokens
+    FROM packed GROUP BY part, seq_id
+    """,
+    doc="Training-sequence packing (concat-and-chunk): documents are "
+    "packed greedily into ~512-token sequences by cumulative token "
+    "count. Packing is order-sequential by nature, so the scale design "
+    "shards first — docs are bucketed by a deterministic key (doc_id "
+    "% 8; a real pipeline uses pmod(hash(id), num_shards)) and each "
+    "shard packs independently under its own running-sum window. One "
+    "shuffle on the shard key, full parallelism across shards — never "
+    "a single global ordering (the single-partition window "
+    "anti-pattern). Output: docs and token totals per packed sequence.",
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("bigint").alias("part"),
+        token_count("text").cast("bigint").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "part",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("part", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
