@@ -139,6 +139,58 @@ def main() -> None:
         "scan k× corpus once; two-phase top-k shuffles |q|·k·parts rows",
     )
 
+    # distributed vector mean: rows grow k×, shuffle keys constant
+    # (label × dim) — partial aggregation keeps the exchange flat
+    ops["vector_centroids"] = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c")),
+        "k× component rows; (label,pos) key space constant",
+    )
+
+    # corpus top-k terms: k× token stream, constant vocabulary
+    ops["top_terms"] = (
+        spread(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20),
+        "map-side combine collapses k× stream to constant vocab",
+    )
+
+    # sequence packing: shard count grows WITH the data (the scale
+    # contract — per-shard window size stays constant as k grows)
+    from tytodb_spark.operators.textual import token_count
+    from pyspark.sql import Window as W
+
+    n_shards = 8 * k
+    pw = (
+        W.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("part"),
+            token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .select(
+            "part",
+            "n_tok",
+            F.floor(F.coalesce(F.sum("n_tok").over(pw), F.lit(0)) / 512).alias(
+                "seq_id"
+            ),
+        )
+        .groupBy("part", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ops["seq_packing"] = (
+        packed,
+        "shards grow k×, per-shard window constant",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
