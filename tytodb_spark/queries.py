@@ -2511,5 +2511,60 @@ def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q85_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+    doc="Latest-row-per-key (the CDC/snapshot-compaction primitive: "
+    "collapse a change stream to each key's newest record): "
+    "row_number over (user, ts desc) = 1. One shuffle on the key; ties "
+    "broken by the unique event_id so the survivor is deterministic. "
+    "At scale this is the standard merge-on-read compaction step — "
+    "same plan shape whether the input is a table or a stream's "
+    "foreachBatch output.",
+)
+def q85_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q86_theta_join",
+    """
+    SELECT s.s_suppkey,
+           cast(count(*) AS bigint) AS n_outranked
+    FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal
+    GROUP BY s.s_suppkey
+    """,
+    doc="Pure theta (non-equi) join: suppliers × customers on an "
+    "inequality with NO equi-key. The correct plan here IS "
+    "BroadcastNestedLoopJoin — supplier is dimension-tiny, so it "
+    "broadcasts and the 'nested loop' is a per-row comparison against "
+    "an in-memory list, never a shuffle. The contrast case is "
+    "q37/q58: when BOTH sides are large, theta conditions must be "
+    "bucketed or salted into equi-joins first — NL over two fact "
+    "tables is the anti-pattern. This query pins the legitimate use.",
+)
+def q86_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(sup.select("s_suppkey", "s_acctbal"))
+        .join(cust, F.col("s_acctbal") < F.col("c_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_outranked"))
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
