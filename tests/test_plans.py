@@ -145,3 +145,15 @@ def test_time_rollup_reuses_partials(spark, sf_dir):
     df = _df(spark, sf_dir, "q76_time_rollup")
     assert "InMemoryTableScan" in P.physical_plan(df)
     assert P.num_shuffles(df) <= 3
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    # one exchange on user_id; the rank filter runs inside the sort
+    assert P.num_shuffles(_df(spark, sf_dir, "q85_latest_per_key")) == 1
+
+
+def test_theta_join_broadcasts_tiny_side(spark, sf_dir):
+    # non-equi join with a dimension-tiny side: the legitimate
+    # BroadcastNestedLoopJoin — never a shuffle of the big side
+    plan = P.physical_plan(_df(spark, sf_dir, "q86_theta_join"))
+    assert "BroadcastNestedLoopJoin" in plan
