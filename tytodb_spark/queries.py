@@ -1362,7 +1362,8 @@ def q52_udtf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_bucketed_join",
     """
     SELECT c_mktsegment, cast(count(*) as bigint) AS n_orders,
-           round(sum(o_totalprice), 2) AS segment_value
+           cast(sum(cast(o_totalprice as DECIMAL(18,2))) as double)
+             AS segment_value
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1390,7 +1391,9 @@ def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = joined.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("segment_value"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("segment_value"),
         )
         rows = out.collect()  # materialize before the tables are dropped
         return spark.createDataFrame(rows, out.schema)
@@ -1404,7 +1407,8 @@ def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            cast(count(*) as bigint) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_value
+           cast(sum(cast(o_totalprice as DECIMAL(18,2))) as double)
+             AS total_value
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))
@@ -1419,7 +1423,8 @@ def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_value
+               cast(sum(cast(o_totalprice as DECIMAL(18,2))) as double)
+                 AS total_value
         FROM q56_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
