@@ -327,3 +327,34 @@ def test_connected_components_merges_chains(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_hll_sketch_merge_tolerance(spark, oracle_sf_dir):
+    """The mergeable-sketch rollup (q87) must estimate within HLL error
+    of the exact distinct counts, and the ALL row must come from the
+    UNION of per-source sketches (not a rescan) yet still match the
+    exact global distinct within tolerance."""
+    import duckdb
+
+    from tytodb_spark import queries as Q
+
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in Q.REGISTRY["q87_hll_sketch_merge"].fn(spark, oracle_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/events.parquet')"
+    )
+    exact = dict(
+        con.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    exact["ALL"] = con.sql(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    for k, true_n in exact.items():
+        rel = abs(got[k] - true_n) / max(true_n, 1)
+        assert rel <= 0.05, (k, got[k], true_n)

@@ -2571,5 +2571,40 @@ def q86_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_hll_sketch_merge",
+    None,  # sketch estimates are approximate — rows-only; tolerance
+    # vs exact distinct counts asserted in tests/test_llm_ops.py
+    doc="Mergeable HLL sketches (Datasketches via hll_sketch_agg): "
+    "per-source sketches of the distinct user population, then a "
+    "hll_union_agg rollup to the global estimate WITHOUT rescanning — "
+    "the re-aggregatable form of q38's approx_count_distinct. At "
+    "100 TB this is how distinct counts compose: sketch once per "
+    "partition/day (bytes, not rows), union upward through every "
+    "rollup grain. Output: per-source estimates plus an 'ALL' row "
+    "whose estimate comes only from merging the per-source sketches.",
+)
+def q87_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_source = sketches.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    merged = sketches.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_events").alias("n_events"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    return per_source.unionByName(merged)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
