@@ -2606,5 +2606,67 @@ def q87_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.unionByName(merged)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+
+
+@query(
+    "q88_pii_scrub",
+    f"""
+    WITH tainted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id ||
+                        '@example.com or https://ex.com/d/' || doc_id
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, length(text) AS n0,
+               regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL.replace("'", "''")}', '<EMAIL>', 'g'),
+                   '{_PII_URL}', '<URL>', 'g') AS clean
+        FROM tainted
+    )
+    SELECT doc_id,
+           cast(n0 - length(clean) AS bigint) AS chars_removed,
+           (length(clean) <> n0) AS was_scrubbed
+    FROM scrubbed
+    """,
+    doc="PII scrubbing (the redaction pass of corpus preparation): "
+    "emails and URLs replaced by placeholder tokens via chained "
+    "regexp_replace — entirely map-side, no shuffle, whole-stage "
+    "codegen'd JVM regex (never a Python UDF: at 100 TB the regex "
+    "pass IS the scan). The synthetic corpus is PII-free, so a "
+    "deterministic taint step plants an email+URL in every 7th doc "
+    "identically in both engines — the differential then checks real "
+    "replacements, not just the no-op path. Output reports per-doc "
+    "character delta and a scrubbed flag so the pipeline can "
+    "quarantine-and-audit rather than silently mutate.",
+)
+def q88_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tainted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://ex.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(tainted, _PII_EMAIL, "<EMAIL>"), _PII_URL, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        (F.length(tainted) - F.length(clean)).cast("bigint").alias("chars_removed"),
+        (F.length(clean) != F.length(tainted)).alias("was_scrubbed"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
