@@ -358,3 +358,18 @@ def test_hll_sketch_merge_tolerance(spark, oracle_sf_dir):
     for k, true_n in exact.items():
         rel = abs(got[k] - true_n) / max(true_n, 1)
         assert rel <= 0.05, (k, got[k], true_n)
+
+
+def test_resize_images_shape_and_determinism(spark, docs):
+    from tytodb_spark.operators.multimodal import resize_images, to_media_table
+
+    media = to_media_table(docs, "doc_id", "text")
+    out = resize_images(media, 4, 4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r["payload"]) == 4 * 4 * 3
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["mime"] == "image/raw-rgb"
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 4, 4).collect()}
+    assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in out)

@@ -106,6 +106,58 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize every image payload to (width, height) via Arrow-batched
+    mapInPandas — same (id, payload, meta) contract out as in, so resize
+    stages compose/chain like any other media transform.
+
+    The pixel work is stubbed (no PIL in this container): the fake
+    "resized" payload is exactly width*height*3 RGB-sized bytes derived
+    deterministically from the source payload's sha256 (cycled), so
+    batch shapes, output sizes, and metadata updates are all real and
+    assertable. A production deployment swaps `_fake_resize` for
+    `decode_image(...).resize((w, h)).tobytes()` and nothing else
+    changes — partitioning, schema, and memory profile are identical.
+    """
+    n_out = width * height * 3
+
+    def _fake_resize(raw: bytes) -> bytes:
+        digest = hashlib.sha256(raw).digest()
+        reps = n_out // len(digest) + 1
+        return (digest * reps)[:n_out]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(lambda b: _fake_resize(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": "image/raw-rgb",
+                            "n_bytes": n_out,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Video-style frame sampling, stubbed deterministically: "frames"
     are fixed-stride byte windows of the payload (a real implementation

@@ -2668,5 +2668,28 @@ def q88_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q89_multimodal_resize",
+    None,  # stubbed codec output — rows-only; shape/determinism in pytest
+    doc="Multimodal resize stage (operators/multimodal.py "
+    "resize_images): every payload rescaled to a fixed 8×8 RGB frame "
+    "via Arrow-batched mapInPandas, metadata updated in the same "
+    "(id, payload, meta) contract so resize chains with decode/"
+    "feature/frame stages. Codec stubbed deterministically (no PIL in "
+    "this container); the Spark-side plumbing — schema, batch shape, "
+    "output sizing — is real. Output: per-mime count and total output "
+    "bytes of the resized corpus.",
+)
+def q89_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import resize_images, to_media_table
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    resized = resize_images(to_media_table(docs, "doc_id", "text"), 8, 8)
+    return resized.groupBy(F.col("meta.mime").alias("mime")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
