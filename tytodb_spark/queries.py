@@ -2691,5 +2691,84 @@ def q89_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q90_two_phase_distinct",
+    """
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           cast(count(*) AS bigint) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase distinct aggregation, written explicitly: "
+    "phase 1 reduces to the distinct (event_type, user_id) pairs "
+    "(shuffle spreads a hot event_type across ALL its users' hash "
+    "range — no single reducer owns a hot group), phase 2 counts "
+    "pairs per type. The total count rides along from phase 1 "
+    "partials. This is the manual form of what Spark's planner does "
+    "with Expand for count(DISTINCT) — spelled out because at 100 TB "
+    "you often need the pair-level intermediate anyway (it IS the "
+    "per-user activity table) and reusing it beats re-expanding.",
+)
+def q90_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@query(
+    "q91_schema_evolution",
+    """
+    SELECT o_orderpriority,
+           cast(count(*) AS bigint) AS n_orders,
+           cast(count(o_channel) AS bigint) AS n_with_channel
+    FROM (
+        SELECT o_orderkey, o_orderpriority, NULL AS o_channel
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, 'web' AS o_channel
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Schema evolution on read (mergeSchema): two parquet snapshots "
+    "of the same table — an old one without and a new one with an "
+    "added o_channel column — read as ONE DataFrame; old files "
+    "surface NULL for the new column. The reference cannot do this at "
+    "all (fixed header written once, src/database.rs:449-506; no "
+    "schema evolution, SURVEY §1.4). Merge cost is footer-only: at "
+    "100 TB no data file is rewritten to add a column. Oracle "
+    "simulates the merged read with a UNION of the two generations.",
+)
+def q91_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="tyto_evo_")
+    try:
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority", F.lit("web").alias("o_channel")
+        )
+        old.write.parquet(f"{tmp}/t/gen=0")
+        new.write.parquet(f"{tmp}/t/gen=1")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+        out = merged.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_channel").alias("n_with_channel"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
