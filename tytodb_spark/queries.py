@@ -12,6 +12,11 @@ row-count + schema + order-insensitive value hash at sf0.01
 - double→int casts: Spark truncates, DuckDB rounds — oracles use
   cast(trunc(x) as int) to express the truncation semantic (which is also
   the reference's `as` cast semantic, src/alba_types.rs:146-151).
+- double→DECIMAL casts tie-break differently (Spark HALF_UP, DuckDB
+  HALF_EVEN) — harmless for 2-decimal money columns but NOT for
+  float32-origin values (long decimal expansions hit ties): quantize
+  those by truncation instead, cast(trunc(x * 1e7) as bigint), sum the
+  exact integers, divide once (q79's centroid pattern).
 - Top-k / pagination always order by a unique key (no ambiguous ties).
 
 Query naming: q0x = reference-parity surface (SURVEY §2.1-§2.3),
