@@ -373,3 +373,24 @@ def test_resize_images_shape_and_determinism(spark, docs):
     # deterministic: same input -> same bytes
     again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 4, 4).collect()}
     assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in out)
+
+
+def test_winnow_key_properties(spark):
+    """Identical texts share a winnow key; the key is stable across
+    evaluations; short texts (< window tokens) fall back to a
+    whole-text hash rather than null."""
+    from tytodb_spark.operators.textual import winnow_key
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "an entirely different document about spark and parquet files"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["wk"] for r in df.select("doc_id", winnow_key("text", 8).alias("wk")).collect()}
+    assert got[1] == got[2]          # exact dups collide
+    assert got[1] != got[3]          # different content separates
+    assert got[4] is not None        # short-text fallback
+    again = {r["doc_id"]: r["wk"] for r in df.select("doc_id", winnow_key("text", 8).alias("wk")).collect()}
+    assert got == again              # deterministic

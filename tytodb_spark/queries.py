@@ -2775,5 +2775,41 @@ def q91_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q92_winnow_candidates",
+    None,  # xxhash64 keys are engine-specific — rows-only; properties
+    # (identical docs collide, stability) asserted in pytest
+    doc="Winnowed rolling-hash candidate pairs (the MOSS-style "
+    "fingerprint, operators/textual.py winnow_key): each document is "
+    "keyed by the MIN of its rolling 8-token-window xxhash64 stream, "
+    "and documents sharing a key become near-exact dup candidates. "
+    "Cheapest of the candidate generators — one 8-byte key per doc, "
+    "ONE shuffle on that key (vs MinHash-LSH's b keys per doc), at "
+    "the price of catching only docs that share their minimal window. "
+    "The 100 TB pipeline runs this as the first sieve before LSH.",
+)
+def q92_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from tytodb_spark.operators.textual import spread, winnow_key
+
+    # persist the 8-byte keys: both self-join branches reuse them, and
+    # (as with shingle_table) the persist is an optimizer barrier that
+    # stops the rolling-hash expression from being inlined into each
+    # join branch and recomputed over the full corpus twice
+    docs = (
+        spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .select("doc_id", winnow_key("text", 8).alias("wk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), "wk")
+    b = docs.select(F.col("doc_id").alias("id_b"), "wk")
+    return (
+        a.join(b, "wk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
