@@ -2811,5 +2811,43 @@ def q92_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_json_typed_decode",
+    """
+    SELECT event_type,
+           cast(count(k) AS bigint) AS n_parsed,
+           cast(min(k) AS int) AS min_k,
+           cast(max(k) AS int) AS max_k,
+           cast(sum(cast(k AS bigint)) AS bigint) AS sum_k
+    FROM (
+        SELECT event_type,
+               cast(json_extract_string(props, '$.k') AS int) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="Typed semi-structured decode (from_json with an explicit "
+    "schema): the props JSON column parsed into a struct in one "
+    "map-side pass — no schema-inference scan (on 100 TB, inference "
+    "is a full extra read), malformed rows become NULL rather than "
+    "failures (counted via count(k)), and the typed field then "
+    "aggregates like any column. Contrast q32's get_json_object, "
+    "which re-parses per extraction; from_json parses once for any "
+    "number of fields.",
+)
+def q93_json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("p.k").alias("n_parsed"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum(F.col("p.k").cast("bigint")).alias("sum_k"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
