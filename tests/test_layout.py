@@ -123,3 +123,16 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_zorder_key_constant_column(spark):
+    """A constant clustering column (span 0) must not divide by zero —
+    it contributes nothing to the interleave and every row keeps a
+    valid key."""
+    from tytodb_spark.storage.layout import zorder_key
+
+    df = spark.range(100).selectExpr("id AS a", "42 AS b")
+    zdf, key = zorder_key(df, ["a", "b"], bits=8)
+    rows = zdf.select(key).collect()
+    assert len(rows) == 100
+    assert all(r[0] is not None for r in rows)

@@ -394,3 +394,36 @@ def test_winnow_key_properties(spark):
     assert got[4] is not None        # short-text fallback
     again = {r["doc_id"]: r["wk"] for r in df.select("doc_id", winnow_key("text", 8).alias("wk")).collect()}
     assert got == again              # deterministic
+
+
+def test_sequence_packing_edges(spark):
+    """Packing boundaries: an empty doc packs (0 tokens, stays in the
+    current sequence); a single doc bigger than the budget still lands
+    in exactly one sequence (greedy packing never splits a document)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tytodb_spark.operators.textual import token_count
+
+    rows = [
+        (0, " ".join(["tok"] * 600)),  # bigger than the 512 budget
+        (1, ""),                        # empty
+        (2, " ".join(["tok"] * 100)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = W.partitionBy(F.lit(0)).orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    packed = df.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tok"),
+        F.floor(
+            F.coalesce(F.sum(token_count("text").cast("bigint")).over(w), F.lit(0))
+            / 512
+        ).alias("seq_id"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    assert by_id[0]["seq_id"] == 0          # giant doc opens seq 0, never split
+    assert by_id[1]["seq_id"] == 1          # next seq after the 600-token doc
+    assert by_id[1]["n_tok"] == 0           # empty doc contributes nothing
+    assert by_id[2]["seq_id"] == 1
