@@ -69,6 +69,27 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-gram shingles as 64-bit hashes (array<bigint>): one
+    position-sensitive xxhash64 over the n window tokens per position —
+    no n-gram string is ever materialized. For set-similarity pipelines
+    (Jaccard, MinHash) shingle CONTENT is never needed, only equality,
+    and the hashed form is both ~2× cheaper to build (no concat
+    allocations) and ~3× narrower on the wire when shingles shuffle
+    (8 B vs a 20-30 B string). Collision probability at 64 bits is
+    ~|vocab|²/2⁶⁵ — immaterial next to the similarity thresholds."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Character n-gram shingles (for MinHash over short texts)."""
     c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
@@ -219,7 +240,10 @@ def winnow_key(col: Column | str, window: int = 8) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Materialized shingle sets: (__id, __sh array<string>, __n).
+    """Materialized shingle sets: (__id, __sh array<bigint>, __n) —
+    shingles are 64-bit hashes (see :func:`hashed_word_ngrams`); the
+    string-exact DuckDB oracles still match because Jaccard over hashed
+    trigram sets equals Jaccard over the trigram strings.
 
     Spread first (tokenization must fan out, not run on the scan's map
     side), then PERSIST the arrays. The persist is load-bearing twice:
@@ -235,7 +259,7 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
     cached = (
         spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")), "__id")
-        .select("__id", F.array_distinct(word_ngrams("__txt", n)).alias("__sh"))
+        .select("__id", F.array_distinct(hashed_word_ngrams("__txt", n)).alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return cached.withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
