@@ -427,3 +427,39 @@ def test_sequence_packing_edges(spark):
     assert by_id[1]["seq_id"] == 1          # next seq after the 600-token doc
     assert by_id[1]["n_tok"] == 0           # empty doc contributes nothing
     assert by_id[2]["seq_id"] == 1
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta" → contaminated
+            Row(doc_id=1, text="intro beta gamma delta epsilon zeta outro"),
+            # shares only 4 consecutive words → clean at n=5
+            Row(doc_id=2, text="beta gamma delta epsilon other tail words here"),
+            Row(doc_id=3, text="totally unrelated training content row"),
+            Row(doc_id=4, text="short"),  # < n tokens → no grams → clean
+        ]
+    )
+    kept = X.decontaminate(train, bench, "doc_id", "text", n=5)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+    # all original columns survive
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_duplicate_gram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b] → 2 distinct / 3 → dup_frac 1/3
+            Row(doc_id=1, text="a b a b"),
+            # all bigrams distinct → 0.0
+            Row(doc_id=2, text="w x y z"),
+            Row(doc_id=3, text="solo"),  # < n tokens → absent from output
+        ]
+    )
+    out = {r.doc_id: r.dup_frac for r in X.duplicate_gram_fraction(df, "doc_id", "text", n=2).collect()}
+    assert out[1] == pytest.approx(1 / 3)
+    assert out[2] == 0.0
+    assert 3 not in out

@@ -352,3 +352,70 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination & repetition filtering
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one word ``n``-gram with the benchmark corpus.
+
+    Scale shape (the standard eval-leakage pass in LLM data pipelines):
+    the benchmark side is KBs-to-MBs while the training side is the
+    100 TB corpus, so the benchmark n-gram set is built `distinct` and
+    broadcast — the contamination probe is then a map-side hash lookup
+    on the training scan, no shuffle of the big side. The only shuffles
+    are the `distinct` on the (tiny) benchmark grams and the doc-id
+    dedup of hits, both benchmark-bounded. The final `left_anti` joins
+    train against the (small) hit list, again broadcastable.
+
+    Returns the clean training rows (all original columns).
+    """
+    bench_grams = (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("__g")).distinct()
+    )
+    # spread: the probe side tokenizes the whole corpus — fan it out
+    # rather than n-gramming on the (possibly few-split) scan map side
+    train_grams = spread(train.select(F.col(id_col).alias("__tid"), text_col), "__tid").select(
+        "__tid", F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "__g")
+        .select(F.col("__tid").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def duplicate_gram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document repetition score: the fraction of word ``n``-grams
+    that are repeats of an earlier gram in the same document
+    (Gopher-style `duplicate n-gram fraction` quality signal).
+
+    1 − distinct/total over the exploded grams — a single hash
+    aggregation keyed by doc id; Spark plans the distinct count as the
+    standard two-phase expand, partials map-side, so the full text never
+    shuffles — only (id, gram) pairs, and only once. Documents with
+    fewer than ``n`` tokens produce no grams and are absent from the
+    output (matching `unnest` of an empty list in SQL).
+
+    Output: (id_col, dup_frac double). The division is a single exact
+    int/int double op — bit-identical across engines and partitionings.
+    """
+    grams = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    return grams.groupBy(id_col).agg(
+        (F.lit(1.0) - F.countDistinct("__g") / F.count(F.lit(1))).alias("dup_frac")
+    )

@@ -2849,5 +2849,65 @@ def q93_json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q94_decontaminate",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({_NGRAMS(5)}) AS g
+        FROM documents WHERE source = 'src0'
+    ),
+    tg AS (
+        SELECT doc_id, unnest({_NGRAMS(5)}) AS g
+        FROM documents WHERE source <> 'src0'
+    ),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g))
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE d.source <> 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="Benchmark decontamination (eval-leakage removal): training docs "
+    "sharing any word 5-gram with the held-out corpus (source='src0') "
+    "are dropped via a broadcast n-gram probe + anti-join — the 100 TB "
+    "train side never shuffles; operators/textual.py decontaminate.",
+)
+def q94_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=5,
+    )
+    return clean.select("doc_id", "source", "lang")
+
+
+@query(
+    "q95_repetition_filter",
+    f"""
+    WITH g AS (SELECT doc_id, unnest({_NGRAMS(2)}) AS g FROM documents)
+    SELECT doc_id,
+           1.0 - count(DISTINCT g)::DOUBLE / count(*) AS dup_frac
+    FROM g GROUP BY doc_id
+    HAVING dup_frac >= 0.05
+    """,
+    doc="Gopher-style repetition quality gate: per-doc duplicate-bigram "
+    "fraction (1 - distinct/total) as one two-phase hash aggregation — "
+    "only (id, gram) pairs shuffle, once; docs above the repetition "
+    "threshold are the filter candidates; operators/textual.py "
+    "duplicate_gram_fraction.",
+)
+def q95_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import duplicate_gram_fraction
+
+    scored = duplicate_gram_fraction(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+    return scored.filter(F.col("dup_frac") >= 0.05)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
