@@ -180,3 +180,25 @@ def test_compact_refuses_staged_ops(engine):
     engine.execute("CREATE ROW [id] [2] ON 'users'")  # staged, uncommitted
     with pytest.raises(RuntimeError):
         engine.warehouse.compact("users")
+
+
+def test_repl_envelopes(spark, tmp_path):
+    """REPL response envelopes mirror the reference's TytoDBResponse
+    {content, success} JSON (src/database.rs:1090-1096), errors included."""
+    import json
+
+    from tytodb_spark.repl import run_command
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    ok = json.loads(run_command(eng, SCHEMA))
+    assert ok["success"] and "created" in ok["content"]["message"]
+    run_command(eng, "CREATE ROW [id, name] [7, 'zoe'] ON 'users'")
+    run_command(eng, "COMMIT 'users'")
+    res = json.loads(
+        run_command(eng, "SEARCH [id, name] ON ['users'] WHERE id = ?", ["7"])
+    )
+    assert res["success"]
+    assert res["content"]["rows"] == [{"id": 7, "name": "zoe"}]
+    assert "query_id" in res["content"]
+    bad = json.loads(run_command(eng, "SEARCH ON ['nope_no_table']"))
+    assert bad["success"] is False and bad["content"]["message"]
