@@ -463,3 +463,19 @@ def test_duplicate_gram_fraction(spark):
     assert out[1] == pytest.approx(1 / 3)
     assert out[2] == 0.0
     assert 3 not in out
+
+
+def test_bm25_ranks_rare_term_higher(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="rare common common filler filler"),
+            Row(doc_id=2, text="common filler words only here now"),
+            Row(doc_id=3, text="common common common filler filler"),
+            Row(doc_id=4, text="nothing matching at all"),
+        ]
+    )
+    out = {r.doc_id: r.bm25 for r in X.bm25_scores(df, "doc_id", "text", ["rare", "common"]).collect()}
+    assert 4 not in out  # no query term → absent
+    assert out[1] > out[2]  # rare-term doc dominates
+    assert out[1] > out[3]  # even vs repeated common terms (tf saturation)
+    assert all(v > 0 for v in out.values())

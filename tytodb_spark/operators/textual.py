@@ -419,3 +419,66 @@ def duplicate_gram_fraction(
     return grams.groupBy(id_col).agg(
         (F.lit(1.0) - F.countDistinct("__g") / F.count(F.lit(1))).alias("dup_frac")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    (idf·tf saturation with length normalization) — the ranking stage
+    that sits on top of q62's tf-idf features in a retrieval pipeline.
+
+    Plan shape for a 100 TB corpus: ONE tokenization pass feeds both the
+    doc-length table and the term-frequency table; tf is filtered to the
+    query terms BEFORE its aggregation, so the only corpus-sized shuffle
+    carries (id, len) pairs; corpus stats (N, avgdl) and per-term df are
+    single-row / |terms|-row broadcasts.
+
+    Determinism for the differential oracle: avgdl is an exact bigint
+    sum divided once, and per-term scores are quantized to 1e-7 before
+    the cross-term sum (exact integer addition in any order) — the q79
+    centroid pattern.
+
+    Output: (id_col, bm25 double), docs containing ≥1 query term.
+    """
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__corpus_n"),
+        (F.sum("__dl").cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "__avgdl"
+        ),
+    )
+    tf = (
+        toks.filter(F.col("__w").isin(list(terms)))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.col("__corpus_n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("__tf") * (k1 + 1))
+        / (
+            F.col("__tf")
+            + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    per_term = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "__w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__q", F.floor(score * 1e7).cast("bigint"))
+    )
+    return per_term.groupBy(id_col).agg(
+        (F.sum("__q") / F.lit(1e7)).alias("bm25")
+    )

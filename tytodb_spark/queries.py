@@ -2909,5 +2909,41 @@ def q95_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("dup_frac") >= 0.05)
 
 
+@query(
+    "q96_bm25",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_corpus,
+                     cast(cast(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+           WHERE w IN ('spark', 'join', 'dup') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    per AS (
+        SELECT tf.doc_id,
+               cast(floor(
+                   ln((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   * 1e7) AS BIGINT) AS q
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN stats
+    )
+    SELECT doc_id, cast(sum(q) AS BIGINT) / 1e7 AS bm25
+    FROM per GROUP BY doc_id
+    """,
+    doc="Okapi BM25 ranking for a query-term bag over the corpus: one "
+    "tokenize pass feeds doc-lengths and (query-term-filtered) term "
+    "frequencies; corpus stats and per-term df broadcast; per-term "
+    "scores quantized to 1e-7 before the cross-term sum so the result "
+    "is order-independent; operators/textual.py bm25_scores.",
+)
+def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["spark", "join", "dup"]
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
