@@ -353,10 +353,14 @@ def connected_components(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a scan of already-materialized partitions — not an extra
+        # join+shuffle job per round
+        stepped = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
                 "vertex",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -365,13 +369,9 @@ def connected_components(
             .localCheckpoint(eager=True)  # cut lineage each round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.drop("__prev")
         if changed == 0:
             break
     return labels
