@@ -128,3 +128,43 @@ def test_interval_join_matches_naive(spark):
         .collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# CDC merge apply (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_apply_semantics(spark):
+    from tytodb_spark.operators.cdc import merge_apply
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="b2", op="U"),   # update existing
+            Row(k=3, v=None, op="D"),   # delete existing
+            Row(k=9, v="new", op="I"),  # insert new key
+            Row(k=1, v="a1", op="I"),   # mis-labeled op: still an upsert
+        ]
+    )
+    out = {r.k: r.v for r in merge_apply(base, changes, "k").collect()}
+    assert out == {1: "a1", 2: "b2", 9: "new"}
+
+
+def test_merge_apply_base_never_shuffles(spark):
+    from tytodb_spark.operators.cdc import merge_apply
+    from tytodb_spark.plans.inspect import num_broadcast_joins, physical_plan
+
+    base = spark.range(1000).withColumn("v", __import__("pyspark").sql.functions.lit("x"))
+    changes = spark.createDataFrame([Row(id=5, v="y", op="U")])
+    merged = merge_apply(base, changes, "id")
+    plan = physical_plan(merged)
+    assert num_broadcast_joins(merged) >= 1  # anti-join is broadcast
+    assert "LeftAnti, BuildRight" in plan, plan
+    # the only hash exchange is the changes-side key dedup (inside the
+    # broadcast build) — the base scan itself never shuffles
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

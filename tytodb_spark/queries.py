@@ -2945,5 +2945,58 @@ def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q97_cdc_merge",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+               FROM orders),
+    ch AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'D' AS op FROM o WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+               'U' FROM o WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+               'I' FROM o WHERE o_orderkey % 10 = 2
+    )
+    SELECT * FROM (
+        SELECT o.* FROM o
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM ch WHERE op <> 'D'
+    )
+    """,
+    doc="CDC MERGE apply (set-based EDIT/DELETE, SURVEY §2.1 S4/S5 at "
+    "warehouse scale): a synthesized delete/update/insert batch applies "
+    "as broadcast anti-join + union — the snapshot never shuffles; "
+    "operators/cdc.py merge_apply.",
+)
+def q97_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.cdc import merge_apply
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    changes = (
+        o.filter(k % 10 == 0)
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            o.filter(k % 10 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            o.filter(k % 10 == 2)
+            .withColumn("o_orderkey", k + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    return merge_apply(o, changes, "o_orderkey", "op")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
