@@ -479,3 +479,33 @@ def test_bm25_ranks_rare_term_higher(spark):
     assert out[1] > out[2]  # rare-term doc dominates
     assert out[1] > out[3]  # even vs repeated common terms (tf saturation)
     assert all(v > 0 for v in out.values())
+
+
+def test_pq_ann_recall_and_determinism(spark, vecs):
+    exact = S.brute_force_knn(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", k=3
+    ).collect()
+    kwargs = dict(k=3, m=4, k_codes=16, seed=7)
+    approx = S.pq_ann(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", **kwargs
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # 4×16 codebooks on 16-dim gaussians: quantization error is real but
+    # top-3 should mostly survive
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.5
+    assert all(r["adc_dist"] >= 0 for r in approx)
+    assert {r["query_id"] for r in approx} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 3 for r in approx)
+    again = S.pq_ann(
+        vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", **kwargs
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_pq_codebook_shapes(spark, vecs):
+    books = S.train_pq_codebooks(vecs, "embedding", m=4, k_codes=8, seed=7)
+    assert books.shape == (4, 8, 4)
+    import numpy as np
+
+    assert np.isfinite(books).all()

@@ -2998,5 +2998,27 @@ def q97_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_apply(o, changes, "o_orderkey", "op")
 
 
+@query(
+    "q98_ann_pq",
+    None,  # approximate retrieval set → rows-only check
+    doc="Product-quantization ANN with asymmetric distance (Jégou "
+    "2011): per-subspace codebooks (driver-side sample metadata), "
+    "map-only distributed encode to m small codes (the 32x-smaller "
+    "index a 100 TB embedding column scans as), per-query distance "
+    "tables broadcast, ADC scored JVM-side as an aggregate fold over "
+    "array lookups, two-phase top-k; operators/similarity.py pq_ann. "
+    "Composes with IVF (q57): IVF bounds the scanned fraction, PQ "
+    "bounds bytes per scanned vector.",
+)
+def q98_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import pq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        k=3, m=8, k_codes=16,
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
