@@ -509,3 +509,36 @@ def test_pq_codebook_shapes(spark, vecs):
     import numpy as np
 
     assert np.isfinite(books).all()
+
+
+def test_temperature_mix_flattens_domains(spark):
+    from tytodb_spark.operators.sampling import temperature_mix
+
+    rows = [Row(doc_id=i, source="big" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mix(df, "doc_id", "source", alpha=0.5, target_frac=0.5)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # analytic keep-probs: p_rare = min(1, .5*1000*sqrt(100)e6/(sqrt(900)+sqrt(100))e6/100) = 1.0
+    assert by_src["rare"] == 100  # rare domain fully kept (boosted)
+    # big domain down-sampled to ~p=0.4167; md5 uniform → binomial, wide bounds
+    assert 290 <= by_src["big"] <= 460
+    # deterministic: identical draw on re-run
+    again = temperature_mix(df, "doc_id", "source", alpha=0.5, target_frac=0.5)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in kept.collect())
+    # all original columns survive
+    assert set(kept.columns) == {"doc_id", "source"}
+
+
+def test_temperature_mix_alpha_one_is_uniform_rate(spark):
+    from tytodb_spark.operators.sampling import md5_uniform16, temperature_mix
+
+    rows = [Row(doc_id=i, source="a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mix(df, "doc_id", "source", alpha=1.0, target_frac=0.25)
+    # alpha=1 → every domain's keep-prob is exactly target_frac: the kept
+    # set is precisely the rows whose md5-uniform < 0.25*65536
+    expect = sorted(
+        r.doc_id
+        for r in df.filter(md5_uniform16("doc_id") < 0.25 * 65536).collect()
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == expect

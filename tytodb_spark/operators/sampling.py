@@ -1,0 +1,81 @@
+"""Corpus sampling operators beyond per-stratum draws (q68) and hash
+splits (q69): temperature-reweighted DOMAIN MIXING — the Pile/LLaMA-
+style recipe that up-samples rare sources and down-samples dominant
+ones when assembling a pretraining mix.
+
+Everything is deterministic across engines and parallelism:
+
+- randomness is a 16-bit uniform derived from md5(doc id) — both
+  engines compute identical digests, unlike their `sample()` RNGs;
+- the per-domain weight normalizer Σ n_d^α is summed as QUANTIZED
+  integers (floor(·1e6)) so the cross-domain sum is order-independent,
+  then divided once (the q79 centroid pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def md5_uniform16(id_col: Column | str) -> Column:
+    """Deterministic 16-bit uniform in [0, 65536) from the LAST four hex
+    chars of md5(id) — chars 1-2 feed q69's split bucket, so a mix
+    drawn here is independent of the train/val/test assignment."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    md5 = F.md5(c.cast("string"))
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit(_HEX), F.substring(md5, i, 1)) - 1
+
+    return ((nib(29) * 16 + nib(30)) * 256) + (nib(31) * 16 + nib(32))
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Sample a corpus so domain d keeps ~budget·w_d rows, where
+    w_d = n_d^α / Σ n^α and budget = target_frac·N — temperature α<1
+    flattens the domain distribution (α=0 → uniform across domains,
+    α=1 → the original mix, i.e. plain uniform sampling).
+
+    Plan shape: domain counts are one narrow aggregation; the per-domain
+    keep-probabilities (|domains| rows) broadcast back onto the corpus,
+    so the selection itself is a map-side filter over the scan — the
+    corpus never shuffles, and the same rows are kept at any
+    parallelism or data layout.
+
+    Returns the kept rows (all original columns).
+    """
+    if alpha == 0.5:
+        w_raw: Column = F.sqrt(F.col("__n"))  # sqrt is correctly rounded
+    else:  # pow may differ in the last ulp across libm implementations;
+        w_raw = F.pow(F.col("__n"), F.lit(alpha))  # fine for rows-only use
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__q", F.floor(w_raw * 1e6).cast("bigint"))
+    )
+    totals = counts.agg(
+        F.sum("__n").cast("bigint").alias("__nn"),
+        F.sum("__q").cast("bigint").alias("__z"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("__nn")
+            * F.col("__q")
+            / F.col("__z")
+            / F.col("__n"),
+        ).alias("__p"),
+    )
+    keep = md5_uniform16(id_col) < F.col("__p") * F.lit(65536.0)
+    return df.join(F.broadcast(probs), domain_col).filter(keep).drop("__p")

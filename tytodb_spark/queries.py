@@ -3020,5 +3020,44 @@ def q98_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q99_domain_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n,
+                      cast(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS q
+               FROM documents GROUP BY source),
+    t AS (SELECT cast(sum(n) AS BIGINT) AS nn, cast(sum(q) AS BIGINT) AS z
+          FROM c),
+    p AS (SELECT source, least(1.0, 0.5 * nn * q / z / n) AS p
+          FROM c CROSS JOIN t),
+    u AS (SELECT doc_id, source,
+                 ((strpos('0123456789abcdef',
+                          substr(md5(cast(doc_id AS varchar)), 29, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                           substr(md5(cast(doc_id AS varchar)), 30, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef',
+                           substr(md5(cast(doc_id AS varchar)), 31, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(md5(cast(doc_id AS varchar)), 32, 1)) - 1 AS val
+          FROM documents)
+    SELECT u.doc_id, u.source
+    FROM u JOIN p USING (source)
+    WHERE u.val < p.p * 65536.0
+    """,
+    doc="Temperature-reweighted domain mixing (alpha=0.5, budget=N/2): "
+    "rare sources up-sample, dominant ones down-sample; per-domain "
+    "keep-probabilities broadcast onto a map-side md5-uniform filter, "
+    "so the corpus never shuffles and the draw is identical at any "
+    "parallelism; operators/sampling.py temperature_mix.",
+)
+def q99_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "doc_id", "source", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "source")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
