@@ -134,3 +134,14 @@ def test_stream_append_to_warehouse_idempotent(spark, sf_dir, tmp_path):
     )
     assert n2 == 0
     assert wh.read_committed("sink").count() == 300
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    from tytodb_spark.streaming import pipeline as P
+
+    t = load_tables(spark, sf_dir)
+    streamed = P.stream_static_enrich(spark, t["events"], t["customer"]).collect()
+    batch = P.segment_enrichment(t["events"], t["customer"]).collect()
+    key = lambda r: (r["c_mktsegment"], r["n_events"], r["total_value"])
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) > 0

@@ -3059,5 +3059,30 @@ def q99_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "q100_stream_static_join",
+    """
+    SELECT c_mktsegment,
+           cast(count(*) AS bigint) AS n_events,
+           cast(sum(cast(value AS DECIMAL(18,2))) AS double) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Stream-static enrichment join (the third join pattern next to "
+    "stream-stream q66 and batch joins): a fact stream joins a static "
+    "dimension with NO join state — the dim broadcasts map-side within "
+    "every micro-batch and is re-planned between batches (dimension "
+    "updates picked up live). Bounded availableNow drain equals the "
+    "batch twin, which the oracle checks; streaming/pipeline.py "
+    "stream_static_enrich.",
+)
+def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_static_enrich
+
+    return stream_static_enrich(
+        spark, _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)

@@ -193,3 +193,51 @@ def stream_append_to_warehouse(
     )
     q.awaitTermination()
     return committed
+
+
+def segment_enrichment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """The shared (batch == streaming) stream-static enrichment: events
+    join the customer dimension and aggregate per market segment."""
+    joined = events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events: DataFrame,
+    customer: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Stream-static join — the standard streaming ENRICHMENT shape
+    (the third join pattern next to q66's stream-stream and the batch
+    joins): a fact stream joins a slowly-changing dimension TABLE.
+
+    The static side needs no watermark and holds no join state — Spark
+    re-plans the batch side each micro-batch (picking up dimension
+    updates between batches) and the broadcast hash join runs map-side
+    within every micro-batch, exactly like its batch twin. State exists
+    only for the downstream aggregation.
+
+    Deterministic bounded drain (availableNow, complete mode) equals
+    the batch `segment_enrichment`, which is what the oracle checks.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_enrich_")
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        return _drain(
+            segment_enrichment(stream, customer),
+            staging,
+            "complete",
+            state_partitions,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
