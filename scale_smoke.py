@@ -191,6 +191,55 @@ def main() -> None:
         "shards grow k×, per-shard window constant",
     )
 
+    # decontamination: train side grows k×, benchmark stays 1× — the
+    # broadcast-probe plan's cost should track the train scan only
+    from tytodb_spark.operators.textual import decontaminate
+
+    ops["decontaminate"] = (
+        decontaminate(
+            docs.filter(F.col("source") != "src0"),
+            t["documents"].filter(F.col("source") == "src0"),
+            "doc_id",
+            "text",
+            n=5,
+        ).select("doc_id"),
+        "k× train side map-probes a 1× broadcast benchmark gram set",
+    )
+
+    # BM25: k× corpus, constant query-term set; the only corpus-sized
+    # shuffle carries (id, len) pairs
+    from tytodb_spark.operators.textual import bm25_scores
+
+    ops["bm25"] = (
+        bm25_scores(docs, "doc_id", "text", ["spark", "join", "dup"]),
+        "k× tokenize pass; stats and df broadcast; narrow shuffles",
+    )
+
+    # temperature mix: k× corpus, constant domain count — selection is a
+    # map-side filter under a broadcast probability table
+    from tytodb_spark.operators.sampling import temperature_mix
+
+    ops["domain_mix"] = (
+        temperature_mix(docs, "doc_id", "source", 0.5, 0.5).select("doc_id"),
+        "k× corpus never shuffles; |domains| keep-probs broadcast",
+    )
+
+    # CDC merge: k× base snapshot, 1× change batch — the base side must
+    # stream through the anti-join without an exchange
+    from tytodb_spark.operators.cdc import merge_apply
+
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    ch = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("op", F.lit("D"))
+    )
+    ops["cdc_merge"] = (
+        merge_apply(base, ch, "o_orderkey", "op"),
+        "k× base map-side anti-join; 1× change keys broadcast",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()

@@ -452,8 +452,9 @@ def pq_ann(
     path (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011): IVF/SRP bound how much of the corpus is
     SCANNED; PQ bounds how many BYTES each scanned vector costs
-    (m codes ≈ m bytes vs 4·d float32 — 32× smaller here, so a 100 TB
-    embedding column scans as ~3 TB of codes).
+    (m sub-byte codes — 8 codes × 4 bits here vs 64 float32s, 64×
+    smaller packed, ~8× even stored as Spark ints — so a 100 TB
+    embedding column scans as a few TB of codes).
 
     1. Train per-subspace codebooks (driver-side sample — metadata).
     2. Encode the corpus: map-only vectorized pandas UDF → m uint8-range

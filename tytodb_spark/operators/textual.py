@@ -380,13 +380,19 @@ def decontaminate(
 
     Returns the clean training rows (all original columns).
     """
+    # grams probe as 64-bit hashes (see hashed_word_ngrams): membership
+    # needs equality only, and skipping the n-gram string concat makes
+    # the corpus-side pass ~3× cheaper (measured on the k×4 smoke); a
+    # false-positive collision needs |train grams|·|bench grams|/2⁶⁴ —
+    # immaterial
     bench_grams = (
-        bench.select(F.explode(word_ngrams(text_col, n)).alias("__g")).distinct()
+        bench.select(F.explode(hashed_word_ngrams(text_col, n)).alias("__g"))
+        .distinct()
     )
     # spread: the probe side tokenizes the whole corpus — fan it out
     # rather than n-gramming on the (possibly few-split) scan map side
     train_grams = spread(train.select(F.col(id_col).alias("__tid"), text_col), "__tid").select(
-        "__tid", F.explode(word_ngrams(text_col, n)).alias("__g")
+        "__tid", F.explode(hashed_word_ngrams(text_col, n)).alias("__g")
     )
     contaminated = (
         train_grams.join(F.broadcast(bench_grams), "__g")
