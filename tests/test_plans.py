@@ -157,3 +157,40 @@ def test_theta_join_broadcasts_tiny_side(spark, sf_dir):
     # BroadcastNestedLoopJoin — never a shuffle of the big side
     plan = P.physical_plan(_df(spark, sf_dir, "q86_theta_join"))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the gram probe and the final anti-join both broadcast benchmark-
+    # bounded sides — the training corpus is never hash-exchanged except
+    # for its explicit compute spread
+    df = _df(spark, sf_dir, "q94_decontaminate")
+    assert P.num_broadcast_joins(df) >= 2
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_bm25_broadcasts_stats(spark, sf_dir):
+    # corpus stats (1 row) and per-term df (|terms| rows) broadcast;
+    # crossJoin of the stats row must be a broadcast NL, never a shuffle
+    df = _df(spark, sf_dir, "q96_bm25")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_domain_mix_is_map_side_filter(spark, sf_dir):
+    # the corpus-side selection joins only a broadcast probability table:
+    # no hash exchange may touch the corpus scan itself (the only hash
+    # exchanges are the domain-count aggregates, which are |domains|-sized)
+    df = _df(spark, sf_dir, "q99_domain_mix")
+    assert P.num_broadcast_joins(df) >= 2  # totals + probs
+    plan = P.physical_plan(df)
+    # the kept-row side reads documents exactly once
+    assert plan.count("Scan parquet") <= 3  # corpus + 2 count branches
+
+
+def test_cdc_merge_base_stays_map_side(spark, sf_dir):
+    df = _df(spark, sf_dir, "q97_cdc_merge")
+    plan = P.physical_plan(df)
+    assert "LeftAnti, BuildRight" in plan
+    assert P.num_broadcast_joins(df) >= 1
