@@ -79,3 +79,36 @@ def temperature_mix(
     )
     keep = md5_uniform16(id_col) < F.col("__p") * F.lit(65536.0)
     return df.join(F.broadcast(probs), domain_col).filter(keep).drop("__p")
+
+
+def global_shuffle(df: DataFrame, id_col: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    shard = one md5 byte of the id (hex chars 27-28 — disjoint from the
+    q69 split nibbles and the md5_uniform16 draw, so shard, split and
+    mix decisions are mutually independent), intra-shard order = the
+    full md5 digest. This is the "shuffle the corpus before sequence
+    packing" step of a pretraining pipeline, reproducible across runs,
+    engines and cluster sizes — unlike `orderBy(rand())`.
+
+    Plan shape at 100 TB: ONE hash exchange on the shard key (narrow —
+    rows carry only their payload, no sort keys survive the exchange)
+    followed by sortWithinPartitions — there is NO global sort, no
+    range-exchange sampling pass, and shard files stream out sorted.
+    Writing with partitionBy(shard) yields one self-contained shuffled
+    shard per training-data file group.
+
+    Adds (`shard` int, `__h` string sort key).
+    """
+    c = F.col(id_col)
+    md5 = F.md5(c.cast("string"))
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit(_HEX), F.substring(md5, i, 1)) - 1
+
+    shard = ((nib(27) * 16 + nib(28)) % n_shards).cast("int")
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__h", md5)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("__h")
+    )

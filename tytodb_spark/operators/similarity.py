@@ -530,3 +530,39 @@ def pq_ann(
     return topk_per_key(scored, "query_id", order, k).select(
         "query_id", "neighbor_id", "adc_dist", "rank"
     )
+
+
+def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector int8 scalar quantization with a reconstruction-error
+    audit — the compression step that shrinks an embedding store 4×
+    before ANN serving (each float32 dim → one signed byte scaled by the
+    vector's max-abs).
+
+    Everything is JVM-side array-lambda codegen (`transform`,
+    `array_max`) — no UDF, no Python, fully map-side: at 100 TB this is
+    a pure scan→project pipeline with zero shuffles until the caller's
+    aggregation. The quantized code for dim x is floor(x/scale·127)
+    (floor, not round: HALF_UP vs HALF_EVEN tie-breaks differ across
+    engines; floor is bit-portable), reconstruction is code·scale/127,
+    and the audit value is the vector's max absolute reconstruction
+    error. float→double casts are exact, so both engines see identical
+    inputs and IEEE ops give identical bits.
+
+    Output: (id_col, scale double, max_qerr double) — one row per
+    non-zero vector; all-zero vectors (scale 0) are dropped rather than
+    divided by.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    return (
+        df.select(F.col(id_col), v.alias("__v"), scale.alias("__scale"))
+        .filter(F.col("__scale") > 0.0)
+        .select(
+            F.col(id_col),
+            F.col("__scale").alias("scale"),
+            F.expr(
+                "array_max(transform(__v, x -> "
+                "abs(x - floor(x / __scale * 127.0) * __scale / 127.0)))"
+            ).alias("max_qerr"),
+        )
+    )

@@ -488,3 +488,41 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         (F.sum("__q") / F.lit(1e7)).alias("bm25")
     )
+
+
+def cross_doc_gram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """Per-document CROSS-corpus duplication score: the fraction of a
+    document's distinct word ``n``-grams that also occur in at least one
+    other document — the corpus-level complement of
+    `duplicate_gram_fraction` (within-doc repeats) and a cheap,
+    SQL-checkable stand-in for suffix-array ExactSubstr dedup: documents
+    with a high shared fraction are boilerplate/templated near-copies
+    that MinHash may miss when the shared spans are short.
+
+    Scale shape: grams travel as 64-bit hashes (hashed_word_ngrams — the
+    q94 probe trick), so the two corpus-sized exchanges (gram →
+    doc-frequency, gram → per-doc fraction re-join) carry 16-byte rows
+    instead of n-word strings; both partial-aggregate map-side. The
+    doc-frequency table is corpus-bounded but gram-distinct.
+
+    Output: (id_col, shared_frac double) — int/int division done once,
+    exact across engines; docs with < n tokens yield no grams and are
+    absent (matches SQL `unnest` of an empty list).
+    """
+    grams = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(hashed_word_ngrams(text_col, n))).alias("__g"),
+    )
+    gram_df = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        grams.join(gram_df, "__g")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).cast("bigint")
+                / F.count(F.lit(1))
+            ).alias("shared_frac")
+        )
+    )

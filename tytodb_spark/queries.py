@@ -3084,5 +3084,114 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_NIB = (
+    "(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), {i}, 1)) - 1)"
+)
+
+
+@query(
+    "q101_global_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             cast(({_SHARD_NIB.format(i=27)} * 16
+                   + {_SHARD_NIB.format(i=28)}) % 8 AS int) AS shard,
+             md5(cast(doc_id as varchar)) AS hh
+      FROM documents
+    )
+    SELECT shard, cast(count(*) AS bigint) AS n_docs,
+           arg_min(doc_id, hh) AS first_id, arg_max(doc_id, hh) AS last_id
+    FROM h GROUP BY shard
+    """,
+    doc="Deterministic global corpus shuffle into training shards: shard "
+    "= one md5 byte of the id, intra-shard order = the full digest — "
+    "reproducible across engines, runs and cluster sizes, unlike "
+    "orderBy(rand()). Plan: ONE hash exchange on the shard key + "
+    "sortWithinPartitions; NO global sort, no range-sampling pass. The "
+    "declared result audits the shards (count, first/last doc in shard "
+    "order) via min_by/max_by; operators/sampling.py global_shuffle.",
+)
+def q101_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import global_shuffle
+
+    sharded = global_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", n_shards=8
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by("doc_id", F.col("__h")).alias("first_id"),
+        F.max_by("doc_id", F.col("__h")).alias("last_id"),
+    )
+
+
+@query(
+    "q102_cross_doc_grams",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(4)}) AS s FROM documents),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         gd AS (SELECT g, count(*) AS docs FROM ex GROUP BY g)
+    SELECT doc_id,
+           cast(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS bigint)
+             / count(*) AS shared_frac
+    FROM ex JOIN gd USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document duplication score: fraction of a doc's distinct "
+    "4-grams shared with at least one OTHER doc — the corpus-level "
+    "complement of q95's within-doc repetition gate and a SQL-checkable "
+    "stand-in for suffix-array ExactSubstr dedup (catches templated "
+    "boilerplate whose shared spans are too short for MinHash). Grams "
+    "travel as 64-bit hashes, so both corpus-sized exchanges carry "
+    "16-byte rows; operators/textual.py cross_doc_gram_fraction.",
+)
+def q102_cross_doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import cross_doc_gram_fraction
+
+    return cross_doc_gram_fraction(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=4
+    )
+
+
+@query(
+    "q103_int8_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> cast(x AS double)) AS vv
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, vv,
+             list_max(list_transform(vv, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT label, cast(count(*) AS bigint) AS n_vecs,
+           cast(sum(cast(trunc(list_max(list_transform(vv,
+                  x -> abs(x - floor(x / scale * 127.0) * scale / 127.0)))
+                * 1e9) AS bigint)) AS bigint) AS qerr_1e9
+    FROM s WHERE scale > 0.0
+    GROUP BY label
+    """,
+    doc="Int8 scalar quantization of the embedding store (4x shrink "
+    "before ANN serving) with a reconstruction-error audit, summarized "
+    "per label. All array-lambda codegen (transform/array_max) — no "
+    "UDF, zero shuffles before the tiny per-label aggregate; the error "
+    "sum crosses engines as exact 1e-9-quantized integers (q79 "
+    "pattern); operators/similarity.py quantize_int8_audit.",
+)
+def q103_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import quantize_int8_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    audited = quantize_int8_audit(
+        emb.select("vec_id", "label", "embedding"), "vec_id", "embedding"
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    return audited.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.floor(F.col("max_qerr") * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("qerr_1e9"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
