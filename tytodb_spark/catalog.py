@@ -16,6 +16,7 @@ from functools import lru_cache
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from tytodb_spark.session import tune
 
@@ -54,6 +55,13 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
         # integer `div`, not `/`: double division of ~1.7e18 ns loses the
         # low bits (53-bit mantissa) and can round the microsecond up
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Canonicalize event-time: micros-precision parquet timestamps read
+    # natively as TIMESTAMP_NTZ, which unix_micros()/withWatermark() reject.
+    # Session tz is UTC (session.py), so reinterpreting NTZ wall-clock as
+    # instants matches DuckDB's epoch_us on the same files.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.to_timestamp(F.col(c)))
     return df
 
 
