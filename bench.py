@@ -22,6 +22,23 @@ from tytodb_spark.session import get_spark
 from tytodb_spark import queries as Q
 
 
+def _warm_python_workers(spark) -> None:
+    """Spin up the Python worker pool (one per core, each importing
+    pandas/pyarrow, ~1-2 s apiece) BEFORE timing starts. On a long-lived
+    cluster these workers exist already; without this the first
+    Pandas-UDF query in registry order absorbs the whole pool startup
+    (measured: 6-10 s of the first heavy textual query is worker spin-up,
+    reproducibly vanishing on a second run in the same session)."""
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(n * 4, numPartitions=n)
+
+    def _ident(it):
+        for b in it:
+            yield b
+
+    df.mapInPandas(_ident, "id long").count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -31,6 +48,7 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
     Q.REGISTRY["q01_filter_scan"].fn(spark, sf_dir).count()
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name, qd in Q.REGISTRY.items():

@@ -1,0 +1,30 @@
+"""bench_compare: baseline recovery + regression thresholds (no Spark)."""
+
+import json
+
+from bench_compare import compare, load_timings
+
+
+def test_load_from_bench_line(tmp_path):
+    p = tmp_path / "cur.json"
+    p.write_text(json.dumps({"metric": "m", "value": 2.0, "queries": {"q01_a": 1.0, "q02_b": 1.0}}))
+    assert load_timings(str(p)) == {"q01_a": 1.0, "q02_b": 1.0}
+
+
+def test_load_from_driver_tail_artifact(tmp_path):
+    # Driver artifacts keep only the truncated stdout tail; timings are
+    # recovered by regex scan over it.
+    p = tmp_path / "r.json"
+    p.write_text(json.dumps({"n": 1, "parsed": None, "tail": '.44, "q35_x": 1.5, "q36_y": -1.0}'}))
+    assert load_timings(str(p)) == {"q35_x": 1.5, "q36_y": -1.0}
+
+
+def test_compare_flags_only_material_regressions():
+    base = {"q1": 4.0, "q2": 0.3, "q3": 2.0, "q4": -1.0, "q5": 5.0}
+    cur = {"q1": 8.0, "q2": 0.6, "q3": 2.1, "q4": 1.0, "q5": 2.0, "q6": 1.0, "q7": -1.0}
+    rep = compare(base, cur)
+    assert set(rep["regressions"]) == {"q1"}  # q2 doubles but is sub-second noise
+    assert set(rep["improvements"]) == {"q5"}
+    assert rep["errors"] == ["q7"]  # current-run failure always surfaces
+    # q4 (baseline was an error) and q6 (new) are not regressions
+    assert "q4" not in rep["regressions"] and "q6" not in rep["regressions"]
