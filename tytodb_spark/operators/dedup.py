@@ -192,21 +192,82 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash64_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Engine-portable SimHash: each distinct token hashes to 64 bits via
+    md5 (two 32-bit hex halves), votes ±1 per bit, sign of the vote sum
+    becomes the bit. Same construction as :func:`simhash64` but over a
+    hash family (md5 → hex → int) that ANY engine reproduces bit-for-bit,
+    so a DuckDB oracle can recompute identical signatures — the
+    cross-engine verification path. Map-only (one fold over the token
+    array with a 64-wide zip_with accumulator; no shuffle, no Python).
+
+    :func:`simhash64` (xxhash64 + vectorized Arrow pack) remains the
+    throughput path when cross-engine reproducibility isn't needed.
+
+    Output: (id, simhash) — bit i of the signature = majority vote of
+    token-hash bit i (strict: ties → 0)."""
+    votes = F.expr(
+        """
+        aggregate(
+          transform(__tk, t -> named_struct(
+            'hi', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),
+            'lo', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint))),
+          array_repeat(cast(0 as bigint), 64),
+          (acc, v) -> zip_with(
+            acc,
+            transform(sequence(0, 63), i ->
+              case when i < 32 then (v.lo >> i) & 1
+                   else (v.hi >> (i - 32)) & 1 end),
+            (a, b) -> a + b)
+        )
+        """
+    )
+    # bit i set ⇔ set-votes strictly beat unset-votes: 2·cnt_i > n_tokens
+    packed = F.expr(
+        """
+        aggregate(
+          zip_with(__votes, sequence(0, 63),
+                   (c, i) -> if(2 * c > __n, shiftleft(cast(1 as bigint), i),
+                                cast(0 as bigint))),
+          cast(0 as bigint), (acc, b) -> acc + b)
+        """
+    )
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col).alias("__txt")), id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(F.col("__txt"), 1)).alias("__tk"),
+        )
+        .filter(F.size("__tk") > 0)
+        .select(F.col(id_col), votes.alias("__votes"), F.size("__tk").alias("__n"))
+        .select(F.col(id_col), packed.alias("simhash"))
+    )
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit signature into
     4 16-bit bands; Hamming ≤ 3 implies at least one band is identical
     (pigeonhole), so a 4-way band self-join finds all such pairs without
     a cross join. Verified with an exact popcount filter.
 
+    ``portable=True`` swaps the signature family to the md5-based
+    :func:`simhash64_portable` (bit-identical in other engines → DuckDB
+    oracle-checkable); the banding/verify plan is unchanged.
+
     The signature table is persisted: both sides of the band self-join
     consume it, and without the persist each branch would re-run the
-    signature UDF over the full corpus (map-side work gets no
+    signature computation over the full corpus (map-side work gets no
     shuffle-stage reuse, unlike the old groupBy formulation)."""
     from pyspark.storagelevel import StorageLevel
 
-    sh = simhash64(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_fn = simhash64_portable if portable else simhash64
+    sh = sig_fn(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -232,7 +293,7 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "sim_a", "sim_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

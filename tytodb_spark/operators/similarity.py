@@ -532,6 +532,43 @@ def pq_ann(
     )
 
 
+def ann_recall(
+    exact: DataFrame, ann: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """ANN quality gate: per-query recall@k of an approximate result
+    against the exact top-k, emitted as a boolean verdict.
+
+    This is how an approximate operator becomes DRIVER-CHECKABLE: the
+    approximate retrieval set itself is hash-family-dependent and can't
+    be value-compared across engines, but "recall@k ≥ threshold vs the
+    exact answer" is a quantified bound any oracle can assert (the
+    oracle side is just `SELECT query_id, TRUE`). A broken index —
+    empty buckets, wrong probe, bad re-scoring — drops recall below the
+    threshold and flips the verdict, failing the hash match.
+
+    Every exact-side query id yields exactly one output row (queries
+    the ANN missed entirely count as recall 0, not absent rows).
+
+    Output: (query_id, recall_ok)."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) / k >= threshold).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Per-vector int8 scalar quantization with a reconstruction-error
     audit — the compression step that shrinks an embedding store 4×
