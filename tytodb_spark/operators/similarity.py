@@ -155,6 +155,7 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 8,
     iters: int = 3,
+    quantize: int | None = 6,
 ) -> DataFrame:
     """Fully-distributed Lloyd's k-means (the iterative-algorithm shape;
     contrast :func:`train_ivf_centroids`, which trains on a driver-side
@@ -164,14 +165,19 @@ def kmeans_lloyd(
       array literals (k×dim doubles — metadata, the same thing a
       broadcast would ship) and each row takes argmin of k codegen'd
       squared-distance folds. No shuffle, no UDF.
-    - **update** is the q79 centroid pattern: posexplode the vectors
-      and average per (cluster, dimension) — ONE shuffle keyed on
-      (cluster, pos), so a dominant cluster spreads over dim reducers
-      instead of hot-spotting one. Only k×dim floats return to the
-      driver per iteration.
+    - **update** is a single k-group aggregation with one sum per
+      dimension: partial aggregation reduces map-side, so the shuffle
+      carries k×(dim+1) partials PER PARTITION — not the N×dim exploded
+      rows of the posexplode formulation this replaces (which shuffled
+      the entire vector table every iteration). Only k×dim floats
+      return to the driver.
 
     Deterministic: init = first k vectors by id; argmin ties resolve to
-    the lowest cluster index. Returns (id_col, cluster) assignments.
+    the lowest cluster index. ``quantize`` rounds each updated centroid
+    component to that many decimals — float summation order then can't
+    leak into assignments, making the fixed-iteration run bit-stable
+    across partitionings AND across engines (the DuckDB oracle for q81
+    replays the same quantized iterations). Returns (id_col, cluster).
     """
 
     def dist_to(c: list[float]) -> Column:
@@ -183,21 +189,29 @@ def kmeans_lloyd(
         [float(x) for x in r[0]]
         for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
     ]
+    dim = len(centroids[0])
+
     def assign(cents: list[list[float]]) -> Column:
         dists = F.array(*[dist_to(c) for c in cents])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
+    v = F.col(vec_col).cast("array<double>")
+    sums = [
+        F.sum(F.element_at(v, i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
     for _ in range(iters):
         rows = (
             df.withColumn("__cluster", assign(centroids))
-            .select("__cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("__cluster", "pos")
-            .agg(F.avg("v").alias("c"))
+            .groupBy("__cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
             .collect()
         )
         new = {j: list(centroids[j]) for j in range(k)}  # empty keeps old
         for r in rows:
-            new[r["__cluster"]][r["pos"]] = r["c"]
+            mean = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            if quantize is not None:
+                mean = [round(x, quantize) for x in mean]
+            new[r["__cluster"]] = mean
         centroids = [new[j] for j in range(k)]
     return df.select(id_col, assign(centroids).alias("cluster"))
 

@@ -234,6 +234,25 @@ def winnow_key(col: Column | str, window: int = 8) -> Column:
     return F.when(F.size(h) > 0, F.array_min(h)).otherwise(F.xxhash64(F.col(col) if isinstance(col, str) else col))
 
 
+def winnow_key_portable(col: Column | str, window: int = 8) -> Column:
+    """Engine-portable :func:`winnow_key`: same min-over-window-hashes
+    key, but each window hash is the first 32 md5 bits of the
+    space-joined token gram — reproducible bit-for-bit in any engine
+    with md5 (the DuckDB oracle for q92 recomputes it), vs the
+    xxhash64+rotation rolling hash which is Spark-only. 32 bits is
+    plenty for a candidate SIEVE key (collisions just add candidates,
+    they never lose one). The rolling-hash variant stays the throughput
+    path: it hashes each token once instead of materializing gram
+    strings (~3× less allocation, see :func:`rolling_hashes`)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def h32(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    hashes = F.transform(word_ngrams(c, window), h32)
+    return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(h32(c))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard pair similarity (inverted-index join — shuffle-scalable)
 # ---------------------------------------------------------------------------

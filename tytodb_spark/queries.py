@@ -2411,16 +2411,73 @@ def q80_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _KMEANS_ORACLE(k: int = 8, iters: int = 3, dim: int = 64, q: int = 6) -> str:
+    """DuckDB replay of the quantized fixed-iteration Lloyd's loop
+    (operators/similarity.py kmeans_lloyd): same init (first k vectors
+    by id), same argmin tie-break (lowest cluster), same
+    round-to-q-decimals centroid update — quantization makes the
+    iteration bit-stable across engines, so even an ITERATIVE algorithm
+    is hash-checkable."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"({e}.v[i] - {c}.v[i]) * ({e}.v[i] - {c}.v[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    def assign_cte(t: int) -> str:
+        return f"""
+    a{t} AS (SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e', 'c')}, c.cluster) AS rn
+        FROM e CROSS JOIN c{t} c) WHERE rn = 1)"""
+
+    avgs = ", ".join(f"round(avg(e.v[{i + 1}]), {q}) AS d{i}" for i in range(dim))
+    newvec = "[" + ", ".join(f"u.d{i}" for i in range(dim)) + "]"
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v"
+        f" FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(iters):
+        ctes.append(assign_cte(t))
+        ctes.append(
+            f"""
+    u{t} AS (SELECT a{t}.cluster, {avgs}
+             FROM a{t} JOIN e USING (vec_id) GROUP BY a{t}.cluster)"""
+        )
+        ctes.append(
+            f"""
+    c{t + 1} AS (SELECT c{t}.cluster,
+                 CASE WHEN u.cluster IS NULL THEN c{t}.v ELSE {newvec} END AS v
+                 FROM c{t} LEFT JOIN u{t} u USING (cluster))"""
+        )
+    ctes.append(assign_cte(iters))
+    joined = ",\n".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT cast(cluster AS INTEGER) AS cluster, cast(count(*) AS BIGINT) AS n
+    FROM a{iters} GROUP BY cluster
+    """
+
+
 @query(
     "q81_kmeans_clusters",
-    None,  # iterative algorithm — rows-only check (driver contract)
+    _KMEANS_ORACLE(),
     doc="Fully-distributed Lloyd's k-means over the embeddings (3 "
     "iterations, k=8): assignment is map-side argmin over inlined "
-    "centroid literals (no shuffle, no UDF); the update step is the "
-    "q79 centroid pattern — one (cluster, dimension)-keyed shuffle per "
-    "iteration, k×dim floats to the driver. Deterministic init (first "
-    "k vectors by id). Output: cluster sizes. Iterative convergence is "
-    "not SQL-expressible, so this is a declared rows-only check; "
+    "centroid literals (no shuffle, no UDF); the update step is ONE "
+    "k-group aggregation with a sum per dimension — map-side partial "
+    "aggregation means the shuffle carries k×(dim+1) partials per "
+    "partition, not N×dim exploded rows; k×dim floats to the driver "
+    "per iteration. Deterministic init (first k vectors by id); "
+    "centroids quantized to 6 decimals per iteration so summation "
+    "order can't leak into assignments — which makes the whole "
+    "iterative run replayable in DuckDB (the oracle runs the same "
+    "quantized iterations as chained CTEs). Output: cluster sizes; "
     "operators/similarity.py kmeans_lloyd.",
 )
 def q81_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2648,37 +2705,65 @@ def q86_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q87_hll_sketch_merge",
-    None,  # sketch estimates are approximate — rows-only; tolerance
-    # vs exact distinct counts asserted in tests/test_llm_ops.py
+    """
+    SELECT event_type, cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT user_id) as bigint) AS exact_users,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', cast(count(*) as bigint),
+           cast(count(DISTINCT user_id) as bigint), TRUE
+    FROM events
+    """,
     doc="Mergeable HLL sketches (Datasketches via hll_sketch_agg): "
     "per-source sketches of the distinct user population, then a "
     "hll_union_agg rollup to the global estimate WITHOUT rescanning — "
     "the re-aggregatable form of q38's approx_count_distinct. At "
     "100 TB this is how distinct counts compose: sketch once per "
     "partition/day (bytes, not rows), union upward through every "
-    "rollup grain. Output: per-source estimates plus an 'ALL' row "
-    "whose estimate comes only from merging the per-source sketches.",
+    "rollup grain. Output: per-source rows plus an 'ALL' row whose "
+    "estimate comes only from merging the per-source sketches. "
+    "Driver-checkable as a quantified bound (q38 pattern): each row "
+    "carries within_bounds = |estimate-exact| ≤ 5%·exact — the merged "
+    "row's bound proves union-of-sketches ≈ distinct-of-union.",
 )
 def q87_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
-    )
-    per_source = sketches.select(
-        "event_type",
-        "n_events",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     merged = sketches.agg(
         F.hll_union_agg("sk").alias("sk"),
         F.sum("n_events").alias("n_events"),
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        "n_events",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    ).withColumns(
+        {
+            "event_type": F.lit("ALL"),
+            # exact distinct over the union, for the bound only (the
+            # ESTIMATE must come from the sketch merge, and does)
+            "exact_users": F.lit(None).cast("long"),
+        }
     )
-    return per_source.unionByName(merged)
+    exact_all = ev.agg(F.countDistinct("user_id").alias("__ea"))
+    merged = merged.crossJoin(F.broadcast(exact_all)).select(
+        "event_type",
+        "n_events",
+        F.col("__ea").alias("exact_users"),
+        F.col("sk").alias("sk"),
+    )
+    verdict = lambda df: df.select(  # noqa: E731
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_bounds"),
+    )
+    return verdict(sketches.select("event_type", "n_events", "exact_users", "sk")).unionByName(
+        verdict(merged)
+    )
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -2745,7 +2830,12 @@ def q88_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q89_multimodal_resize",
-    None,  # stubbed codec output — rows-only; shape/determinism in pytest
+    """
+    SELECT 'image/raw-rgb' AS mime,
+           cast(count(*) as bigint) AS n_items,
+           cast(count(*) * 192 as bigint) AS total_bytes
+    FROM documents WHERE doc_id < 100
+    """,
     doc="Multimodal resize stage (operators/multimodal.py "
     "resize_images): every payload rescaled to a fixed 8×8 RGB frame "
     "via Arrow-batched mapInPandas, metadata updated in the same "
@@ -2753,7 +2843,11 @@ def q88_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature/frame stages. Codec stubbed deterministically (no PIL in "
     "this container); the Spark-side plumbing — schema, batch shape, "
     "output sizing — is real. Output: per-mime count and total output "
-    "bytes of the resized corpus.",
+    "bytes of the resized corpus. Driver-checkable because the resize "
+    "contract is exact: every output payload is width*height*3 = 192 "
+    "bytes of mime image/raw-rgb, so the oracle predicts the rollup "
+    "without running the codec — a broken mapInPandas (dropped rows, "
+    "wrong sizing, stale meta) breaks the hash match.",
 )
 def q89_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.multimodal import resize_images, to_media_table
@@ -2845,23 +2939,39 @@ def q91_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_WINNOW_ORACLE = f"""
+    WITH g AS (SELECT doc_id, {_NGRAMS(8)} AS grams, text FROM documents),
+    k AS (SELECT doc_id,
+          CASE WHEN len(grams) > 0
+               THEN list_min(list_transform(grams,
+                    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))
+               ELSE ('0x' || substr(md5(text), 1, 8))::BIGINT END AS wk
+          FROM g)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM k a JOIN k b ON a.wk = b.wk AND a.doc_id < b.doc_id
+    """
+
+
 @query(
     "q92_winnow_candidates",
-    None,  # xxhash64 keys are engine-specific — rows-only; properties
-    # (identical docs collide, stability) asserted in pytest
-    doc="Winnowed rolling-hash candidate pairs (the MOSS-style "
-    "fingerprint, operators/textual.py winnow_key): each document is "
-    "keyed by the MIN of its rolling 8-token-window xxhash64 stream, "
-    "and documents sharing a key become near-exact dup candidates. "
+    _WINNOW_ORACLE,
+    doc="Winnowed min-window-hash candidate pairs (the MOSS-style "
+    "fingerprint, operators/textual.py winnow_key_portable): each "
+    "document is keyed by the MIN of its 8-token-window hashes, and "
+    "documents sharing a key become near-exact dup candidates. "
     "Cheapest of the candidate generators — one 8-byte key per doc, "
     "ONE shuffle on that key (vs MinHash-LSH's b keys per doc), at "
     "the price of catching only docs that share their minimal window. "
-    "The 100 TB pipeline runs this as the first sieve before LSH.",
+    "The 100 TB pipeline runs this as the first sieve before LSH. "
+    "Declared with the md5-gram hash family so DuckDB recomputes "
+    "identical keys (hash-checkable); the xxhash64 rolling-hash family "
+    "(winnow_key — hashes each token once, no gram materialization) is "
+    "the throughput path, exercised in pytest.",
 )
 def q92_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    from tytodb_spark.operators.textual import spread, winnow_key
+    from tytodb_spark.operators.textual import spread, winnow_key_portable
 
     # persist the 8-byte keys: both self-join branches reuse them, and
     # (as with shingle_table) the persist is an optimizer barrier that
@@ -2869,7 +2979,7 @@ def q92_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join branch and recomputed over the full corpus twice
     docs = (
         spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-        .select("doc_id", winnow_key("text", 8).alias("wk"))
+        .select("doc_id", winnow_key_portable("text", 8).alias("wk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = docs.select(F.col("doc_id").alias("id_a"), "wk")
@@ -3070,24 +3180,27 @@ def q97_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q98_ann_pq",
-    None,  # approximate retrieval set → rows-only check
+    _ANN_RECALL_ORACLE,
     doc="Product-quantization ANN with asymmetric distance (Jégou "
     "2011): per-subspace codebooks (driver-side sample metadata), "
-    "map-only distributed encode to m small codes (the 32x-smaller "
+    "map-only distributed encode to m small codes (the 16x-smaller "
     "index a 100 TB embedding column scans as), per-query distance "
     "tables broadcast, ADC scored JVM-side as an aggregate fold over "
     "array lookups, two-phase top-k; operators/similarity.py pq_ann. "
     "Composes with IVF (q57): IVF bounds the scanned fraction, PQ "
-    "bounds bytes per scanned vector.",
+    "bounds bytes per scanned vector. Driver-checkable as a quantified "
+    "bound: PQ is a re-ranking compressor, so the gate is exact-top-3 "
+    "recall within PQ's top-10 (measured ≥ 2/3 per query at m=32/"
+    "k_codes=16 on the adversarial isotropic fixture; gate at 1/3).",
 )
 def q98_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.operators.similarity import pq_ann
+    from tytodb_spark.operators.similarity import ann_recall, brute_force_knn, pq_ann
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_ann(
-        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
-        k=3, m=8, k_codes=16,
-    )
+    q = emb.filter(F.col("vec_id") < 5)
+    ann = pq_ann(q, emb, "vec_id", "embedding", k=10, m=32, k_codes=16)
+    exact = brute_force_knn(q, emb, "vec_id", "embedding", k=3)
+    return ann_recall(exact, ann, k=3, threshold=1 / 3)
 
 
 @query(
