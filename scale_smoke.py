@@ -240,6 +240,21 @@ def main() -> None:
         "k× base map-side anti-join; 1× change keys broadcast",
     )
 
+    # embedding near-dup pairs: replicas land in k× DISJOINT label
+    # blocks (both keys shifted), so true pairs grow k× — not the k²
+    # a same-block replication would measure. build_rows forces the
+    # keyed-shuffle path: the broadcast gate must not fire at scale.
+    from tytodb_spark.operators.dedup import embedding_dup_pairs
+
+    emb_blocked = replicate(t["embeddings"], k, ["vec_id", "label"])
+    ops["embedding_dups"] = (
+        embedding_dup_pairs(
+            emb_blocked, "vec_id", "embedding", threshold=0.35,
+            block_col="label", build_rows=10**9,
+        ).select("id_a"),
+        "k× disjoint blocks; per-block shuffle join, no broadcast",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()

@@ -171,6 +171,39 @@ def test_embedding_dup_pairs(spark):
     assert pairs == {(0, 1)}  # 0-3 blocked apart; 0-2 orthogonal
 
 
+def test_embedding_dup_strategies_agree(spark):
+    """broadcast / keyed-shuffle / triangle paths return identical
+    pairs — the strategy gate changes the plan, never the answer."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(
+            vec_id=i,
+            v=[rng.gauss(0, 1) for _ in range(8)],
+            b=i % 3,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows).withColumn("v", F.col("v").cast("array<float>"))
+
+    def pairs(**kw):
+        return sorted(
+            map(
+                tuple,
+                D.embedding_dup_pairs(df, "vec_id", "v", threshold=0.3, **kw)
+                .collect(),
+            )
+        )
+
+    keyed_bc = pairs(block_col="b")
+    keyed_shuffle = pairs(block_col="b", build_rows=10**9)
+    assert keyed_bc == keyed_shuffle and keyed_bc
+    flat_bc = pairs()
+    flat_triangle = pairs(build_rows=10**9)
+    assert flat_bc == flat_triangle and flat_bc
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -324,48 +324,107 @@ def cosine(vec_a, vec_b):
     return dot(vec_a, vec_b) / (F.sqrt(dot(vec_a, vec_a)) * F.sqrt(dot(vec_b, vec_b)))
 
 
-def embedding_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    block_col: str | None = None,
-) -> DataFrame:
-    """Exact near-dup pairs by cosine ≥ threshold. With ``block_col``
-    the self-join is restricted to equal blocking keys (e.g. an LSH
-    bucket or a label) — the scale path; without it this is the small-N
-    exact baseline."""
-    keys = [block_col] if block_col else []
-    # spread the probe side / broadcast the build side: every core then
-    # PRODUCES its share of pairs and scores them in place — no pair
-    # shuffle at all, and the (few, skewed) block keys never serialize
-    # the join. At corpus scale the build side becomes the per-block
-    # shuffle partition instead of a broadcast; the probe-side spread
-    # stays.
-    # norms are per-ROW invariants: computing them before the join does
-    # 2N dot products once instead of 2·|pairs| inside the pair loop —
-    # per pair only the cross dot remains (≈3× less array-fold work,
-    # the dominant cost of exact scoring)
-    a = spread(
-        df.select(
-            *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-        ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va")))),
-        id_col if id_col in keys else "id_a",
-    )
-    b = F.broadcast(
-        df.select(
-            *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-        ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"))))
-    )
-    joined = a.join(b, keys) if keys else a.crossJoin(b)
-    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
+def _scored_pairs(cand: DataFrame, threshold: float) -> DataFrame:
+    """Score candidate (id_a, va, na, id_b, vb, nb) rows; canonical id
+    order in the output (cos is orientation-symmetric: the zip_with
+    fold multiplies the same doubles in the same sequence either way)."""
     return (
-        pairs.withColumn(
+        cand.withColumn(
             "cos_sim",
             F.round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos_sim",
+        )
     )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, suffix: str, *extra):
+    # norms are per-ROW invariants: computing them before the join does
+    # 2N dot products once instead of 2·|pairs| inside the pair loop —
+    # per pair only the cross dot remains (≈3× less array-fold work,
+    # the dominant cost of exact scoring)
+    return df.select(
+        *extra, F.col(id_col).alias(f"id_{suffix}"), F.col(vec_col).alias(f"v{suffix}")
+    ).withColumn(f"n{suffix}", F.sqrt(dot(F.col(f"v{suffix}"), F.col(f"v{suffix}"))))
+
+
+def _triangle_pairs(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """Exact all-pairs candidates WITHOUT a broadcast: hash rows into B
+    blocks and meet every unordered block pair (i ≤ j) — each side is
+    replicated ~B/2× and the join shuffles on the (i, j) composite, so
+    parallelism is B(B+1)/2 block-pairs and NO task ever holds more
+    than 2/B of the corpus (the broadcast formulation holds all of it
+    in every executor — the 100 TB OOM). Same-block candidates appear
+    in both orientations → keep id_a < id_b; cross-block pairs appear
+    once in arbitrary orientation → keep all (canonicalized later)."""
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "__ba int, __bb int",
+    )
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = df.withColumn("__b", bucket)
+    a = _with_norm(base, id_col, vec_col, "a", "__b").withColumnRenamed(
+        "__b", "__ba"
+    ).join(F.broadcast(block_pairs), "__ba")
+    b = _with_norm(base, id_col, vec_col, "b", "__b").withColumnRenamed(
+        "__b", "__bb"
+    ).join(F.broadcast(block_pairs), "__bb")
+    return a.join(b, ["__ba", "__bb"]).filter(
+        (F.col("__ba") != F.col("__bb")) | (F.col("id_a") < F.col("id_b"))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    build_rows: int | None = None,
+    broadcast_max_rows: int = 100_000,
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ threshold.
+
+    Strategy is SIZE-GATED, never unconditional:
+
+    - build side ≤ ``broadcast_max_rows`` (≈ tens of MB of vectors):
+      broadcast it and spread the probe side — every core produces its
+      share of pairs in place, zero pair shuffle.
+    - larger + ``block_col`` (an LSH bucket, label, IVF cell): plain
+      shuffle join on the block key — AQE splits skewed blocks and
+      never materializes the corpus in one executor.
+    - larger + no block key: triangle block decomposition
+      (:func:`_triangle_pairs`) — exact all-pairs with bounded
+      per-task memory. (At true corpus scale you almost always want a
+      block_col from q42/q49 instead; this bounds the no-key case.)
+
+    ``build_rows`` skips the gating count when the caller already knows
+    the cardinality."""
+    keys = [block_col] if block_col else []
+    n = build_rows if build_rows is not None else df.select(id_col).count()
+    if n <= broadcast_max_rows:
+        a = spread(_with_norm(df, id_col, vec_col, "a", *keys), "id_a")
+        b = F.broadcast(_with_norm(df, id_col, vec_col, "b", *keys))
+        joined = a.join(b, keys) if keys else a.crossJoin(b)
+        cand = joined.filter(F.col("id_a") < F.col("id_b"))
+    elif keys:
+        a = _with_norm(df, id_col, vec_col, "a", *keys)
+        b = _with_norm(df, id_col, vec_col, "b", *keys)
+        cand = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        para = df.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(4, int((2 * para) ** 0.5))
+        cand = _triangle_pairs(df, id_col, vec_col, n_blocks)
+    return _scored_pairs(cand, threshold)
 
 
 # ---------------------------------------------------------------------------
