@@ -27,6 +27,22 @@ def test_create_insert_commit_search(engine):
     assert rows[2]["score"] == 0.0 and rows[2]["ok"] is False
 
 
+def test_auto_commit_insert_durable(spark, tmp_path):
+    """auto_commit commits each CREATE ROW immediately
+    (src/database.rs:630-633): a FRESH engine over the same warehouse
+    dir sees the rows without any explicit COMMIT, and ROLLBACK after
+    the fact has nothing staged to discard."""
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh, auto_commit=True)
+    e1.execute(SCHEMA)
+    r = e1.execute("CREATE ROW [id, name] [1, 'ana'] ON 'users'")
+    assert "auto_commit" in r.message
+    e1.execute("CREATE ROW [id, name] [2, 'bob'] ON 'users'")
+    e1.execute("ROLLBACK 'users'")  # nothing staged — rows already durable
+    e2 = Engine(spark, wh)
+    assert sorted(r["id"] for r in e2.execute("SEARCH ON 'users'").rows()) == [1, 2]
+
+
 def test_rollback_discards(engine):
     engine.execute(SCHEMA)
     engine.execute("CREATE ROW [id] [1] ON 'users'")

@@ -91,6 +91,24 @@ def test_container_distributed_read(spark, tmp_path):
     assert sorted((r["tag"], r["n"]) for r in got) == [("t0", 50), ("t1", 50), ("t2", 50)]
 
 
+def test_container_distributed_write_roundtrip(spark, tmp_path):
+    """write_containers shards per partition (no rows on the driver) and
+    the shards read back to exactly the input rows."""
+    cols = [("id", TC.BIGINT), ("v", TC.FLOAT), ("tag", TC.string_code(10))]
+    src = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") / 4.0).alias("v"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("tag"),
+    ).repartition(4)
+    out = str(tmp_path / "shards")
+    manifest = TC.write_containers(src, out, cols).collect()
+    assert len(manifest) == 4  # one shard per non-empty partition
+    assert sum(m["n_rows"] for m in manifest) == 200
+    assert all(os.path.exists(m["path"]) for m in manifest)
+    back = TC.read_containers(spark, f"{out}/*.tysp", cols)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_container_schema_mismatch_raises(spark, tmp_path):
     cols = [("id", TC.BIGINT)]
     TC.write_container(str(tmp_path / "a.tysp"), cols, [(1,)])

@@ -31,6 +31,27 @@ def test_bounded_bytes_truncates(spark):
     assert _one(spark, bounded_bytes(c, 10)) == bytearray(b"0123456789")
 
 
+def test_coerce_binary_directions(spark):
+    """The four binary-involved cells of the matrix, disambiguated by
+    the explicit source type (src/alba_types.rs:117-275,331-334)."""
+    # bytes→text renders base64 (rs:130)
+    assert _one(spark, coerce(F.lit(b"ab\x00"), "TEXT", "NANO-BYTES")) == "YWIA"
+    # bytes→bytes passes through — no spurious unbase64 of raw bytes
+    assert _one(
+        spark, coerce(F.lit(b"abc"), "SMALL-BYTES", "NANO-BYTES")
+    ) == bytearray(b"abc")
+    # text→bytes decodes base64 (rs:331-334)
+    assert _one(spark, coerce(F.lit("YWJj"), "SMALL-BYTES")) == bytearray(b"abc")
+    # bounded binary target still truncates after the pass-through
+    assert _one(
+        spark, coerce(F.lit(b"0123456789ABCDEF"), "NANO-BYTES", "SMALL-BYTES")
+    ) == bytearray(b"0123456789")
+    # bytes→bounded-string truncates the RENDERED base64, not the bytes
+    assert _one(
+        spark, coerce(F.lit(b"0123456789ABCDEF"), "NANO-STRING", "NANO-BYTES")
+    ) == "MDEyMzQ1Nj"
+
+
 def test_coerce_float_to_int_truncates(spark):
     # `as` cast semantics: toward zero (src/alba_types.rs:146-151)
     assert _one(spark, coerce(F.lit(2.9), "INT")) == 2

@@ -66,10 +66,16 @@ class Engine:
         spark: SparkSession,
         warehouse_dir: str,
         external_tables: dict[str, DataFrame] | None = None,
+        auto_commit: bool = False,
     ):
         self.spark = spark
         self.warehouse = Warehouse(spark, warehouse_dir, external_tables)
         self._cursors: dict[str, _Cursor] = {}
+        #: commit immediately after every CREATE ROW, mirroring the
+        #: reference's auto-commit connection setting which commits the
+        #: insert before returning (src/database.rs:630-633). EDIT and
+        #: DELETE stay staged either way, as in the reference.
+        self.auto_commit = auto_commit
 
     # -- public API -----------------------------------------------------------
     def execute(self, command: str, args: list[str] | None = None) -> Result:
@@ -90,6 +96,9 @@ class Engine:
             return Result(message=f"container {stmt.name!r} created")
         if isinstance(stmt, ast.CreateRow):
             self.warehouse.stage_insert(stmt.container, stmt.columns, stmt.values)
+            if self.auto_commit:
+                self.warehouse.commit(stmt.container)
+                return Result(message="row committed (auto_commit)")
             return Result(message="row staged")
         if isinstance(stmt, ast.Search):
             return self._run_search(stmt)

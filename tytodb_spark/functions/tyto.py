@@ -75,14 +75,24 @@ def zero_default(alba_type: str) -> object:
     return ""  # CHAR / TEXT / *-STRING
 
 
-def coerce(col: Column, target_alba_type: str) -> Column:
+def coerce(
+    col: Column, target_alba_type: str, source_alba_type: str | None = None
+) -> Column:
     """The implicit coercion matrix (src/alba_types.rs:117-275):
     anything→Text via to_string / base64(bytes); string→int/float parse;
     bool↔int; float→int truncating; string→bool for 0/1/t/f/true/false;
     string↔bytes via base64.
-    """
+
+    ``source_alba_type`` disambiguates the binary directions — an
+    unresolved Column's Spark type is not introspectable, but every
+    caller (warehouse, AQL engine) knows the schema it reads from, so
+    the source type is an input, not a guess: bytes→text is a base64
+    RENDER, text→bytes a base64 DECODE, bytes→bytes passes through
+    undecoded. Omitted (non-binary source) keeps string-direction
+    behavior."""
     t = target_alba_type.upper()
     spark_t, cap = ALBA_TYPES[t]
+    src_binary = bool(source_alba_type) and source_alba_type.upper().endswith("BYTES")
 
     if t in ("INT", "BIGINT"):
         target = "int" if t == "INT" else "bigint"
@@ -103,19 +113,13 @@ def coerce(col: Column, target_alba_type: str) -> Column:
             .otherwise(col.try_cast("boolean"))
         )
     if isinstance(spark_t, T.BinaryType):
-        # string→bytes via base64 decode (src/alba_types.rs:331-334)
-        out = F.unbase64(col) if not _is_binary(col) else col
+        # bytes→bytes passes through undecoded; string→bytes is a
+        # base64 decode (src/alba_types.rs:331-334)
+        out = col if src_binary else F.unbase64(col)
         return F.substring(out, 1, cap) if cap else out
     # string targets: bytes render as base64 text (src/alba_types.rs:130)
-    out = F.base64(col) if _is_binary(col) else col.cast("string")
+    out = F.base64(col) if src_binary else col.cast("string")
     return F.substring(out, 1, cap) if cap else out
-
-
-def _is_binary(col: Column) -> bool:
-    # Best-effort: callers that coerce from binary should pass a typed col;
-    # expression-level type isn't introspectable without a schema, so we
-    # expose explicit helpers below for the binary direction.
-    return False
 
 
 def bytes_to_text(col: Column) -> Column:

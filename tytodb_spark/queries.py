@@ -1354,11 +1354,12 @@ def q53_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(sum(n_chars) as bigint) AS total_chars
     FROM documents WHERE doc_id < 300 GROUP BY source
     """,
-    doc="Fixed-width binary container source (the reference's storage "
-    "model, layout re-specified — src/container.rs:435-520): documents "
-    "exported to a TYSP container file, read back distributed via "
+    doc="Fixed-width binary container source AND sink (the reference's "
+    "storage model, layout re-specified — src/container.rs:435-520): "
+    "documents written DISTRIBUTED as per-partition TYSP shards (only "
+    "the shard manifest reaches the driver), read back distributed via "
     "binaryFile + vectorized mapInPandas parse, aggregated; "
-    "sources/tyto_container.py.",
+    "sources/tyto_container.py write_containers/read_containers.",
 )
 def q54_container_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1374,12 +1375,15 @@ def q54_container_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     tmp = tempfile.mkdtemp(prefix="tyto_cont_")
     try:
-        rows = [
-            (r["doc_id"], r["source"], r["n_chars"])
-            for r in docs.select("doc_id", "source", "n_chars").collect()
-        ]
-        TC.write_container(f"{tmp}/docs.tysp", cols, rows)
-        back = TC.read_containers(spark, tmp, cols)
+        # distributed write: 4 partitions → 4 shard files, no rows on
+        # the driver (only the shard manifest comes back)
+        manifest = TC.write_containers(
+            docs.select("doc_id", "source", "n_chars").repartition(4),
+            tmp,
+            cols,
+        )
+        assert manifest.count() > 1, "expected multiple shards"
+        back = TC.read_containers(spark, f"{tmp}/*.tysp", cols)
         out = back.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),

@@ -81,9 +81,9 @@ def schema_of(cols: list[tuple[str, int]]) -> T.StructType:
 
 
 def write_container(path: str, cols: list[tuple[str, int]], rows: list[tuple]) -> None:
-    """Driver-side writer (test fixtures / small exports). A distributed
-    writer is one `df.foreachPartition` away — each partition writes its
-    own container file into a directory."""
+    """Single-file writer over in-memory rows — the per-shard encoder
+    that :func:`write_containers` runs inside every partition (also
+    handy for driver-side test fixtures)."""
     header = bytearray(MAGIC)
     header += struct.pack("<BH", VERSION, len(cols))
     for name, code in cols:
@@ -106,6 +106,39 @@ def write_container(path: str, cols: list[tuple[str, int]], rows: list[tuple]) -
                 body += struct.pack("<Q", len(payload)) + payload.ljust(cap, b"\0")
     with open(path, "wb") as f:
         f.write(bytes(header) + bytes(body))
+
+
+def write_containers(df: DataFrame, out_dir: str, cols: list[tuple[str, int]]) -> DataFrame:
+    """DISTRIBUTED container writer: each input partition encodes and
+    writes its own shard file (atomic tmp+rename), mirroring how the
+    reference's one-file-per-table database dir (src/database.rs:99-108)
+    generalizes to a sharded directory. No rows touch the driver — the
+    returned manifest (path, n_rows per shard) is the only thing
+    collected. Paths assume a shared filesystem across executors (local
+    FS here; an object-store deployment swaps the two file calls).
+
+    Returns the manifest DataFrame; force it (count/collect) to run the
+    write."""
+    import os
+
+    names = [n for n, _ in cols]
+
+    def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        rows: list[tuple] = []
+        for pdf in it:
+            rows.extend(pdf[names].itertuples(index=False, name=None))
+        if not rows:
+            return
+        shard = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tysp")
+        tmp = shard + ".tmp"
+        write_container(tmp, cols, rows)
+        os.rename(tmp, shard)
+        yield pd.DataFrame({"path": [shard], "n_rows": [len(rows)]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.select(names).mapInPandas(write_part, "path string, n_rows long")
 
 
 def _parse_header(buf: bytes) -> tuple[list[tuple[str, int]], int]:
