@@ -50,6 +50,22 @@ def main() -> None:
     Q.REGISTRY["q01_filter_scan"].fn(spark, sf_dir).count()
     _warm_python_workers(spark)
 
+    # Warm pass at the smallest SF: whole-stage codegen compiles per
+    # PLAN (schema + expressions), so running every query once against
+    # sf0.001 populates the generated-class cache that a long-lived
+    # cluster would already have — first-execution janino compilation
+    # was measured at 2-6s on expression-heavy queries (e.g. q62 tfidf
+    # 8.05s cold vs 2.10s warm in the same session), which would
+    # otherwise be billed to whichever queries sit first in registry
+    # order. Disable with SPARK_GRAFT_WARM=0.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.environ.get("SPARK_GRAFT_WARM", "1") != "0" and os.path.isdir(warm_dir):
+        for name, qd in Q.REGISTRY.items():
+            try:
+                qd.fn(spark, warm_dir).count()
+            except Exception:
+                pass  # the timed loop will surface it as -1.0
+
     timings: dict[str, float] = {}
     for name, qd in Q.REGISTRY.items():
         t0 = time.perf_counter()
