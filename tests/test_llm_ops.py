@@ -606,3 +606,47 @@ def test_temperature_mix_alpha_one_is_uniform_rate(spark):
         for r in df.filter(md5_uniform16("doc_id") < 0.25 * 65536).collect()
     )
     assert sorted(r.doc_id for r in kept.collect()) == expect
+
+
+def test_passage_dedup_stats(spark):
+    from tytodb_spark.operators.textual import passage_dedup_stats
+
+    base = " ".join(f"w{i}" for i in range(40))  # exactly 2 chunks of 20
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup_stats(df, "doc_id", "text", 20).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["n_dup_chunks"] == 0  # keeper
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 2  # full copy
+    assert out[2]["n_chunks"] == 1 and out[2]["n_dup_chunks"] == 0
+
+
+def test_unigram_nll_uniform_corpus(spark):
+    import math
+
+    from tytodb_spark.operators.textual import unigram_nll
+
+    # two tokens, equal frequency -> every token has p=1/2, nll=ln 2
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "bb aa")], "doc_id long, text string"
+    )
+    rows = unigram_nll(df, "doc_id", "text").collect()
+    for r in rows:
+        assert r["n_toks"] == 2
+        assert abs(r["nll"] - math.log(2)) < 1e-6
+
+
+def test_weighted_sample_deterministic_any_partitioning(spark):
+    from tytodb_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(df.repartition(1), "doc_id", "w", 50).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df.repartition(16), "doc_id", "w", 50).collect())
+    assert a == b and len(a) == 50
+    # heavier rows must be overrepresented: mean weight of the sample
+    # exceeds the population mean (w in 1..7, E[w]=4)
+    got_w = [r["w"] for r in weighted_sample(df, "doc_id", "w", 50).collect()]
+    assert sum(got_w) / len(got_w) > 4.0

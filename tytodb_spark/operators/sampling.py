@@ -112,3 +112,46 @@ def global_shuffle(df: DataFrame, id_col: str, n_shards: int = 8) -> DataFrame:
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("__h")
     )
+
+
+def md5_uniform52(id_col: Column | str) -> Column:
+    """Deterministic 52-bit uniform in (0, 1): the FIRST 13 md5 hex
+    chars as an integer, +0.5, over 2^52 — numerator < 2^53 and the
+    divisor is a power of two, so the double is EXACT and identical in
+    any engine that has md5 (DuckDB mirror:
+    `(('0x'||substr(md5(id),1,13))::BIGINT + 0.5) / 4503599627370496`).
+    Disjoint from the hex ranges used by q69 splits / md5_uniform16 /
+    global_shuffle only in purpose — it reads chars 1-13, which overlap
+    q69's 1-2; don't combine this draw with the split assignment."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h52 = F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast("bigint")
+    return (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws a deterministic uniform u from md5(id) and
+    takes priority ln(u)/w — the k largest priorities are a weighted
+    sample without replacement. Heavier rows get priorities closer to
+    0, hence more likely into the top-k; the md5 draw makes the SAME
+    sample come out at any parallelism, any engine, any run — unlike
+    rand()-based sampling, which is not reproducible across
+    partitionings.
+
+    Priorities are quantized to integers (floor(·1e7)) with an id
+    tie-break so a last-ulp ln() difference between libm
+    implementations cannot reorder the boundary. Top-k runs as
+    TakeOrderedAndProject (per-partition heads + driver merge of
+    k·partitions rows — no global sort shuffle).
+
+    Output: original columns + pri_q, the k sampled rows."""
+    w = F.col(weight_col).cast("double")
+    pri = F.log(md5_uniform52(id_col)) / w  # ln(u) < 0; larger = better
+    pri_q = F.floor(pri * 1e7).cast("bigint")
+    return (
+        df.withColumn("pri_q", pri_q)
+        .orderBy(F.col("pri_q").desc(), F.col(id_col))
+        .limit(k)
+    )

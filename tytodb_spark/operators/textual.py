@@ -545,3 +545,82 @@ def cross_doc_gram_fraction(
             ).alias("shared_frac")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup (fixed-token-window chunks, corpus-wide keep-first)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 20
+) -> DataFrame:
+    """Passage-level exact dedup (the RefinedWeb/Dolma step BELOW
+    document granularity): split every document into fixed
+    ``chunk_tokens``-token passages, dedup passages CORPUS-WIDE by
+    content hash with a deterministic keep-first rule (lowest
+    (doc_id, chunk_idx) survives), and report per-document duplication.
+
+    Plan shape: one explode (×n_chunks/doc), ONE shuffle on the passage
+    content key for the keep-first window, one shuffle back onto doc_id
+    for the rollup — both narrow (the passage TEXT never shuffles, only
+    its md5 key). Boilerplate passages are the classic skew key: AQE
+    handles moderate skew, and an exact-dedup pre-pass removes
+    whole-doc copies first in the declared pipeline.
+
+    Output: (id, n_chunks, n_dup_chunks) — n_dup_chunks counts this
+    doc's passages that already occur earlier in the corpus order.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_list = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    chunks = (
+        spread(df.select(id_col, text_col), id_col)
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.posexplode(chunk_list).alias("__idx", "__chunk"))
+        .select(F.col(id_col), "__idx", F.md5(F.col("__chunk")).alias("__key"))
+    )
+    w = W.partitionBy("__key").orderBy(F.col(id_col), F.col("__idx"))
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("__rn") > 1).cast("int")).cast("bigint").alias("n_dup_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM negative log likelihood (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the CCNet-style fluency/quality signal
+    (documents full of rare or garbage tokens score high).
+
+    Two passes over the token stream: (1) vocabulary counts (narrow
+    aggregate — map-side partials collapse each partition to its
+    distinct terms), (2) token→probability join + per-doc mean. The
+    vocab here is broadcast; at web scale the term table outgrows a
+    broadcast and this becomes a shuffle join on term plus a min-count
+    floor — same plan shape, different join strategy (AQE picks).
+
+    nll is rounded to 6 decimals so float summation order can't leak
+    into comparisons (ln of identical rationals is engine-stable; the
+    sum order is not). Output: (id, n_toks, nll).
+    """
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__term")
+    )
+    vocab = toks.groupBy("__term").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").cast("bigint").alias("__s"))
+    scored = toks.join(F.broadcast(vocab), "__term").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(
+            F.avg(-F.log(F.col("__c").cast("double") / F.col("__s").cast("double"))), 6
+        ).alias("nll"),
+    )

@@ -3380,6 +3380,88 @@ def q103_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q104_passage_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ch AS (SELECT doc_id,
+           unnest(list_transform(range(0, cast(ceil(len(tk) / 20.0) AS BIGINT)),
+                  i -> struct_pack(idx := i,
+                       key := md5(array_to_string(tk[i*20+1 : i*20+20], ' '))))) AS c
+           FROM t WHERE len(tk) > 0),
+    r AS (SELECT doc_id, (c).idx AS idx,
+          row_number() OVER (PARTITION BY (c).key ORDER BY doc_id, (c).idx) AS rn
+          FROM ch)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_chunks,
+           cast(sum((rn > 1)::INT) AS BIGINT) AS n_dup_chunks
+    FROM r GROUP BY doc_id
+    """,
+    doc="Passage-level exact dedup (sub-document granularity — the "
+    "RefinedWeb/Dolma step between exact doc dedup q40 and near-dup "
+    "q42): 20-token passages, corpus-wide keep-first by content hash "
+    "(lowest (doc_id, idx) survives), per-doc duplication rollup. One "
+    "shuffle on the md5 passage key (passage text never shuffles), one "
+    "on doc_id; operators/textual.py passage_dedup_stats.",
+)
+def q104_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import passage_dedup_stats
+
+    return passage_dedup_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=20
+    )
+
+
+@query(
+    "q105_unigram_nll",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT sum(c) AS s FROM v)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_toks,
+           round(avg(-ln(c::DOUBLE / s::DOUBLE)), 6) AS nll
+    FROM tok JOIN v USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Per-document mean negative log-likelihood under the corpus's "
+    "own unigram LM (CCNet-style fluency signal; rare-token-heavy docs "
+    "score high): one vocab aggregate, one broadcast term join, one "
+    "per-doc mean — at web scale the term table outgrows the broadcast "
+    "and AQE runs the same plan as a shuffle join; "
+    "operators/textual.py unigram_nll.",
+)
+def q105_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q106_weighted_sample",
+    """
+    WITH p AS (SELECT doc_id, source,
+        cast(floor(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+                      / 4503599627370496.0)
+                   / n_chars::DOUBLE * 1e7) AS BIGINT) AS pri_q
+        FROM documents)
+    SELECT doc_id, source, pri_q FROM p ORDER BY pri_q DESC, doc_id LIMIT 200
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES, weight = n_chars): deterministic md5-derived uniforms make "
+    "the SAME sample come out at any parallelism or engine (rand()-"
+    "based sampling is partitioning-dependent); priorities quantized "
+    "to integers so libm ln() ulp differences can't flip the boundary; "
+    "top-k runs as TakeOrderedAndProject, no global sort; "
+    "operators/sampling.py weighted_sample.",
+)
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 200).select(
+        "doc_id", "source", "pri_q"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -3414,6 +3496,9 @@ _CHECK_FIRST = [
     # r01 red (fixed) + converted no-oracle checks
     "q37_interval_join", "q43_simhash", "q49_ann_srp",
     "q57_ann_ivf", "q38_approx_distinct", "q39_stateful_anomalies",
+    # round-2 additions (first driver rows next rotation; oracle-tested
+    # locally by tests/test_oracle_differential.py meanwhile)
+    "q104_passage_dedup", "q105_unigram_nll", "q106_weighted_sample",
 ]
 
 REGISTRY = {
