@@ -650,3 +650,60 @@ def test_weighted_sample_deterministic_any_partitioning(spark):
     # exceeds the population mean (w in 1..7, E[w]=4)
     got_w = [r["w"] for r in weighted_sample(df, "doc_id", "w", 50).collect()]
     assert sum(got_w) / len(got_w) > 4.0
+
+
+def test_incremental_minhash_skips_old_pairs(spark):
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=0, text=t, is_new=False),
+        Row(doc_id=1, text=t, is_new=False),          # old×old dup: excluded
+        Row(doc_id=2, text=t, is_new=True),           # new, dups 0 and 1
+        Row(doc_id=3, text="nothing like the others at all", is_new=True),
+    ]
+    out = minhash_lsh_pairs_incremental(
+        spark.createDataFrame(rows), "doc_id", "text", "is_new",
+        shingle_n=1, num_hashes=64, num_bands=32, threshold=0.5,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) not in pairs          # old×old never verified
+    assert (0, 2) in pairs and (1, 2) in pairs
+
+
+def test_cross_source_dup_matrix(spark):
+    from tytodb_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        Row(doc_id=0, text="shared alpha", source="a"),
+        Row(doc_id=1, text="Shared  ALPHA ", source="b"),  # dup of 0 normalized
+        Row(doc_id=2, text="only in a", source="a"),
+        Row(doc_id=3, text="shared alpha", source="c"),
+    ]
+    out = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_source_dup_matrix(
+            spark.createDataFrame(rows), "doc_id", "text", "source"
+        ).collect()
+    }
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_length_bucketed_batches(spark):
+    from tytodb_spark.operators.sampling import length_bucketed_batches
+
+    # 20 seqs of len 10 (bucket 0) + 3 of len 40 (bucket 1), batch_size 16
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)] + [(100 + i, 40 + i) for i in range(3)],
+        "doc_id long, n long",
+    )
+    out = {
+        (r["bucket"], r["batch_id"]): r
+        for r in length_bucketed_batches(df, "doc_id", "n", 32, 16).collect()
+    }
+    assert out[(0, 0)]["n_seqs"] == 16 and out[(0, 1)]["n_seqs"] == 4
+    assert out[(0, 0)]["padding_frac"] == 0.0  # equal lengths pad nothing
+    b1 = out[(1, 0)]
+    assert b1["n_seqs"] == 3 and b1["max_len"] == 42
+    # padding_frac is rounded to 6 decimals by the operator
+    assert abs(b1["padding_frac"] - (1 - (40 + 41 + 42) / (3 * 42))) < 1e-6

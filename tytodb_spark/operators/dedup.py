@@ -143,6 +143,105 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: the pair search restricted to
+    pairs that INVOLVE a new-batch document (``new_col`` boolean) — the
+    daily-corpus-update shape. The band join probes new-batch band rows
+    against the full banded corpus, so old×old pairs are never
+    generated or verified: for a new batch of size m against a corpus
+    of size N the candidate work is O(m·bucket) instead of re-running
+    the full O(N·bucket) dedup. Signatures/banding/verify are shared
+    with :func:`minhash_lsh_pairs` semantics (same recall guarantee).
+
+    Output: (id_a, id_b, jaccard) canonical id order, ≥1 side new.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = shingle_table(df, id_col, text_col, shingle_n).select("__id", "__sh")
+    flags = df.select(F.col(id_col).alias("__id"), F.col(new_col).alias("__new"))
+    sig = base.join(flags, "__id").select(
+        "__id", "__new", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        "__new",
+        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+        "__sig",
+    ).select(
+        "__id",
+        "__new",
+        "band",
+        F.xxhash64(
+            F.slice("__sig", F.col("band") * rows_per_band + 1, rows_per_band)
+        ).alias("bucket"),
+    )
+    left = banded.filter(F.col("__new")).select(
+        F.col("__id").alias("__l"), "band", "bucket"
+    )
+    right = banded.select(F.col("__id").alias("__r"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("__l") != F.col("__r"))
+        .select(
+            F.least("__l", "__r").alias("id_a"),
+            F.greatest("__l", "__r").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = base
+    verified = (
+        candidates.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def cross_source_dup_matrix(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source exact-duplicate accounting: for every unordered
+    source pair, how many distinct content keys occur in BOTH — the
+    contamination/overlap matrix a corpus assembler checks before
+    mixing crawls (and the cheap preview of benchmark contamination).
+
+    Two narrow shuffles: distinct (content key, source) — map-side
+    partials collapse each partition to its distinct pairs — then a
+    self-join on the key. The key side is an md5, so the join never
+    ships document text.
+
+    Output: (src_a, src_b, n_shared) with src_a < src_b."""
+    keys = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__key"),
+        F.col(source_col).alias("__src"),
+    ).distinct()
+    a = keys.select(F.col("__key"), F.col("__src").alias("src_a"))
+    b = keys.select(F.col("__key"), F.col("__src").alias("src_b"))
+    return (
+        a.join(b, "__key")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -155,3 +155,43 @@ def weighted_sample(
         .orderBy(F.col("pri_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_width: int = 32,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Length-bucketed batch assembly (the inference/training batching
+    step AFTER packing): bucket sequences by length/``bucket_width``,
+    order within each bucket by (length, id), cut into
+    ``batch_size``-row batches, and report per-batch padding waste
+    (1 - Σlen / (n·maxlen) — what padding-to-longest costs).
+
+    One shuffle on the bucket key for the intra-bucket window. A hot
+    bucket (most docs the same length) serializes its window at
+    extreme scale — there, split the order key into (bucket, salt)
+    ranges or use repartitionByRange(len) instead; the fixture's
+    buckets are balanced.
+
+    Output: (bucket, batch_id, n_seqs, max_len, padding_frac)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket").orderBy(F.col("__len"), F.col(id_col))
+    seqs = (
+        df.select(F.col(id_col), F.col(len_col).cast("bigint").alias("__len"))
+        .withColumn("bucket", F.floor(F.col("__len") / bucket_width).cast("int"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("__rn") - 1) / batch_size).cast("int"))
+    )
+    return seqs.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max("__len").alias("max_len"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("__len") / (F.count(F.lit(1)) * F.max("__len")),
+            6,
+        ).alias("padding_frac"),
+    )

@@ -3462,6 +3462,112 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q107_incremental_minhash",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+         nw AS (SELECT doc_id FROM documents WHERE source = 'src0')
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM ex a JOIN ex b USING (g)
+    WHERE a.doc_id < b.doc_id
+      AND (a.doc_id IN (SELECT doc_id FROM nw)
+           OR b.doc_id IN (SELECT doc_id FROM nw))
+    GROUP BY 1, 2
+    HAVING jaccard >= 0.5
+    """,
+    doc="Incremental near-dup detection (the daily-corpus-update "
+    "shape): MinHash-LSH pair search restricted to pairs involving a "
+    "NEW-batch doc (here source='src0' plays the new batch) — the band "
+    "join probes new band rows against the banded corpus, so old×old "
+    "pairs are never generated or verified; candidate work is O(m) in "
+    "the batch size, not O(N) in the corpus. Oracle = exhaustive "
+    "trigram Jaccard filtered to new-involving pairs (same recall "
+    "argument as q42); operators/dedup.py minhash_lsh_pairs_incremental.",
+)
+def q107_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__is_new", F.col("source") == "src0"
+    )
+    return minhash_lsh_pairs_incremental(
+        docs, "doc_id", "text", "__is_new",
+        shingle_n=3, num_hashes=64, num_bands=16, threshold=0.5,
+    )
+
+
+@query(
+    "q108_cross_source_dups",
+    r"""
+    WITH d AS (SELECT doc_id, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text, 'mirror'
+               FROM documents WHERE doc_id % 11 = 0),
+    k AS (SELECT DISTINCT
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS key,
+            source
+          FROM d)
+    SELECT a.source AS src_a, b.source AS src_b,
+           cast(count(*) AS BIGINT) AS n_shared
+    FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplicate matrix (contamination accounting before "
+    "mixing crawls): distinct (content-key, source) pairs, md5-key "
+    "self-join, per unordered source pair the count of keys present in "
+    "both. Two narrow shuffles; document text never ships. The fixture "
+    "has no natural cross-source dups, so (q88 pattern) every 11th doc "
+    "is mirrored into a synthetic 'mirror' source identically in both "
+    "engines to make the matrix non-trivial; "
+    "operators/dedup.py cross_source_dup_matrix.",
+)
+def q108_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirrored = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return cross_source_dup_matrix(
+        docs.unionByName(mirrored), "doc_id", "text", "source"
+    )
+
+
+@query(
+    "q109_length_batching",
+    """
+    WITH s AS (SELECT doc_id, n_chars::BIGINT AS len,
+                      cast(floor(n_chars / 32.0) AS INTEGER) AS bucket
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                       ORDER BY len, doc_id) AS rn FROM s)
+    SELECT bucket, cast(floor((rn - 1) / 16.0) AS INTEGER) AS batch_id,
+           cast(count(*) AS BIGINT) AS n_seqs,
+           max(len) AS max_len,
+           round(1.0 - sum(len)::DOUBLE / (count(*) * max(len)), 6)
+             AS padding_frac
+    FROM r GROUP BY 1, 2
+    """,
+    doc="Length-bucketed batch assembly (the inference/training "
+    "batching step after packing): bucket by length/32, intra-bucket "
+    "(length, id) order cut into 16-row batches, per-batch padding "
+    "waste reported (1 - sum/(n·max) — the cost of pad-to-longest). "
+    "One shuffle on the bucket key; "
+    "operators/sampling.py length_bucketed_batches.",
+)
+def q109_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import length_bucketed_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_bucketed_batches(
+        docs, "doc_id", "n_chars", bucket_width=32, batch_size=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -3499,6 +3605,8 @@ _CHECK_FIRST = [
     # round-2 additions (first driver rows next rotation; oracle-tested
     # locally by tests/test_oracle_differential.py meanwhile)
     "q104_passage_dedup", "q105_unigram_nll", "q106_weighted_sample",
+    "q107_incremental_minhash", "q108_cross_source_dups",
+    "q109_length_batching",
 ]
 
 REGISTRY = {
