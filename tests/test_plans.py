@@ -194,3 +194,34 @@ def test_cdc_merge_base_stays_map_side(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "LeftAnti, BuildRight" in plan
     assert P.num_broadcast_joins(df) >= 1
+
+
+def test_passage_dedup_narrow_shuffles(spark, sf_dir):
+    # passage explode is map-side; exactly the content-key window
+    # exchange, the doc rollup exchange, and the explicit compute
+    # spread — passage TEXT never shuffles (only the md5 key column)
+    df = _df(spark, sf_dir, "q104_passage_dedup")
+    assert P.num_shuffles(df) <= 3
+    # the window exchange hashes the md5 key, not passage text
+    assert "hashpartitioning(__key" in P.physical_plan(df)
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    # top-k by priority is TakeOrderedAndProject (per-partition heads),
+    # never a global Sort
+    df = _df(spark, sf_dir, "q106_weighted_sample")
+    assert P.has_take_ordered(df)
+
+
+def test_unigram_nll_broadcast_vocab(spark, sf_dir):
+    # the term join must broadcast the vocab (fixture-sized), and the
+    # 1-row total joins as a broadcast NL — the token stream is only
+    # exchanged for the per-doc rollup + compute spread
+    df = _df(spark, sf_dir, "q105_unigram_nll")
+    assert P.num_broadcast_joins(df) >= 1
+
+
+def test_incremental_minhash_no_cross_join(spark, sf_dir):
+    # candidate generation stays a band-bucket equi-join
+    plan = P.physical_plan(_df(spark, sf_dir, "q107_incremental_minhash"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
