@@ -3568,6 +3568,97 @@ def q109_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q110_mad_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, s.med,
+               abs(e.value - s.med) AS adev
+        FROM events e JOIN stats s USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, any_value(med) AS med, median(adev) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           cast(count(*) AS BIGINT) AS n_events,
+           cast(sum((d.adev > 3.5 * m.mad)::INT) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection (median/MAD, the rank-based z-score "
+    "that survives the outliers it hunts): per-type exact median, "
+    "median absolute deviation, count of |x-med| > 3.5·MAD. Two "
+    "passes over events with narrow per-type stats broadcast back — "
+    "the standard two-round shape for rank statistics (exact medians "
+    "are not one-pass-mergeable; at 100 TB swap the exact median for "
+    "approx_percentile and this becomes one pass per round with "
+    "sketch merges).",
+)
+def q110_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("adev") > 3.5 * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "q111_grouped_top_terms",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    cnt AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+    r AS (SELECT source, term, n,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n DESC, term) AS rnk
+          FROM cnt)
+    SELECT source, term, cast(n AS BIGINT) AS n, cast(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+    doc="Per-group top-k terms (the grouped form of q73's global "
+    "top-k): token counts per (source, term), then the distributed "
+    "two-phase top-k per source (similarity.py topk_per_key — local "
+    "per-partition heads, then the global k; the term dictionary is "
+    "never fully sorted). Deterministic (count desc, term) tie-break.",
+)
+def q111_grouped_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import topk_per_key
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        spread(docs.select("source", "text"), "source")
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = topk_per_key(cnt, "source", [F.col("n").desc(), F.col("term")], 5)
+    return out.select(
+        "source", "term", F.col("n").cast("bigint").alias("n"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -3606,7 +3697,7 @@ _CHECK_FIRST = [
     # locally by tests/test_oracle_differential.py meanwhile)
     "q104_passage_dedup", "q105_unigram_nll", "q106_weighted_sample",
     "q107_incremental_minhash", "q108_cross_source_dups",
-    "q109_length_batching",
+    "q109_length_batching", "q110_mad_outliers", "q111_grouped_top_terms",
 ]
 
 REGISTRY = {
