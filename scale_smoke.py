@@ -255,6 +255,37 @@ def main() -> None:
         "k× disjoint blocks; per-block shuffle join, no broadcast",
     )
 
+    # passage-level dedup: replicas are exact copies, so passage groups
+    # grow k deep while the distinct-key space stays constant — the
+    # honest dedup replication regime (cf. dedup_exact above)
+    from tytodb_spark.operators.textual import passage_dedup_stats
+
+    ops["passage_dedup"] = (
+        passage_dedup_stats(docs, "doc_id", "text", 20).select("doc_id"),
+        "k-deep passage groups; md5-key shuffle only",
+    )
+
+    # unigram LM scoring: k× token stream, constant vocabulary — the
+    # vocab aggregate and broadcast stay fixed-size as k grows
+    from tytodb_spark.operators.textual import unigram_nll
+
+    ops["unigram_nll"] = (
+        unigram_nll(docs, "doc_id", "text").select("doc_id"),
+        "k× tokenize; constant vocab broadcast",
+    )
+
+    # incremental dedup: 1× new batch against a k× banded corpus — the
+    # probe side stays constant; candidate growth tracks bucket depth
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    inc = docs.withColumn("__is_new", F.col("doc_id") < 100)
+    ops["incremental_minhash"] = (
+        minhash_lsh_pairs_incremental(
+            inc, "doc_id", "text", "__is_new", shingle_n=3, threshold=0.5
+        ).select("id_a"),
+        "1× new batch probes k× banded corpus; no old×old pairs",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
