@@ -707,3 +707,28 @@ def test_length_bucketed_batches(spark):
     assert b1["n_seqs"] == 3 and b1["max_len"] == 42
     # padding_frac is rounded to 6 decimals by the operator
     assert abs(b1["padding_frac"] - (1 - (40 + 41 + 42) / (3 * 42))) < 1e-6
+
+
+def test_connected_components_star_equals_label_prop(spark):
+    """large-star/small-star and min-label propagation agree on chains
+    (worst case for label prop), cliques, and random graphs."""
+    import random
+
+    from tytodb_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    chain = [(i, i + 1) for i in range(60)]                  # diameter 60
+    clique = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    rand = [
+        (200 + rng.randrange(40), 200 + rng.randrange(40)) for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in chain + clique + rand if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = sorted(map(tuple, connected_components(df, max_iters=100).collect()))
+    star = sorted(map(tuple, connected_components_star(df).collect()))
+    assert lab == star
+    # chain collapses to one component rooted at 0
+    assert all(c == 0 for v, c in star if v <= 60)

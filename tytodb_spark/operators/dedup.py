@@ -596,6 +596,100 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs_df: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., MapReduce CC) — converges in O(log² n) rounds
+    instead of the graph DIAMETER that min-label propagation
+    (:func:`connected_components`) needs, which is what matters when
+    near-dup chains get long (bot-generated template families, crawl
+    mirror chains). Per round:
+
+    - **large-star**: every node hangs its LARGER neighbors onto its
+      current minimum (strictly-decreasing potential, no star grows);
+    - **small-star**: every node and its smaller neighbors re-hang onto
+      the minimum of that neighborhood (flattens chains into stars).
+
+    Each step is one groupBy shuffle over the edge set; edges only
+    shrink toward the final star forest. Convergence is detected with a
+    (count, xxhash64-bit_xor) edge-set signature — an equality proxy
+    whose collision odds (~2⁻⁶⁴/round) are immaterial.
+
+    Output: (vertex, component) — component = min vertex id reachable,
+    identical to :func:`connected_components` on any input."""
+    und = (
+        pairs_df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs_df.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def neighborhood_min(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def signature(edges: DataFrame):
+        # bit_xor, not sum: order-insensitive AND overflow-free under
+        # ANSI arithmetic (edge sets are distinct, so xor parity is safe)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = signature(und)
+    for _ in range(max_iters):
+        # large-star: (v, m(u)) for v > u
+        lm = neighborhood_min(und)
+        large = (
+            und.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over edges oriented high→low: node u and its
+        # smaller neighbors all re-hang onto the neighborhood min
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        sm = neighborhood_min(oriented)
+        small = (
+            oriented.join(sm, "u")
+            .select(F.col("v"), F.col("m"), F.col("u"))
+            .select(
+                F.explode(F.array(F.col("v"), F.col("u"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(small)
+        und = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # final star forest: every remaining directed edge (u→v) has v = the
+    # component root; roots label themselves
+    stars = und.filter(F.col("u") > F.col("v"))
+    members = stars.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    roots = stars.select(F.col("v").alias("vertex")).distinct().withColumn(
+        "component", F.col("vertex")
+    )
+    return members.groupBy("vertex").agg(F.min("component").alias("component")).union(
+        roots
+    ).groupBy("vertex").agg(F.min("component").alias("component"))
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,
@@ -603,6 +697,7 @@ def near_dup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     method: str = "lsh",
+    cc: str = "star",
 ) -> DataFrame:
     """End-to-end near-dup clustering: near-dup pairs → connected
     components → one cluster id (min doc id) per document that has at
@@ -613,14 +708,20 @@ def near_dup_clusters(
     O(N²) even without a prefix-filterable threshold). ``"exact"`` uses
     the AllPairs prefix filter; both verify candidates with exact
     Jaccard, so at r=4/b=16 and t=0.5 their pair sets coincide (LSH
-    miss probability for a qualifying pair is ≤(1-t^r)^b ≈ 3e-8)."""
+    miss probability for a qualifying pair is ≤(1-t^r)^b ≈ 3e-8).
+
+    ``cc="star"`` (default) labels components with large-star/small-star
+    (O(log² n) rounds — the web-scale path); ``"label"`` keeps min-label
+    propagation (O(diameter) rounds, fine for small dense clusters).
+    Both produce identical (vertex, min-id) labels."""
     if method == "lsh":
         pairs = minhash_lsh_pairs(df, id_col, text_col, shingle_n=n, threshold=threshold)
     else:
         from tytodb_spark.operators.textual import jaccard_pairs
 
         pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    comp = connected_components(pairs, "id_a", "id_b")
+    cc_fn = connected_components_star if cc == "star" else connected_components
+    comp = cc_fn(pairs, "id_a", "id_b")
     return comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
     )
