@@ -56,6 +56,26 @@ def test_stateful_anomaly_detector(spark, sf_dir):
     assert len(got) > 0  # the synthetic values do contain spikes
 
 
+def test_batch_twin_equals_reference(spark, sf_dir):
+    """The distributed grouped-map twin (q39's self-consistency side)
+    reproduces the driver-side pandas reference exactly."""
+    from tytodb_spark.streaming.stateful import (
+        anomalies_batch,
+        anomalies_batch_reference,
+    )
+
+    events = load_tables(spark, sf_dir)["events"]
+    got = sorted(
+        (r["user_id"], r["event_id"], r["value"], round(r["running_mean_before"], 9))
+        for r in anomalies_batch(events, factor=3.0, min_history=5).collect()
+    )
+    want = sorted(
+        (u, e, v, round(m, 9))
+        for u, e, v, m in anomalies_batch_reference(events, factor=3.0, min_history=5)
+    )
+    assert got == want and got
+
+
 def test_session_windows_gap_semantics(spark):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731

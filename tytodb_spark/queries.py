@@ -858,19 +858,42 @@ def _NGRAMS(n: int) -> str:
 
 @query(
     "q39_stateful_anomalies",
-    None,  # feedback recurrence → not SQL-expressible; pandas-reference
-    # equality is asserted in tests/test_streaming.py
+    """
+    SELECT cast(count(DISTINCT user_id) as bigint) AS n_users_checked,
+           TRUE AS stream_equals_batch
+    FROM events
+    """,
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "per-user anomaly detection where flagged events are excluded from "
     "the running mean — the state depends on the operator's own prior "
     "output, which no window aggregate can express; "
-    "streaming/stateful.py anomalies_stateful.",
+    "streaming/stateful.py anomalies_stateful. The recurrence itself is "
+    "not SQL-expressible, so the driver check is a SELF-CONSISTENCY "
+    "gate: the streaming run must flag exactly the events its "
+    "independent distributed batch twin (grouped-map applyInPandas, "
+    "same recurrence) flags; the oracle asserts the verdict TRUE plus "
+    "the SQL-derivable user count. Exact flagged-set equality vs the "
+    "driver-side pandas reference stays in tests/test_streaming.py.",
 )
 def q39_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.streaming.stateful import anomalies_stateful
+    from tytodb_spark.streaming.stateful import anomalies_batch, anomalies_stateful
 
-    return anomalies_stateful(
-        spark, _t(spark, sf_dir, "events"), factor=3.0, min_history=5
+    ev = _t(spark, sf_dir, "events")
+    stream = anomalies_stateful(spark, ev, factor=3.0, min_history=5).select(
+        "user_id", "event_id"
+    )
+    batch = anomalies_batch(ev, factor=3.0, min_history=5).select(
+        "user_id", "event_id"
+    )
+    mism = (
+        stream.exceptAll(batch)
+        .union(batch.exceptAll(stream))
+        .agg(F.count(F.lit(1)).alias("__n_mismatch"))
+    )
+    users = ev.agg(F.countDistinct("user_id").alias("n_users_checked"))
+    return users.crossJoin(mism).select(
+        "n_users_checked",
+        (F.col("__n_mismatch") == 0).alias("stream_equals_batch"),
     )
 
 

@@ -125,6 +125,49 @@ def anomalies_stateful(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def anomalies_batch(
+    events: DataFrame, factor: float = 3.0, min_history: int = 5
+) -> DataFrame:
+    """DISTRIBUTED batch twin of the state machine: the identical
+    recurrence as a grouped-map applyInPandas over each user's full
+    (ts, event_id)-ordered history. Per-key sequential scanning is
+    inherent to the semantics (the state feeds back into itself), so
+    one worker per user-group IS the parallel decomposition; float
+    arithmetic is the same pandas float64 sequence as the streaming
+    operator, so flag decisions match bit-for-bit. q39 uses this as the
+    independent implementation the streaming result must equal."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n, total = 0, 0.0
+        out_user, out_event, out_value, out_mean = [], [], [], []
+        for user_id, event_id, value in zip(
+            pdf["user_id"], pdf["event_id"], pdf["value"]
+        ):
+            if n >= min_history and value > factor * (total / n):
+                out_user.append(user_id)
+                out_event.append(event_id)
+                out_value.append(float(value))
+                out_mean.append(total / n)
+                continue  # feedback: anomalies don't enter the state
+            n += 1
+            total += float(value)
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out_user, dtype="int64"),
+                "event_id": pd.array(out_event, dtype="int64"),
+                "value": pd.array(out_value, dtype="float64"),
+                "running_mean_before": pd.array(out_mean, dtype="float64"),
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, ANOMALY_SCHEMA)
+    )
+
+
 def anomalies_batch_reference(events: DataFrame, factor: float = 3.0, min_history: int = 5):
     """Driver-side pandas reference implementation (test oracle)."""
     pdf = (
