@@ -30,10 +30,9 @@ def test_oracle_match(spark, oracle_sf_dir, con, name):
     assert res["ok"], f"{name}: {res}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_runs(spark, oracle_sf_dir, name):
-    qd = Q.REGISTRY[name]
-    df = qd.fn(spark, oracle_sf_dir)
-    n = df.count()
-    assert n >= 0
-    assert df.schema is not None
+def test_every_query_has_an_oracle():
+    """As of round 2 every registry entry is oracle-checked (approximate
+    ops via verdict/recall/bounds columns, q39 via its stream-equals-
+    batch gate). Keep it that way: a new query without an oracle should
+    be a deliberate, documented exception, not a default."""
+    assert ROWS_ONLY_NAMES == []
