@@ -3686,45 +3686,43 @@ def q111_grouped_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry order = driver check order
 # ---------------------------------------------------------------------------
 # The round driver's CORRECTNESS artifact covers a prefix of the registry
-# (50 entries in r01), so iteration order decides which queries get a
-# driver-verified row this round. Rotation policy: entries WITHOUT a green
-# driver row yet come first — r02 leads with the 47 entries r01 never
-# reached, then the r01 red row (q37, since fixed) and the freshly
-# converted no-oracle→oracle checks (q43, q49; q57/q38 follow immediately
-# in case the checked prefix is longer). The r01-green block keeps its
-# original relative order at the back. Every entry is ALSO
-# oracle-verified locally per-commit by tests/test_oracle_differential.py,
-# which has no prefix cap.
+# (50 entries in r01 and r02), so iteration order decides which queries
+# get a driver-verified row this round. Rotation policy: entries WITHOUT
+# a green driver row yet come first. r03 leads with the 11 entries that
+# are still driver-unverified (the round-2 additions q104–q111 plus the
+# converted no-oracle→oracle checks q57/q38/q39 — all outside r02's
+# 50-entry prefix), then this round's new queries, then the OLDEST
+# r01-green block (q01–q13, q20–q37) whose driver rows predate two
+# rounds of refactoring. Every entry is ALSO oracle-verified locally
+# per-commit by tests/test_oracle_differential.py, which has no prefix
+# cap.
 
 _CHECK_FIRST = [
-    "q56_grouping_sets", "q58_salted_skew_join", "q59_percentiles",
-    "q60_pivot", "q61_full_outer_join", "q62_tfidf",
-    "q63_correlated_subquery", "q64_event_gaps", "q65_ntile_deciles",
-    "q66_stream_stream_join", "q67_stream_dedup", "q68_stratified_sample",
-    "q69_dataset_split", "q70_corpus_clean", "q71_near_dup_clusters",
-    "q72_dedup_canonical", "q73_top_terms", "q74_range_frame_window",
-    "q75_json_roundtrip", "q76_time_rollup", "q77_partition_pruning",
-    "q78_zorder_box", "q79_label_centroids", "q80_pandas_udaf_median",
-    "q81_kmeans_clusters", "q82_funnel", "q83_cohort_retention",
-    "q84_sequence_packing", "q85_latest_per_key", "q86_theta_join",
-    "q87_hll_sketch_merge", "q88_pii_scrub", "q89_multimodal_resize",
-    "q90_two_phase_distinct", "q91_schema_evolution",
-    "q92_winnow_candidates", "q93_json_typed_decode", "q94_decontaminate",
-    "q95_repetition_filter", "q96_bm25", "q97_cdc_merge", "q98_ann_pq",
-    "q99_domain_mix", "q100_stream_static_join", "q101_global_shuffle",
-    "q102_cross_doc_grams", "q103_int8_quantize",
-    # r01 red (fixed) + converted no-oracle checks
-    "q37_interval_join", "q43_simhash", "q49_ann_srp",
-    "q57_ann_ivf", "q38_approx_distinct", "q39_stateful_anomalies",
-    # round-2 additions (first driver rows next rotation; oracle-tested
-    # locally by tests/test_oracle_differential.py meanwhile)
+    # --- still driver-unverified after r02 (first priority) ---
     "q104_passage_dedup", "q105_unigram_nll", "q106_weighted_sample",
     "q107_incremental_minhash", "q108_cross_source_dups",
     "q109_length_batching", "q110_mad_outliers", "q111_grouped_top_terms",
+    "q57_ann_ivf", "q38_approx_distinct", "q39_stateful_anomalies",
+    # --- round-3 additions (first driver rows this rotation) ---
+    "q112_star_clusters", "q113_mad_outliers_approx",
+    "q114_minhash_recall", "q115_bloom_prefilter",
+    "q116_tokenizer_bpe", "q117_stream_rate_limit",
+    "q118_robust_scale", "q119_ngram_lm_perplexity",
+    # --- oldest r01-green block: re-verify post-refactor code ---
+    "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
+    "q05_union_all", "q06_subquery_source", "q07_point_lookup",
+    "q08_range_scan", "q09_pagination", "q10_coercion",
+    "q11_bounded_string", "q12_aql_search", "q13_aql_crud",
+    "q20_pricing_summary", "q21_broadcast_join", "q22_multiway_join",
+    "q23_semi_join", "q24_anti_join", "q25_window_rank",
+    "q26_running_sum", "q27_topk", "q28_rollup", "q29_cube",
+    "q30_distinct_agg", "q31_set_ops", "q32_scalars",
+    "q33_event_windows", "q34_stream_windows", "q35_session_windows",
+    "q36_asof_join", "q37_interval_join",
 ]
 
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _CHECK_FIRST},
+    **{n: REGISTRY[n] for n in _CHECK_FIRST if n in REGISTRY},
     **{n: qd for n, qd in REGISTRY.items() if n not in _CHECK_FIRST},
 }
 
