@@ -218,3 +218,16 @@ def test_repl_envelopes(spark, tmp_path):
     assert "query_id" in res["content"]
     bad = json.loads(run_command(eng, "SEARCH ON ['nope_no_table']"))
     assert bad["success"] is False and bad["content"]["message"]
+
+
+def test_max_columns_cap(engine):
+    """Reference config knob max_columns=50 (src/database.rs:16-25):
+    a 50-column container is fine, 51 is a DDL error."""
+    cols50 = ", ".join(f"c{i}" for i in range(50))
+    types50 = ", ".join("INT" for _ in range(50))
+    r = engine.execute(f"CREATE CONTAINER 'wide50' [{cols50}] [{types50}]")
+    assert r.ok, r.message
+    cols51 = ", ".join(f"c{i}" for i in range(51))
+    types51 = ", ".join("INT" for _ in range(51))
+    with pytest.raises(ValueError, match="max_columns"):
+        engine.execute(f"CREATE CONTAINER 'wide51' [{cols51}] [{types51}]")

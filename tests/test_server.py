@@ -93,3 +93,68 @@ def test_keys_persist_across_restarts(tmp_path):
     first = load_or_create_keys(p)
     again = load_or_create_keys(p)
     assert first == again and len(first[0]) == 32
+
+
+def test_undecryptable_payload_known_session_gets_zero_frame(server):
+    """Garbage ciphertext under a KNOWN session hash must answer
+    u64_be(0) (the documented protocol), not an encrypted error frame —
+    a tamperer must learn nothing beyond 'no'."""
+    import http.client
+
+    c = _client(server)  # registers the session
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("POST", "/", body=c._session_hash + b"\xde\xad\xbe\xef" * 8)
+    assert conn.getresponse().read() == (0).to_bytes(8, "big")
+    conn.close()
+    c.close()
+
+
+def test_key_file_created_0600(tmp_path):
+    import os
+    import stat
+
+    p = str(tmp_path / "perm.b64")
+    load_or_create_keys(p)
+    mode = stat.S_IMODE(os.stat(p).st_mode)
+    assert mode == 0o600
+
+
+def test_session_cap_rejects_eleventh(spark, tmp_path):
+    """Reference caps concurrent sessions at 10 (src/database.rs:23):
+    the 11th DISTINCT key's handshake answers 0x00; re-handshaking an
+    existing session stays allowed."""
+    from tytodb_spark.engine import Engine
+    from tytodb_spark.server import TytoClient
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    srv = TytoServer(eng, str(tmp_path / "keys.b64"), max_sessions=10)
+    # grow the keyring to 12 distinct keys
+    import base64
+    import secrets
+
+    extra = [secrets.token_bytes(32) for _ in range(8)]
+    with open(str(tmp_path / "keys.b64"), "a") as f:
+        for k in extra:
+            f.write(base64.b64encode(k).decode() + "\n")
+    srv._keys.update({_hash(k): k for k in extra})
+    srv.start()
+    try:
+        host, port = srv.address
+        keys = list(srv._keys.values())
+        assert len(keys) == 12
+        clients = [TytoClient(host, port, k) for k in keys[:10]]
+        # 11th distinct key → refused like an unknown key
+        import http.client
+
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("GET", "/", body=_hash(keys[10]))
+        assert conn.getresponse().read() == b"\x00"
+        conn.close()
+        # an already-registered key can re-handshake (same session slot)
+        again = TytoClient(host, port, keys[0])
+        again.close()
+        for c in clients:
+            c.close()
+    finally:
+        srv.stop()

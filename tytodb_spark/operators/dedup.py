@@ -644,6 +644,7 @@ def connected_components_star(
         return row["n"], row["h"]
 
     sig = signature(und)
+    converged = False
     for _ in range(max_iters):
         # large-star: (v, m(u)) for v > u
         lm = neighborhood_min(und)
@@ -676,8 +677,20 @@ def connected_components_star(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=True)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # The final star extraction below assumes a converged star
+        # forest; on an unconverged edge set the labels would be silently
+        # wrong (not the true min id). 30 rounds >> log²(n) for any
+        # plausible input, so reaching here means something is broken —
+        # fail loudly rather than return approximate components as exact.
+        raise RuntimeError(
+            f"connected_components_star: edge set did not reach a fixed "
+            f"point within max_iters={max_iters}; labels would be "
+            f"unreliable (raise max_iters or use cc='label')"
+        )
     # final star forest: every remaining directed edge (u→v) has v = the
     # component root; roots label themselves
     stars = und.filter(F.col("u") > F.col("v"))

@@ -195,3 +195,39 @@ def length_bucketed_batches(
             6,
         ).alias("padding_frac"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-domain document cap — the anti-over-representation step of a
+    pretraining mix (no single domain/source may contribute more than
+    ``cap`` documents): keep a deterministic pseudo-random ``cap``-subset
+    of each domain's documents.
+
+    Survivor choice is the md5-integer priority (first 13 hex chars of
+    md5(id) as a bigint, ties by id) — "random" but identical at any
+    parallelism and in any engine with md5, unlike rand()-based
+    reservoirs. Selection runs as the two-phase distributed top-k
+    (similarity.py topk_per_key): per-partition heads first, so a domain
+    with billions of rows never sorts globally — the shuffle carries at
+    most cap×partitions rows per domain.
+
+    Output: the input columns + ``rank`` (1..cap priority order)."""
+    from tytodb_spark.operators.similarity import topk_per_key
+
+    pri = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("__pri")
+    )
+    capped = topk_per_key(
+        df.withColumn("__pri", pri),
+        key_col,
+        [F.col("__pri"), F.col(id_col)],
+        cap,
+    )
+    return capped.drop("__pri")

@@ -210,7 +210,13 @@ def kmeans_lloyd(
         for r in rows:
             mean = [r[f"s{i}"] / r["n"] for i in range(dim)]
             if quantize is not None:
-                mean = [round(x, quantize) for x in mean]
+                # floor(x*10^q + 0.5)/10^q — one explicit rule shared with
+                # the DuckDB oracle (queries.py _KMEANS_ORACLE). Python
+                # round() is half-to-even while SQL round() is half away
+                # from zero; a mean on a .xxxxxx5 boundary would diverge
+                # the engines and flake the hash match.
+                scale = 10.0**quantize
+                mean = [math.floor(x * scale + 0.5) / scale for x in mean]
             new[r["__cluster"]] = mean
         centroids = [new[j] for j in range(k)]
     return df.select(id_col, assign(centroids).alias("cluster"))
@@ -615,5 +621,61 @@ def quantize_int8_audit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 "array_max(transform(__v, x -> "
                 "abs(x - floor(x / __scale * 127.0) * __scale / 127.0)))"
             ).alias("max_qerr"),
+        )
+    )
+
+
+def dim_robust_stats(
+    df: DataFrame, vec_col: str, qs: tuple[float, float, float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Per-dimension robust scaling parameters (median + IQR) over an
+    embedding column — the RobustScaler fit step ((x - median)/IQR per
+    dim survives the outliers that mean/std scaling absorbs); applying
+    the scale afterwards is a pure map-side transform with these 64-ish
+    rows broadcast.
+
+    Quantiles are DISCRETE (the element at floor((n-1)·q), lower
+    neighbor, no interpolation): the reported median/IQR are actual data
+    values, so they are bit-identical in any engine — no float
+    interpolation formula to disagree over, no quantization needed.
+    One posexplode (rows × dim), one shuffle for the per-dim sort
+    window. Exact rank statistics don't merge map-side, so this is the
+    AUDIT-scale path; at 100 TB swap the window for approx_percentile
+    per dim (one pass, mergeable sketches) and bound the error instead.
+
+    Output: (dim, n, q1, med, q3, iqr)."""
+    from pyspark.sql import Window as W
+
+    lo, mid, hi = qs
+    ex = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
+    w = W.partitionBy("dim").orderBy("x")
+    ranked = ex.select(
+        "dim",
+        "x",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy("dim")).alias("__n"),
+    )
+
+    def at(q: float) -> Column:
+        idx = F.floor((F.col("__n") - 1) * F.lit(q)) + 1
+        return F.max(F.when(F.col("__rn") == idx, F.col("x")))
+
+    return (
+        ranked.groupBy("dim")
+        .agg(
+            F.max("__n").alias("n"),
+            at(lo).alias("q1"),
+            at(mid).alias("med"),
+            at(hi).alias("q3"),
+        )
+        .select(
+            F.col("dim").cast("int"),
+            "n",
+            "q1",
+            "med",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
         )
     )

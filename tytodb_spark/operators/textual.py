@@ -624,3 +624,99 @@ def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.avg(-F.log(F.col("__c").cast("double") / F.col("__s").cast("double"))), 6
         ).alias("nll"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 20
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage filter
+    (docs a fixed vocab can't represent are OOV-heavy: boilerplate in
+    other scripts, binary spills, encoding damage).
+
+    Two aggregates: corpus term counts (one shuffle on term), then the
+    vocab itself via TakeOrderedAndProject (vocab_size rows to the
+    driver plan as a broadcast — vocab is index metadata, corpus-size-
+    independent). The per-doc pass joins the broadcast vocab, so at
+    100 TB the doc table is scanned once with zero extra shuffles
+    beyond the doc_id rollup. Tie-break (count desc, term) makes the
+    vocab boundary deterministic.
+
+    Output: (id, n_toks, n_oov, oov_q) with oov_q = the OOV fraction
+    quantized to 1e-6 (floor(x*1e6+0.5) — portable across engines)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.floor(
+            (
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("oov_q"),
+    )
+
+
+def bigram_nll(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-α-smoothed BIGRAM language model — the order-2 upgrade of
+    :func:`unigram_nll` (catches scrambled/templated text that unigram
+    stats can't: the tokens are common, the TRANSITIONS are not).
+
+    p(w2|w1) = (c(w1 w2) + α) / (c(w1·) + α·V), where c(w1·) counts
+    bigrams STARTING with w1 (so Σ_w2 p = 1) and V = |distinct second
+    tokens|. One bigram-count aggregate (shuffle on the gram), one
+    derived first-token aggregate over the tiny gram table, then a
+    broadcast join back to the exploded grams and a per-doc mean — the
+    corpus is scanned once; at web scale the gram table outgrows the
+    broadcast and AQE runs the same plan shuffled.
+
+    Output: (id, n_bigrams, nll) with nll rounded to 6 decimals (ln
+    ulp differences vanish under the rounding, as in unigram_nll)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g")
+    )
+    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = c2.agg(
+        F.countDistinct(F.substring_index("g", " ", -1)).alias("v")
+    )
+    model = (
+        c2.withColumn("w1", F.substring_index("g", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            (
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return (
+        grams.join(model, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("nll"),
+        )
+    )

@@ -22,6 +22,9 @@ code port; hash divergence documented below):
   reference stores a per-session Aes256Gcm cipher the same way).
 - The reference hashes with blake3; this spec uses sha256 (stdlib) —
   a deliberate, documented divergence with identical structure.
+- Concurrent distinct sessions are capped (default 10, matching the
+  reference's connections_limit, src/database.rs:23); the N+1th
+  handshake answers ``0x00``.
 
 Secret keys persist next to the warehouse as base64 lines
 (reference: YAML of base64 keys at secret_key_path(),
@@ -72,7 +75,10 @@ def load_or_create_keys(path: str, count: int = 4) -> list[bytes]:
             return [base64.b64decode(line.strip()) for line in f if line.strip()]
     keys = [secrets.token_bytes(32) for _ in range(count)]
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
+    # 0o600 — the file holds live secrets; default umask would leave it
+    # world-readable.
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as f:
         for k in keys:
             f.write(base64.b64encode(k).decode() + "\n")
     os.rename(tmp, path)
@@ -83,10 +89,20 @@ class TytoServer:
     """Loopback HTTP server bound to one Engine. start()/stop() for
     tests and embedding; serve_forever semantics via the stdlib."""
 
-    def __init__(self, engine: Engine, key_path: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        key_path: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_sessions: int = 10,
+    ):
         if AESGCM is None:
             raise NotImplementedError("server requires the cryptography package")
         self.engine = engine
+        #: concurrent-session cap (reference: connections_limit = 10,
+        #: src/database.rs:23); the N+1th distinct handshake is refused.
+        self.max_sessions = max_sessions
         #: key-hash -> secret key (reference: Database.secret_keys)
         self._keys = {_hash(k): k for k in load_or_create_keys(key_path)}
         #: session-id-hash -> session key (reference: session_secret_rel)
@@ -140,7 +156,10 @@ class TytoServer:
             return b"\x00"
         session_id = key  # reference: the session id IS the secret key
         with self._lock:
-            self._sessions[_hash(session_id)] = key
+            sid = _hash(session_id)
+            if sid not in self._sessions and len(self._sessions) >= self.max_sessions:
+                return b"\x00"  # session cap: refuse like an unknown key
+            self._sessions[sid] = key
         return b"\x01" + encrypt(key, session_id)
 
     def _command(self, payload: bytes) -> bytes:
@@ -151,7 +170,16 @@ class TytoServer:
         if key is None:
             return fail
         try:
-            req = json.loads(decrypt(key, payload[32:]))
+            # Undecryptable payloads answer u64_be(0), exactly like an
+            # unknown session — a tamperer learns nothing beyond "no"
+            # (documented protocol; distinct from command errors below,
+            # which prove possession of the key and get an encrypted
+            # error payload).
+            plaintext = decrypt(key, payload[32:])
+        except Exception:
+            return fail
+        try:
+            req = json.loads(plaintext)
             result = self.engine.execute(req["command"], req.get("arguments"))
             content = {
                 "message": result.message,

@@ -118,23 +118,32 @@ def write_containers(df: DataFrame, out_dir: str, cols: list[tuple[str, int]]) -
     FS here; an object-store deployment swaps the two file calls).
 
     Returns the manifest DataFrame; force it (count/collect) to run the
-    write."""
+    write. IDEMPOTENT: the shard name derives from the task's partition
+    id, so task retries, speculative duplicates, and re-evaluating the
+    manifest (e.g. count() then collect()) overwrite the same file
+    instead of accumulating random-named duplicates the read glob would
+    double-count. tmp names are attempt-scoped so two concurrent
+    attempts can't interleave writes; the os.rename is the atomic
+    commit, last winner sticks (attempts write identical bytes)."""
     import os
 
     names = [n for n, _ in cols]
 
     def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import uuid
+        from pyspark import TaskContext
 
         rows: list[tuple] = []
         for pdf in it:
             rows.extend(pdf[names].itertuples(index=False, name=None))
         if not rows:
             return
-        shard = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tysp")
-        tmp = shard + ".tmp"
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        shard = os.path.join(out_dir, f"part-{pid:05d}.tysp")
+        tmp = f"{shard}.{attempt}.tmp"
         write_container(tmp, cols, rows)
-        os.rename(tmp, shard)
+        os.replace(tmp, shard)
         yield pd.DataFrame({"path": [shard], "n_rows": [len(rows)]})
 
     os.makedirs(out_dir, exist_ok=True)

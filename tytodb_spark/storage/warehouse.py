@@ -101,10 +101,20 @@ class Warehouse:
     def tables(self) -> list[str]:
         return sorted(self._state)
 
+    #: Reference config knob: a container holds at most 50 columns
+    #: (src/database.rs:16-25 max_columns). Parquet wouldn't care, but
+    #: the cap is part of the reference's observable DDL contract.
+    MAX_COLUMNS = 50
+
     # -- DDL ----------------------------------------------------------------
     def create_table(self, name: str, schema: list[tuple[str, str]]) -> None:
         if name in self._state or name in self.external:
             raise ValueError(f"container {name!r} already exists")
+        if len(schema) > self.MAX_COLUMNS:
+            raise ValueError(
+                f"container {name!r} declares {len(schema)} columns; "
+                f"max_columns is {self.MAX_COLUMNS}"
+            )
         self._state[name] = _TableState(schema=schema)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(self._schema_path(name), "w") as f:
