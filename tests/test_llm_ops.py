@@ -732,3 +732,81 @@ def test_connected_components_star_equals_label_prop(spark):
     assert lab == star
     # chain collapses to one component rooted at 0
     assert all(c == 0 for v, c in star if v <= 60)
+
+
+def test_star_raises_when_unconverged(spark):
+    """An unconverged star forest must fail loudly, not return
+    approximate labels as exact (ADVICE r02)."""
+    import pytest
+
+    from tytodb_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_star(df, max_iters=1)
+
+
+def test_domain_cap_enforced_and_partition_invariant(spark):
+    from tytodb_spark.operators.sampling import domain_cap
+
+    rows = [(f"src{i % 3}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    capped = domain_cap(df, "source", "doc_id", 7)
+    got = sorted(map(tuple, capped.select("source", "doc_id").collect()))
+    per = {}
+    for s, _ in got:
+        per[s] = per.get(s, 0) + 1
+    assert all(v == 7 for v in per.values())
+    # identical survivors at a different parallelism (md5 priority, not rand)
+    again = sorted(
+        map(
+            tuple,
+            domain_cap(df.repartition(13), "source", "doc_id", 7)
+            .select("source", "doc_id")
+            .collect(),
+        )
+    )
+    assert got == again
+
+
+def test_vocab_coverage_oov_boundary(spark):
+    from tytodb_spark.operators.textual import vocab_coverage
+
+    rows = [
+        (1, "a a a b"),  # corpus counts: a=4, z=3, b=2, q=1 -> vocab {a, z}
+        (2, "a b z z"),
+        (3, "z q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in vocab_coverage(df, "doc_id", "text", vocab_size=2).collect()
+    }
+    assert out[1]["n_oov"] == 1 and out[1]["oov_q"] == 250000  # b
+    assert out[2]["n_oov"] == 1 and out[2]["oov_q"] == 250000  # b
+    assert out[3]["n_oov"] == 1 and out[3]["oov_q"] == 500000  # q
+
+
+def test_bigram_nll_prefers_seen_transitions(spark):
+    from tytodb_spark.operators.textual import bigram_nll
+
+    rows = [
+        (1, "a b a b a b a b"),  # one dominant transition chain
+        (2, "b b b a a a b a"),  # same unigrams, scrambled transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["nll"] for r in bigram_nll(df, "doc_id", "text").collect()}
+    assert out[1] < out[2]  # common transitions -> lower NLL
+
+
+def test_dim_robust_stats_exact_elements(spark):
+    from tytodb_spark.operators.similarity import dim_robust_stats
+
+    # dim0 values: 1..5 -> q1=2, med=3, q3=4 (floor((5-1)*q) lower element)
+    rows = [(i, [float(i + 1), float(10 * (i + 1))]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in dim_robust_stats(df, "embedding").collect()}
+    assert out[0]["q1"] == 2.0 and out[0]["med"] == 3.0 and out[0]["q3"] == 4.0
+    assert out[0]["iqr"] == 2.0
+    assert out[1]["med"] == 30.0 and out[1]["iqr"] == 20.0

@@ -165,3 +165,29 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
     key = lambda r: (r["c_mktsegment"], r["n_events"], r["total_value"])
     assert sorted(map(key, streamed)) == sorted(map(key, batch))
     assert len(batch) > 0
+
+
+def test_rate_limit_stateful_admits_per_window(spark):
+    """5 events in hour A, 2 in hour B for one user, limit 3: the
+    window change resets the counter (3 + 2 admitted); a second user
+    under the limit passes untouched."""
+    import datetime as dt
+
+    from tytodb_spark.streaming.rate_limit import rate_limit_stateful
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: five in 10:xx, two in 11:xx
+        *[(1, i, t0 + dt.timedelta(minutes=i)) for i in range(5)],
+        (1, 10, t0 + dt.timedelta(hours=1)),
+        (1, 11, t0 + dt.timedelta(hours=1, minutes=5)),
+        # user 2: two events total
+        (2, 20, t0),
+        (2, 21, t0 + dt.timedelta(minutes=30)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in rate_limit_stateful(spark, ev, limit=3, window_seconds=3600).collect()
+    )
+    assert got == [(1, 0), (1, 1), (1, 2), (1, 10), (1, 11), (2, 20), (2, 21)]

@@ -682,16 +682,25 @@ def bigram_nll(
     bigrams STARTING with w1 (so Σ_w2 p = 1) and V = |distinct second
     tokens|. One bigram-count aggregate (shuffle on the gram), one
     derived first-token aggregate over the tiny gram table, then a
-    broadcast join back to the exploded grams and a per-doc mean — the
-    corpus is scanned once; at web scale the gram table outgrows the
-    broadcast and AQE runs the same plan shuffled.
+    broadcast join back to the exploded grams and a per-doc mean — two
+    corpus scans (count pass + score pass; a deployment sharing the LM
+    across runs persists the gram table once and pays only the score
+    scan); at web scale the gram table outgrows the broadcast and AQE
+    runs the same plan shuffled.
 
     Output: (id, n_bigrams, nll) with nll rounded to 6 decimals (ln
     ulp differences vanish under the rounding, as in unigram_nll)."""
-    grams = df.select(
+    # spread: the single-file test table would otherwise evaluate every
+    # gram explode on one core (q111 lesson); on a many-file table the
+    # scan already fans out and this is one cheap narrow-bytes shuffle
+    grams = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g")
     )
-    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    # the gram-count table is tiny (vocab² ceiling) and everything else
+    # derives from it — cache so the model build doesn't re-explode the
+    # corpus (c1, V, and the model join would otherwise each re-run the
+    # scan+explode lineage)
+    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2")).cache()
     c1 = (
         c2.withColumn("w1", F.substring_index("g", " ", 1))
         .groupBy("w1")
@@ -702,7 +711,7 @@ def bigram_nll(
     )
     model = (
         c2.withColumn("w1", F.substring_index("g", " ", 1))
-        .join(c1, "w1")
+        .join(c1, "w1")  # AQE: broadcast while the unigram table fits
         .crossJoin(F.broadcast(vocab))
         .select(
             "g",
@@ -713,7 +722,7 @@ def bigram_nll(
         )
     )
     return (
-        grams.join(model, "g")
+        grams.join(model, "g")  # AQE broadcasts while the LM fits, shuffles beyond
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

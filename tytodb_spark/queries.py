@@ -3712,6 +3712,303 @@ def q111_grouped_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q112_star_clusters",
+    """
+    WITH RECURSIVE e AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id // 40 = b.doc_id // 40
+    ),
+    edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e2.v FROM reach r JOIN edges e2 ON r.b = e2.u
+    )
+    SELECT a AS vertex, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="Large-star/small-star connected components (dedup.py "
+    "connected_components_star) on its OWN regime: a chain-heavy edge "
+    "set (consecutive-id chains of 40, the template-family/mirror-"
+    "chain shape) where diameter-bound label propagation would need 39 "
+    "shuffle rounds and the star alternation converges in O(log² n) "
+    "(~7 here, convergence-checked, raises if not reached). Oracle: "
+    "DuckDB recursive-CTE transitive closure over the same "
+    "deterministic edges. Complements q71, whose diameter-2-3 near-dup "
+    "graph is label-prop's regime.",
+)
+def q112_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.expr("a.doc_id div 40") == F.expr("b.doc_id div 40"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    comp = connected_components_star(edges, "id_a", "id_b")
+    return comp.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@query(
+    "q113_mad_outliers_approx",
+    """
+    SELECT event_type, cast(count(*) AS BIGINT) AS n_events,
+           TRUE AS med_ok, TRUE AS mad_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="The documented 100 TB path of q110: median and MAD via "
+    "approx_percentile (KLL-style mergeable sketches — ONE pass per "
+    "round with map-side partial merges, vs exact percentile's "
+    "per-group sort buffers). Driver-checkable as a quantified bound "
+    "(the approximate value can't be value-compared): accuracy=10000 "
+    "guarantees rank error <= 1e-4, so each sketch median must land "
+    "between the EXACT 0.499 and 0.501 quantiles (10x margin), "
+    "computed alongside; the oracle asserts the verdicts TRUE and "
+    "anchors exact n_events.",
+)
+def q113_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    app = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("amed"),
+        F.expr("percentile(value, 0.499)").alias("mlo"),
+        F.expr("percentile(value, 0.501)").alias("mhi"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(app.select("event_type", "amed")), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("amed"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, 10000).alias("amad"),
+        F.expr("percentile(adev, 0.499)").alias("dlo"),
+        F.expr("percentile(adev, 0.501)").alias("dhi"),
+    )
+    return app.join(mad, "event_type").select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        ((F.col("amed") >= F.col("mlo")) & (F.col("amed") <= F.col("mhi"))).alias(
+            "med_ok"
+        ),
+        ((F.col("amad") >= F.col("dlo")) & (F.col("amad") <= F.col("dhi"))).alias(
+            "mad_ok"
+        ),
+    )
+
+
+@query(
+    "q114_minhash_recall",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 29, 4))::BIGINT < 32768),
+    sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM docs),
+    ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+              FROM ex a JOIN ex b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING jaccard >= 0.5)
+    SELECT cast(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ok, TRUE AS no_extra
+    FROM pairs
+    """,
+    doc="MinHash-LSH recall AUDIT — the quantified quality gate for the "
+    "q42/q71/q107 candidate path, run the way a 100 TB deployment "
+    "audits its dedup: on a deterministic md5 HALF-sample of the "
+    "corpus (audit cost scales with the sample, and banding restricted "
+    "to the sample finds exactly the both-in-sample pairs of the full "
+    "run). Exact AllPairs Jaccard pairs vs LSH pairs: recall_ok gates "
+    "missed/exact <= 5% (theory: miss prob per qualifying pair "
+    "<= 3e-8 at r=4/b=16); no_extra asserts the subset invariant (LSH "
+    "exact-verifies candidates, so it can never emit a sub-threshold "
+    "pair). Oracle recomputes the exact pair count and asserts both "
+    "verdicts TRUE.",
+)
+def q114_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs
+    from tytodb_spark.operators.sampling import md5_uniform16
+    from tytodb_spark.operators.textual import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        md5_uniform16(F.col("doc_id")) < 32768
+    )
+    on = ["id_a", "id_b"]
+    exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(*on)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select(*on)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_miss = exact.join(lsh, on, "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missed")
+    )
+    n_extra = lsh.join(exact, on, "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_extra")
+    )
+    return (
+        n_exact.crossJoin(n_miss)
+        .crossJoin(n_extra)
+        .select(
+            F.col("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
+            (F.col("__n_missed") * 20 <= F.col("n_exact_pairs")).alias("recall_ok"),
+            (F.col("__n_extra") == 0).alias("no_extra"),
+        )
+    )
+
+
+@query(
+    "q115_domain_cap",
+    """
+    WITH p AS (SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT,
+                      doc_id) AS rnk
+         FROM documents)
+    SELECT source, doc_id, cast(rnk AS INT) AS rnk FROM p WHERE rnk <= 15
+    """,
+    doc="Per-domain document cap (no source may contribute more than "
+    "15 docs to the mix — the anti-over-representation step between "
+    "q99's temperature mix and sampling): deterministic md5-integer "
+    "priority picks the same pseudo-random survivors at any "
+    "parallelism/engine, and selection is the two-phase distributed "
+    "top-k (per-partition heads first — a billion-row domain never "
+    "sorts globally, the shuffle carries <= cap x partitions rows per "
+    "domain); operators/sampling.py domain_cap.",
+)
+def q115_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return domain_cap(docs, "source", "doc_id", 15).select(
+        "source", "doc_id", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+@query(
+    "q116_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    v AS (SELECT term FROM c ORDER BY c DESC, term LIMIT 20)
+    SELECT t.doc_id, cast(count(*) AS BIGINT) AS n_toks,
+           cast(sum((v.term IS NULL)::INT) AS BIGINT) AS n_oov,
+           cast(floor(sum((v.term IS NULL)::INT)::DOUBLE / count(*) * 1e6 + 0.5)
+                AS BIGINT) AS oov_q
+    FROM tok t LEFT JOIN v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+    doc="Tokenizer-coverage filter: per-document OOV rate against the "
+    "corpus's own top-20 token vocabulary (OOV-heavy docs are what a "
+    "fixed tokenizer shreds: wrong-script boilerplate, binary spill, "
+    "mojibake). Vocab builds with one term aggregate + "
+    "TakeOrderedAndProject (vocab is index metadata, corpus-size-"
+    "independent, broadcast back); deterministic (count desc, term) "
+    "boundary; OOV fraction quantized at 1e-6 for engine parity; "
+    "operators/textual.py vocab_coverage.",
+)
+def q116_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import vocab_coverage
+
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=20
+    )
+
+
+@query(
+    "q117_stream_rate_limit",
+    """
+    WITH r AS (SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT user_id, event_id FROM r WHERE rn <= 3
+    """,
+    doc="Per-user stream rate limiting (admit <= 3 events per user per "
+    "clock hour, drop the overflow) as a REAL Structured Streaming job "
+    "— applyInPandasWithState with two longs of state per user "
+    "(window start, admitted count), epoch-aligned integer-microsecond "
+    "windows. The policy is batch-expressible, so unlike q39 this "
+    "stateful operator hash-matches a plain SQL oracle (row_number "
+    "over (user, hour) <= 3) with no self-consistency gate; "
+    "streaming/rate_limit.py.",
+)
+def q117_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.rate_limit import rate_limit_stateful
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_limit_stateful(spark, ev, limit=3, window_seconds=3600).select(
+        "user_id", "event_id"
+    )
+
+
+@query(
+    "q118_robust_scale",
+    """
+    WITH ex AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings),
+    r AS (SELECT dim, x,
+                 row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+                 count(*) OVER (PARTITION BY dim) AS n
+          FROM ex)
+    SELECT cast(dim AS INT) AS dim, cast(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = floor((n - 1) * 0.25) + 1 THEN x END) AS q1,
+           max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN x END) AS med,
+           max(CASE WHEN rn = floor((n - 1) * 0.75) + 1 THEN x END) AS q3,
+           max(CASE WHEN rn = floor((n - 1) * 0.75) + 1 THEN x END)
+             - max(CASE WHEN rn = floor((n - 1) * 0.25) + 1 THEN x END) AS iqr
+    FROM r GROUP BY dim
+    """,
+    doc="RobustScaler fit over the embedding table: per-dimension "
+    "median + IQR (the scaling that survives the outliers mean/std "
+    "absorbs; applying it is a map-side transform with these 64 rows "
+    "broadcast). Quantiles are DISCRETE (element at floor((n-1)q), no "
+    "interpolation) so the stats are actual data values — bit-"
+    "identical across engines with no quantization. Exact ranks don't "
+    "merge map-side (audit-scale path; at 100 TB swap in "
+    "approx_percentile per dim); operators/similarity.py "
+    "dim_robust_stats.",
+)
+def q118_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import dim_robust_stats
+
+    return dim_robust_stats(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query(
+    "q119_bigram_nll",
+    f"""
+    WITH gr AS (SELECT doc_id, unnest({_NGRAMS(2)}) AS g FROM documents),
+    c2 AS (SELECT g, count(*) AS c2 FROM gr GROUP BY g),
+    c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT split_part(g, ' ', 2)) AS v FROM c2),
+    model AS (SELECT c2.g, (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+              FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1 CROSS JOIN v)
+    SELECT t.doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(m.p)), 6) AS nll
+    FROM gr t JOIN model m USING (g)
+    GROUP BY t.doc_id
+    """,
+    doc="Per-document NLL under the corpus's own add-0.5-smoothed "
+    "BIGRAM LM — the order-2 upgrade of q105 (flags scrambled/"
+    "templated text whose TOKENS are common but whose TRANSITIONS are "
+    "not): p(w2|w1)=(c(w1 w2)+a)/(c(w1*)+aV). One gram aggregate, a "
+    "derived first-token aggregate over the tiny gram table, broadcast "
+    "model join back, per-doc mean; smoothing arithmetic is exact "
+    "binary (a=0.5), ln ulps vanish under round(.,6); "
+    "operators/textual.py bigram_nll.",
+)
+def q119_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text", alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -3735,9 +4032,9 @@ _CHECK_FIRST = [
     "q57_ann_ivf", "q38_approx_distinct", "q39_stateful_anomalies",
     # --- round-3 additions (first driver rows this rotation) ---
     "q112_star_clusters", "q113_mad_outliers_approx",
-    "q114_minhash_recall", "q115_bloom_prefilter",
-    "q116_tokenizer_bpe", "q117_stream_rate_limit",
-    "q118_robust_scale", "q119_ngram_lm_perplexity",
+    "q114_minhash_recall", "q115_domain_cap",
+    "q116_vocab_coverage", "q117_stream_rate_limit",
+    "q118_robust_scale", "q119_bigram_nll",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
