@@ -810,3 +810,79 @@ def test_dim_robust_stats_exact_elements(spark):
     assert out[0]["q1"] == 2.0 and out[0]["med"] == 3.0 and out[0]["q3"] == 4.0
     assert out[0]["iqr"] == 2.0
     assert out[1]["med"] == 30.0 and out[1]["iqr"] == 20.0
+
+
+def test_duplicate_span_stats_islands(spark):
+    # a..p unique filler; docs 0 and 1 share a 10-token run ("c1..c10")
+    # at DIFFERENT offsets; doc 2 has no 8-token window in common.
+    shared = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        Row(doc_id=0, text="a1 a2 a3 " + shared + " a4 a5"),          # 15 toks
+        Row(doc_id=1, text=shared + " b1 b2 b3 b4 b5 b6 b7"),        # 17 toks
+        Row(doc_id=2, text=" ".join(f"z{i}" for i in range(12))),     # clean
+        Row(doc_id=3, text="w1 w2 w3"),                               # < window
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.duplicate_span_stats(
+            spark.createDataFrame(rows), "doc_id", "text", window=8
+        ).collect()
+    }
+    # shared run = 10 tokens -> 3 stride-1 windows of 8, merging to ONE
+    # island covering exactly the 10 shared tokens in each doc
+    for d in (0, 1):
+        assert out[d]["dup_islands"] == 1
+        assert out[d]["dup_tokens"] == 10
+    assert out[2]["dup_islands"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[3]["dup_islands"] == 0 and out[3]["n_toks"] == 3
+    assert abs(out[0]["dup_frac"] - round(10 / 15, 6)) < 1e-9
+
+
+def test_duplicate_span_stats_two_islands(spark):
+    # two separate shared 8-token runs in one doc, far enough apart
+    # (gap >= window) to stay distinct islands
+    run1 = " ".join(f"p{i}" for i in range(8))
+    run2 = " ".join(f"q{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(9))
+    rows = [
+        Row(doc_id=0, text=run1 + " " + gap + " " + run2),
+        Row(doc_id=1, text=run1 + " x1 x2 x3 x4 x5 x6 x7 x8 " + run2),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.duplicate_span_stats(
+            spark.createDataFrame(rows), "doc_id", "text", window=8
+        ).collect()
+    }
+    assert out[0]["dup_islands"] == 2 and out[0]["dup_tokens"] == 16
+    assert out[1]["dup_islands"] == 2 and out[1]["dup_tokens"] == 16
+
+
+def test_semantic_dedup_keeps_min_id_per_dup_group(spark):
+    # seeds = ids 0 (e1) and 1 (e2). 2 and 3 are near-e1 dups of seed 0
+    # and of each other; 5 is a near-e2 dup of seed 1; 4 is orthogonal
+    # to both seeds (assignment ties at cos 0, breaks to seed 0) and
+    # similar to nothing.
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        Row(vec_id=0, embedding=v(1, 0, 0)),
+        Row(vec_id=1, embedding=v(0, 1, 0)),
+        Row(vec_id=2, embedding=v(0.99, 0.01, 0)),    # dup of 0
+        Row(vec_id=3, embedding=v(0.98, 0.02, 0)),    # dup of 0 and 2
+        Row(vec_id=4, embedding=v(0, 0, 1)),          # unique
+        Row(vec_id=5, embedding=v(0.01, 0.99, 0)),    # dup of 1
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["vec_id"]: r
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", k_seeds=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 6
+    assert {i for i, r in out.items() if r["is_kept"]} == {0, 1, 4}
+    assert out[2]["cluster"] == out[3]["cluster"] == out[0]["cluster"]
+    assert out[5]["cluster"] == out[1]["cluster"]
+    assert out[4]["cluster"] == out[0]["cluster"]  # orthogonal tie -> seed 0

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from tytodb_spark.operators.textual import shingle_table, spread, word_ngrams
@@ -740,4 +740,77 @@ def near_dup_clusters(
     comp = cc_fn(pairs, "id_a", "id_b")
     return comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then near-dup within cluster)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_seeds: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): partition the embedding space into
+    clusters, then drop semantic duplicates WITHIN each cluster — the
+    pairwise cos blow-up is bounded by cluster size instead of corpus
+    size, which is the whole trick at 100 TB.
+
+    Clustering here is deterministic nearest-of-k-seeds (seeds = the k
+    lowest ids; swap in kmeans_lloyd centroids in production — same
+    plan, trained centroids). Assignment is one broadcast of k vectors
+    + a map-side argmax (cos rounded to 6 so the argmax is portable;
+    ties break to the lowest seed id). The keep rule is the one-pass
+    formulation: x is dropped iff some LOWER-id member of its cluster
+    is cos-≥-threshold similar — deterministic, no iteration, and at
+    least one member of every duplicate group survives (the group's
+    min id is never dropped).
+
+    Skewed mega-clusters are the known hazard: the intra-cluster pair
+    join shuffles on the cluster key, AQE splits moderate skew, and
+    `embedding_dup_pairs` (reused here) already refuses to broadcast
+    beyond its size gate; beyond that, sub-shard hot clusters with an
+    SRP bucket (srp_signatures) as a secondary key.
+
+    Output: (id, cluster, is_kept) — one row per input row.
+    """
+    seeds = df.orderBy(id_col).limit(k_seeds)
+    a = _with_norm(df, id_col, vec_col, "a")
+    s = _with_norm(seeds, id_col, vec_col, "s")
+    scored = (
+        spread(a, "id_a")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "id_a",
+            "va",
+            F.col("id_s"),
+            F.round(
+                dot(F.col("va"), F.col("vs")) / (F.col("na") * F.col("ns")), 6
+            ).alias("__cos"),
+        )
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("__cos").desc(), F.col("id_s"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("va").alias(vec_col),
+            F.col("id_s").cast("bigint").alias("cluster"),
+        )
+    )
+    pairs = embedding_dup_pairs(
+        assigned, id_col, vec_col, threshold=threshold, block_col="cluster"
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        "cluster",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
     )

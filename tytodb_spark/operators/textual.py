@@ -729,3 +729,96 @@ def bigram_nll(
             F.round(F.avg(-F.log("p")), 6).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring spans (sub-passage granularity)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING detection at token granularity — the
+    sliding-window formulation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): any ``window``-token sequence that occurs more
+    than once corpus-wide marks every token it covers as duplicated.
+    Unlike passage dedup (fixed disjoint chunks, passage_dedup_stats)
+    this catches copied spans at ANY offset.
+
+    Plan shape: stride-1 windows are hashed in place (md5 — portable
+    across engines; the window TEXT never leaves the row), exploded to
+    (id, pos, key) triples, counted corpus-wide (one narrow shuffle on
+    the 32-hex key, map-side combinable), and positions covered by a
+    key with count >= 2 are merged into maximal islands per document
+    (one shuffle back onto id; same-length intervals sorted by start
+    merge exactly when successive starts differ < window). Only hashes
+    and integer positions ever shuffle — at 100 TB the wide rows stay
+    in the scan stage.
+
+    Output: (id, n_toks, dup_islands, dup_tokens, dup_frac), one row
+    per input document (docs with no duplicated window report zeros).
+    """
+    toks = tokens(F.col(text_col))
+    base = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (window - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("__t", i, window))).alias("key"),
+        ),
+    )
+    pos_tbl = (
+        base.select(
+            F.col(id_col),
+            F.size("__t").alias("n_toks"),
+            F.explode(
+                F.when(F.size("__t") >= window, wins).otherwise(
+                    F.array().cast("array<struct<pos:int,key:string>>")
+                )
+            ).alias("w"),
+        )
+        .select(F.col(id_col), "n_toks", F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
+    )
+    dup_keys = (
+        pos_tbl.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("key")
+    )
+    hits = pos_tbl.join(dup_keys, "key")  # AQE: broadcast while dup set fits
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "__new",
+            (
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(w_doc) >= window, F.lit(True)
+                )
+            ).cast("int"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy(id_col, "n_toks", "__isl")
+        .agg((F.max("pos") - F.min("pos") + window).alias("__covered"))
+        .groupBy(id_col, "n_toks")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_islands"),
+            F.sum("__covered").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    all_docs = base.select(F.col(id_col), F.size("__t").alias("n_toks"))
+    return (
+        all_docs.join(islands, [id_col, "n_toks"], "left")
+        .select(
+            F.col(id_col),
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.coalesce("dup_islands", F.lit(0)).cast("bigint").alias("dup_islands"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_toks", F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -4009,6 +4009,112 @@ def q119_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text", alpha=0.5)
 
 
+_SPAN_W = 8  # q120 window — shared between the Spark call and its oracle
+
+
+@query(
+    "q120_dup_spans",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    flat AS (
+      SELECT doc_id, w['pos'] AS pos, w['key'] AS key
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1),
+                 i -> {{'pos': i,
+                        'key': md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' '))}}
+               )) AS w
+        FROM base)
+    ),
+    dups AS (SELECT key FROM flat GROUP BY key HAVING count(*) >= 2),
+    hits AS (SELECT f.doc_id, f.pos FROM flat f JOIN dups USING (key)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w >= {_SPAN_W}
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM marked
+    ),
+    per_isl AS (
+      SELECT doc_id, isl, max(pos) - min(pos) + {_SPAN_W} AS covered
+      FROM grp GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, cast(count(*) AS BIGINT) AS dup_islands,
+             cast(sum(covered) AS BIGINT) AS dup_tokens
+      FROM per_isl GROUP BY 1
+    )
+    SELECT b.doc_id, cast(len(b.t) AS BIGINT) AS n_toks,
+           coalesce(d.dup_islands, 0) AS dup_islands,
+           coalesce(d.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(d.dup_tokens, 0) / greatest(len(b.t), 1), 6) AS dup_frac
+    FROM base b LEFT JOIN per_doc d USING (doc_id)
+    """,
+    doc="Exact duplicate-SUBSTRING spans: every 8-token window occurring "
+    ">=2 times corpus-wide marks its covered tokens; overlapping marks "
+    "merge into maximal islands per doc (the sliding-window equivalent "
+    "of suffix-array substring dedup, catching copied spans at ANY "
+    "offset — passage dedup q104 only sees aligned chunks). Only md5 "
+    "keys + int positions shuffle; operators/textual.py "
+    "duplicate_span_stats.",
+)
+def q120_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=_SPAN_W
+    )
+
+
+@query(
+    "q121_semantic_dedup",
+    f"""
+    WITH s AS (SELECT vec_id AS sid, embedding AS sv
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+    sc AS (SELECT e.vec_id, s.sid,
+                  {_cos_sql('e.embedding', 's.sv')} AS c
+           FROM embeddings e CROSS JOIN s),
+    asg AS (
+      SELECT vec_id, cast(sid AS BIGINT) AS cluster
+      FROM (SELECT vec_id, sid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, sid) AS rn
+            FROM sc)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS id_b
+      FROM embeddings a
+      JOIN asg aa ON aa.vec_id = a.vec_id
+      JOIN asg ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+      JOIN embeddings b ON b.vec_id = ab.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT asg.vec_id, asg.cluster,
+           (asg.vec_id NOT IN (SELECT id_b FROM pairs)) AS is_kept
+    FROM asg
+    """,
+    doc="SemDeDup (Abbas et al. 2023): nearest-of-k-seeds clustering "
+    "(deterministic stand-in for trained kmeans centroids — same plan) "
+    "+ within-cluster cos>=t dedup with the one-pass lowest-id-wins "
+    "keep rule. Pair work is bounded by cluster size, never corpus "
+    "size; operators/dedup.py semantic_dedup.",
+)
+def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k_seeds=8, threshold=0.35,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4035,6 +4141,7 @@ _CHECK_FIRST = [
     "q114_minhash_recall", "q115_domain_cap",
     "q116_vocab_coverage", "q117_stream_rate_limit",
     "q118_robust_scale", "q119_bigram_nll",
+    "q120_dup_spans", "q121_semantic_dedup",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
