@@ -886,3 +886,35 @@ def test_semantic_dedup_keeps_min_id_per_dup_group(spark):
     assert out[2]["cluster"] == out[3]["cluster"] == out[0]["cluster"]
     assert out[5]["cluster"] == out[1]["cluster"]
     assert out[4]["cluster"] == out[0]["cluster"]  # orthogonal tie -> seed 0
+
+
+def test_fuzzy_decontaminate_flags_near_dup_of_bench(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base + " lambda"),  # near-dup of bench 0
+            Row(doc_id=11, text="totally unrelated words about spark plans"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=0, text=base)])
+    out = D.fuzzy_decontaminate(
+        train, bench, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in out} == {(10, 0)}
+    assert out[0]["jaccard"] >= 0.5
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    from tytodb_spark.operators.incremental import merge_rollup, rollup_state
+
+    rows = [
+        Row(k="a", x=1.0), Row(k="a", x=2.5), Row(k="b", x=10.0),
+        Row(k="c", x=7.0),  # key only in the delta batch
+    ]
+    df = spark.createDataFrame(rows)
+    base, delta = df.filter(F.col("x") < 5), df.filter(F.col("x") >= 5)
+    merged = merge_rollup(
+        rollup_state(base, ["k"], ["x"]), rollup_state(delta, ["k"], ["x"]), ["k"]
+    )
+    full = rollup_state(df, ["k"], ["x"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

@@ -814,3 +814,84 @@ def semantic_dedup(
         "cluster",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination (MinHash-LSH probe against a benchmark corpus)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents whose
+    shingle-Jaccard to ANY benchmark document is >= ``threshold`` —
+    the near-duplicate upgrade of exact n-gram decontamination
+    (`textual.decontaminate`), catching lightly-edited or partially
+    paraphrased eval leakage that exact gram membership misses.
+
+    The shape is ASYMMETRIC minhash-LSH: the benchmark side is
+    KBs-to-MBs while the training side is the 100 TB corpus, so the
+    benchmark band buckets AND benchmark shingle sets are broadcast.
+    The corpus-side pass is then: signature -> band slice -> map-side
+    hash-join probe (no shuffle of the train side at all), and exact
+    Jaccard verification joins candidate train ids only (candidate-
+    bounded shuffle). train x train pairs are never generated.
+
+    Output: (id, bench_id, jaccard) — one row per flagged
+    (train doc, benchmark doc) pair with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // num_bands
+
+    def banded(base: DataFrame) -> DataFrame:
+        sig = base.select(
+            "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+        )
+        return sig.select(
+            "__id",
+            "__sig",
+            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+        ).select(
+            "__id",
+            "band",
+            F.xxhash64(
+                F.slice("__sig", F.col("band") * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+
+    bench_sh = shingle_table(bench, id_col, text_col, shingle_n).select("__id", "__sh")
+    train_sh = shingle_table(train, id_col, text_col, shingle_n).select("__id", "__sh")
+    bench_bands = banded(bench_sh).select(
+        F.col("__id").alias("bench_id"), "band", "bucket"
+    )
+    candidates = (
+        banded(train_sh)
+        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .select(F.col("__id"), "bench_id")
+        .distinct()
+    )
+    return (
+        candidates.join(train_sh, "__id")
+        .join(
+            F.broadcast(
+                bench_sh.select(
+                    F.col("__id").alias("bench_id"), F.col("__sh").alias("__bsh")
+                )
+            ),
+            "bench_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh", "__bsh"))
+            / F.size(F.array_union("__sh", "__bsh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("__id").alias(id_col), "bench_id", "jaccard")
+    )

@@ -4115,6 +4115,89 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q122: the bench split selector — first md5 byte < 13 (~5% of docs),
+# the documented portable hash family (Spark conv == DuckDB '0x' cast)
+_BENCH_SEL = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 2))::BIGINT < 13"
+
+
+@query(
+    "q122_fuzzy_decontaminate",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s,
+                       {_BENCH_SEL} AS is_bench
+                FROM documents)
+    SELECT t.doc_id, b.doc_id AS bench_id,
+           len(list_intersect(t.s, b.s))
+             / len(list_distinct(list_concat(t.s, b.s))) AS jaccard
+    FROM sh t JOIN sh b ON NOT t.is_bench AND b.is_bench
+    WHERE len(list_intersect(t.s, b.s))
+            / len(list_distinct(list_concat(t.s, b.s))) >= 0.5
+    """,
+    doc="Fuzzy decontamination: MinHash-LSH probe of the 100 TB train "
+    "side against a broadcast benchmark band table — flags train docs "
+    "near-duplicating ANY eval doc (catches paraphrased leakage that "
+    "exact-gram q94 misses at doc level). Bench split = md5-byte "
+    "selector (~5%). Oracle is the exhaustive cross Jaccard; recall "
+    "equivalence at r=4/b=16 per the q42 argument (corpus near-dups "
+    "sit at j>=0.9 where miss probability is 3e-8; audited by q114); "
+    "operators/dedup.py fuzzy_decontaminate.",
+)
+def q122_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    ) < 13
+    return fuzzy_decontaminate(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=64,
+        num_bands=16,
+        threshold=0.5,
+    )
+
+
+@query(
+    "q123_incremental_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as {DEC})) as double) AS sum_price,
+           cast(count(*) as bigint) AS cnt,
+           cast(sum(cast(l_quantity as {DEC})) as double) / count(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Incremental materialized-view maintenance: the pricing rollup "
+    "kept as mergeable (SUM, COUNT) partial states — a delta batch "
+    "(l_orderkey%10=0 here) refreshes the view by aggregating ONLY the "
+    "delta and merging states key-wise; the 100 TB base is never "
+    "rescanned. DECIMAL partials make the merge exact, so the oracle "
+    "is the cold single-pass recompute (bit-identical by "
+    "construction); operators/incremental.py rollup_state/merge_rollup.",
+)
+def q123_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.incremental import merge_rollup, rollup_state
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = ["l_quantity", "l_extendedprice"]
+    base = rollup_state(li.filter(F.col("l_orderkey") % 10 != 0), keys, measures)
+    delta = rollup_state(li.filter(F.col("l_orderkey") % 10 == 0), keys, measures)
+    merged = merge_rollup(base, delta, keys)
+    return merged.select(
+        *keys,
+        F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+        F.col("sum_l_extendedprice").cast("double").alias("sum_price"),
+        F.col("cnt"),
+        (F.col("sum_l_quantity").cast("double") / F.col("cnt")).alias("avg_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4142,6 +4225,7 @@ _CHECK_FIRST = [
     "q116_vocab_coverage", "q117_stream_rate_limit",
     "q118_robust_scale", "q119_bigram_nll",
     "q120_dup_spans", "q121_semantic_dedup",
+    "q122_fuzzy_decontaminate", "q123_incremental_rollup",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
