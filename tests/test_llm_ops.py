@@ -918,3 +918,42 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
     )
     full = rollup_state(df, ["k"], ["x"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_pagerank_int_matches_python_recurrence(spark):
+    from tytodb_spark.operators.graph import ONE, pagerank_int
+
+    # undirected star a-b, a-c plus chord b-c, loaded in both directions
+    und = [(0, 1), (0, 2), (1, 2), (0, 3)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["pr"] for r in pagerank_int(df, iters=5).collect()}
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    tele = (3 * ONE) // (20 * n)
+    pr = {v: ONE // n for v in deg}
+    for _ in range(5):
+        contrib = {v: 0 for v in deg}
+        for s, d in edges:
+            contrib[d] += pr[s] // deg[s]
+        pr = {v: tele + (17 * contrib[v]) // 20 for v in deg}
+    assert out == pr
+    # the high-degree hub outranks the leaf
+    assert out[0] > out[3]
+
+
+def test_frequent_tokens_exact_partition_invariant(spark):
+    # 'hot' is ~9% of the stream; everything else is unique filler, so
+    # only 'hot' crosses the 5% threshold. MG candidates differ by
+    # partitioning, the final output must not.
+    rows = [Row(doc_id=i, text=f"hot u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    expect = [("hot", 200)]
+    for parts in (1, 8):
+        out = X.frequent_tokens_exact(
+            df.repartition(parts), "doc_id", "text", min_frac=0.05
+        ).collect()
+        assert [(r["term"], r["cnt"]) for r in out] == expect

@@ -10,6 +10,7 @@ token counting, and document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -821,4 +822,69 @@ def duplicate_span_stats(
                 F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_toks", F.lit(1)), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: bounded-state candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def frequent_tokens_exact(
+    df: DataFrame, id_col: str, text_col: str, min_frac: float = 0.02
+) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens: every token whose frequency is
+    >= ``min_frac`` of the total token count, with exact counts.
+
+    Two phases, the classic sketch-then-verify shape for cardinalities
+    where a straight token groupBy's map-side hash tables blow up:
+
+    1. **Candidates** — per-partition Misra-Gries with m = 2/min_frac
+       counters (bounded memory per task, Arrow-batched). MG guarantee:
+       an item with partition count > n_p/m survives the partition's
+       summary; any globally-frequent item (>= min_frac·n) has some
+       partition where its count is >= min_frac·n_p > n_p/m, so the
+       union of partition summaries is a SUPERSET of the true heavy
+       hitters at every scale — and is at most P·m keys, broadcastable
+       by construction.
+    2. **Exact recount** — the corpus token stream semi-joins the
+       broadcast candidate set (map-side filter, only candidate tokens
+       shuffle) and exact counts apply the threshold.
+
+    The output is therefore EXACT and partitioning-independent (phase 1
+    varies with partitioning, but only as different supersets).
+    Output: (term, cnt).
+    """
+    m = max(8, int(2.0 / min_frac))
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < m:
+                    counters[t] = 1
+                else:  # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("__n")))
+        .select("term", "cnt")
     )

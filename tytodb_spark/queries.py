@@ -4198,6 +4198,100 @@ def q123_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _PAGERANK_ORACLE(iters: int = 5) -> str:
+    """Unrolled fixed-iteration integer PageRank over the minhash near-
+    dup pair graph (both orientations). Every quantity is a BIGINT and
+    every division is integer `//`, mirroring operators/graph.py
+    pagerank_int exactly — no float ever enters, so the trajectory is
+    bit-identical across engines."""
+    cte = [
+        f"""
+    sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
+    ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT node, (1000000000000 // nn.n)::BIGINT AS pr FROM deg, nn)
+    """
+    ]
+    for k in range(1, iters + 1):
+        cte.append(f"""
+    c{k} AS (SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+             FROM e JOIN p{k - 1} p ON p.node = e.src
+                    JOIN deg d ON d.node = e.src
+             GROUP BY 1),
+    p{k} AS (SELECT deg.node,
+                    ((3 * 1000000000000) // (20 * nn.n)
+                     + (17 * coalesce(c{k}.s, 0)) // 20)::BIGINT AS pr
+             FROM deg CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = deg.node)
+    """)
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f" SELECT node, pr FROM p{iters}"
+    )
+
+
+@query(
+    "q124_dup_graph_pagerank",
+    _PAGERANK_ORACLE(5),
+    doc="PageRank over the near-dup pair graph (both orientations of "
+    "the q42 LSH pair set) — the web-graph centrality prior used in "
+    "corpus curation, and the iterative-join-agg pattern beyond "
+    "k-means. Exact INTEGER mass units (1e-12): bigint `div` "
+    "contributions and bigint sums make 5 iterations bit-identical at "
+    "any parallelism and across engines — the q81 quantization lesson "
+    "applied to iteration; operators/graph.py pagerank_int.",
+)
+def q124_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs
+    from tytodb_spark.operators.graph import pagerank_int
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, num_hashes=64, num_bands=16, threshold=0.5,
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank_int(edges, iters=5).select(
+        F.col("node"), F.col("pr")
+    )
+
+
+@query(
+    "q125_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT term, cast(count(*) AS BIGINT) AS cnt
+    FROM toks, total
+    GROUP BY term, total.n
+    HAVING count(*) >= ceil(0.02 * total.n)
+    """,
+    doc="Heavy-hitter tokens (>=2% of the corpus token stream) via "
+    "per-partition Misra-Gries summaries (bounded task memory, the "
+    "path when map-side combine hash tables outgrow RAM at web-scale "
+    "vocab) + exact recount of the broadcast candidate superset — "
+    "output is exact and partitioning-independent by the MG guarantee; "
+    "operators/textual.py frequent_tokens_exact.",
+)
+def q125_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import frequent_tokens_exact
+
+    return frequent_tokens_exact(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_frac=0.02
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4226,6 +4320,7 @@ _CHECK_FIRST = [
     "q118_robust_scale", "q119_bigram_nll",
     "q120_dup_spans", "q121_semantic_dedup",
     "q122_fuzzy_decontaminate", "q123_incremental_rollup",
+    "q124_dup_graph_pagerank", "q125_heavy_hitters",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
