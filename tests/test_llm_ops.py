@@ -957,3 +957,27 @@ def test_frequent_tokens_exact_partition_invariant(spark):
             df.repartition(parts), "doc_id", "text", min_frac=0.05
         ).collect()
         assert [(r["term"], r["cnt"]) for r in out] == expect
+
+
+def test_nb_classify_separable_classes(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="apple banana cherry apple", label="fruit"),
+            Row(doc_id=1, text="banana apple apple cherry", label="fruit"),
+            Row(doc_id=2, text="bolt nut wrench bolt", label="tool"),
+            Row(doc_id=3, text="wrench bolt nut nut", label="tool"),
+        ]
+    )
+    score = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="apple cherry banana"),
+            Row(doc_id=11, text="nut bolt wrench"),
+            Row(doc_id=12, text="zzz unseen words"),  # all-OOV: priors tie -> label order
+        ]
+    )
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in X.nb_classify(train, score, "doc_id", "text", "label").collect()
+    }
+    assert out[10] == "fruit" and out[11] == "tool"
+    assert out[12] == "fruit"  # equal priors + equal OOV likelihoods -> name asc

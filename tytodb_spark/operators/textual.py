@@ -888,3 +888,87 @@ def frequent_tokens_exact(
         .filter(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("__n")))
         .select("term", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes text classifier (train/score as two DataFrame passes)
+# ---------------------------------------------------------------------------
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on ``train`` and applied to
+    ``score`` — the fastText-shaped supervised filter (language ID,
+    quality routing, domain tagging) as pure DataFrame algebra:
+
+    - model = per-(term, label) counts -> p(t|c) = (c_tc + a)/(c_c + aV),
+      priors from document counts. The model table is V·K rows — it
+      broadcasts to the scoring join while the vocab fits, and degrades
+      to a shuffle join on `term` beyond that (AQE picks; a min-count
+      vocab floor keeps V bounded in production).
+    - scoring = token stream x K classes, left-joined against the
+      model (unseen terms fall back to the same smoothed formula with
+      c_tc = 0), one per-(doc, class) sum, one per-doc argmax window.
+
+    Scores are round(.,6) log-likelihoods, so float summation-order
+    ulps vanish before the argmax compares them (q105/q119 pattern);
+    argmax ties break on label order. Output: (id, pred, score) — the
+    winning label and its rounded log-likelihood per scored doc.
+    """
+    toks_tr = spread(train.select(label_col, text_col), label_col).select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    model = toks_tr.groupBy("term", "label").agg(
+        F.count(F.lit(1)).alias("c_tc")
+    )
+    class_tot = model.groupBy("label").agg(F.sum("c_tc").alias("c_c"))
+    vocab = model.agg(F.countDistinct("term").alias("v"))
+    doc_counts = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = train.agg(F.count(F.lit(1)).alias("n_all"))
+    k_classes = doc_counts.agg(F.count(F.lit(1)).alias("k"))
+    classes = (
+        doc_counts.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(k_classes))
+        .join(class_tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            F.log(
+                (F.col("n_docs") + F.lit(alpha))
+                / (F.col("n_all") + F.lit(alpha) * F.col("k"))
+            ).alias("prior"),
+            (F.col("c_c") + F.lit(alpha) * F.col("v")).alias("denom"),
+        )
+    )
+    toks_sc = spread(score.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    scored = (
+        toks_sc.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(model), ["term", "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            "prior",
+            F.log(
+                (F.coalesce("c_tc", F.lit(0)) + F.lit(alpha)) / F.col("denom")
+            ).alias("lp"),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.round(F.first("prior") + F.sum("lp"), 6).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("pred"), "score")
+    )

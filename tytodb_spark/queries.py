@@ -4292,6 +4292,105 @@ def q125_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q126 split selector: even/odd first md5 byte — portable across engines
+_NB_TRAIN = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 2))::BIGINT % 2 = 0"
+
+
+@query(
+    "q126_nb_classifier",
+    f"""
+    WITH tr AS (SELECT * FROM documents WHERE {_NB_TRAIN}),
+    sc AS (SELECT * FROM documents WHERE NOT ({_NB_TRAIN})),
+    ttr AS (SELECT lang AS label, unnest({_TOKS}) AS term FROM tr),
+    model AS (SELECT term, label, count(*) AS c_tc FROM ttr GROUP BY 1, 2),
+    ctot AS (SELECT label, sum(c_tc) AS c_c FROM model GROUP BY 1),
+    voc AS (SELECT count(DISTINCT term) AS v FROM model),
+    dc AS (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+    nall AS (SELECT count(*) AS n_all FROM tr),
+    kk AS (SELECT count(*) AS k FROM dc),
+    cls AS (SELECT dc.label,
+                   ln((dc.n_docs + 0.5) / (nall.n_all + 0.5 * kk.k)) AS prior,
+                   ctot.c_c + 0.5 * voc.v AS denom
+            FROM dc CROSS JOIN nall CROSS JOIN kk CROSS JOIN voc
+            JOIN ctot ON ctot.label = dc.label),
+    tsc AS (SELECT doc_id, unnest({_TOKS}) AS term FROM sc),
+    scored AS (
+      SELECT t.doc_id, c.label,
+             round(any_value(c.prior)
+                   + sum(ln((coalesce(m.c_tc, 0) + 0.5) / c.denom)), 6) AS score
+      FROM tsc t CROSS JOIN cls c
+      LEFT JOIN model m ON m.term = t.term AND m.label = c.label
+      GROUP BY t.doc_id, c.label
+    )
+    SELECT doc_id, label AS pred, score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label) = 1
+    """,
+    doc="Multinomial Naive Bayes lang classifier (the fastText-shaped "
+    "supervised corpus filter) as pure DataFrame algebra: train on the "
+    "even-md5 half, score the odd half. Model = V*K (term,label) "
+    "count rows — broadcast while the vocab fits, shuffle join beyond "
+    "(AQE). Scores round(.,6) before the argmax so ln/summation ulps "
+    "can't flip the winner (q119 pattern); operators/textual.py "
+    "nb_classify.",
+)
+def q126_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    return nb_classify(
+        docs.filter(is_train), docs.filter(~is_train),
+        "doc_id", "text", "lang", alpha=0.5,
+    )
+
+
+@query(
+    "q127_scd2_history",
+    """
+    WITH src AS (SELECT user_id, event_type, epoch_us(ts) AS tns, event_id
+                 FROM events),
+    ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY tns, event_id) AS prev
+           FROM src),
+    scd AS (SELECT user_id, event_type, tns AS eff_from, event_id
+            FROM ch WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, eff_from,
+           lead(eff_from) OVER w AS eff_to,
+           (lead(eff_from) OVER w IS NULL) AS is_current
+    FROM scd WINDOW w AS (PARTITION BY user_id ORDER BY eff_from, event_id)
+    """,
+    doc="SCD2 history build (slowly-changing-dimension type 2): "
+    "collapse each user's event stream to change rows (consecutive-"
+    "value dedup via lag) and derive [eff_from, eff_to) validity "
+    "intervals via lead — the standard dimension-history primitive a "
+    "CDC pipeline materializes. One shuffle on the key; ties broken "
+    "by the unique event_id. Complements q85 (latest-only) and q97 "
+    "(CDC merge). Timestamps surface as epoch micros (bigint, the "
+    "unix_micros==epoch_us convention) in both engines.",
+)
+def q127_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tns"), "event_id"
+    ).withColumn("prev", F.lag("event_type").over(W.partitionBy("user_id").orderBy("tns", "event_id")))
+    scd = ch.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))).select(
+        "user_id", "event_type", F.col("tns").alias("eff_from"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("eff_from", "event_id")
+    return scd.select(
+        "user_id",
+        "event_type",
+        "eff_from",
+        F.lead("eff_from").over(w).alias("eff_to"),
+        F.lead("eff_from").over(w).isNull().alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4321,6 +4420,7 @@ _CHECK_FIRST = [
     "q120_dup_spans", "q121_semantic_dedup",
     "q122_fuzzy_decontaminate", "q123_incremental_rollup",
     "q124_dup_graph_pagerank", "q125_heavy_hitters",
+    "q126_nb_classifier", "q127_scd2_history",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
