@@ -286,6 +286,75 @@ def main() -> None:
         "1× new batch probes k× banded corpus; no old×old pairs",
     )
 
+    # duplicate-substring spans: replicas are exact copies — every
+    # window key's count grows k deep, the distinct-key space stays
+    # constant, islands per doc are unchanged (honest dedup regime)
+    from tytodb_spark.operators.textual import duplicate_span_stats
+
+    ops["dup_spans"] = (
+        duplicate_span_stats(docs, "doc_id", "text", window=8).select("doc_id"),
+        "k-deep window-hash groups; md5-key + int-position shuffles only",
+    )
+
+    # incremental rollup: k× base state merged with a 1× delta state —
+    # merge cost tracks DISTINCT KEYS (constant here), not base rows
+    from tytodb_spark.operators.incremental import merge_rollup, rollup_state
+
+    ops["rollup_merge"] = (
+        merge_rollup(
+            rollup_state(li, ["l_returnflag", "l_linestatus"], ["l_quantity"]),
+            rollup_state(
+                t["lineitem"].filter(F.col("l_orderkey") % 10 == 0),
+                ["l_returnflag", "l_linestatus"],
+                ["l_quantity"],
+            ),
+            ["l_returnflag", "l_linestatus"],
+        ),
+        "k× base collapses map-side to constant state; merge is state-sized",
+    )
+
+    # heavy hitters: k× token stream, constant vocabulary — MG summaries
+    # stay m-bounded per partition, the recount joins a constant
+    # candidate set
+    from tytodb_spark.operators.textual import frequent_tokens_exact
+
+    ops["heavy_hitters"] = (
+        frequent_tokens_exact(docs, "doc_id", "text", min_frac=0.02),
+        "k× stream; bounded MG state per task; constant candidate set",
+    )
+
+    # NB scoring: model trained on the 1× corpus, applied to the k×
+    # corpus — the scoring pass is a broadcast-model map join
+    from tytodb_spark.operators.textual import nb_classify
+
+    ops["nb_score"] = (
+        nb_classify(t["documents"], docs, "doc_id", "text", "lang").select(
+            "doc_id"
+        ),
+        "1× model broadcast; k× score side map-joins it",
+    )
+
+    # PageRank: k× disjoint replicas of the dup graph (both endpoints
+    # shifted) — per-iteration join+agg work grows linearly, the
+    # iteration count is fixed
+    from tytodb_spark.operators.graph import pagerank_int
+
+    pairs1 = (
+        t["documents"]
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+        .filter(F.col("src") % 7 != 0)  # chains broken into components
+    )
+    und = pairs1.unionAll(
+        pairs1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges_k = replicate(und, k, ["src", "dst"])
+    ops["pagerank"] = (
+        pagerank_int(edges_k, iters=5),
+        "k× disjoint subgraphs; fixed iterations, linear join+agg each",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()

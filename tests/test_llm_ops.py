@@ -981,3 +981,37 @@ def test_nb_classify_separable_classes(spark):
     }
     assert out[10] == "fruit" and out[11] == "tool"
     assert out[12] == "fruit"  # equal priors + equal OOV likelihoods -> name asc
+
+
+def test_bpe_merge_table_learns_expected_pairs(spark):
+    # 'x y' dominates round 1 (4 occurrences incl. a back-to-back chain
+    # that exercises the multi-pass fuse); after fusing, 'x~y x~y'
+    # makes ('x~y','x~y') a candidate for round 2.
+    rows = [
+        Row(doc_id=0, text="x y x y p q"),
+        Row(doc_id=1, text="x y r x y s"),
+        Row(doc_id=2, text="p q r s"),
+    ]
+    out = X.bpe_merge_table(
+        spark.createDataFrame(rows), "doc_id", "text", n_merges=2
+    ).collect()
+    by_idx = {r["merge_idx"]: (r["w1"], r["w2"], r["cnt"]) for r in out}
+    assert by_idx[1] == ("x", "y", 4)  # all four x-y adjacencies fuse
+    # round 2: bigrams of [x~y x~y p q], [x~y r x~y s], [p q r s]
+    # -> ('p','q') has 2, everything else 1; ties can't win over 2
+    assert by_idx[2] == ("p", "q", 2)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # anchor
+        Row(vec_id=1, embedding=[0.99, 0.1], label=0),  # near positive (excluded)
+        Row(vec_id=2, embedding=[0.9, 0.2], label=1),   # hard negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=1),   # easy negative
+    ]
+    df = spark.createDataFrame(rows)
+    out = S.hard_negatives(
+        df.filter(F.col("vec_id") == 0), df, "vec_id", "embedding", "label", k=2
+    ).orderBy("rank").collect()
+    assert [r["negative_id"] for r in out] == [2, 3]  # positive 1 never appears
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]

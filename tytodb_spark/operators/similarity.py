@@ -679,3 +679,57 @@ def dim_robust_stats(
             (F.col("q3") - F.col("q1")).alias("iqr"),
         )
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every anchor, the k most-cosine-similar corpus vectors with a
+    DIFFERENT label — the examples a contrastive loss learns the most
+    from (near the anchor but semantically wrong).
+
+    Same plan as brute_force_knn (broadcast anchors × one corpus scan,
+    hoisted norms, two-phase top-k) plus the label-mismatch filter
+    applied BEFORE scoring survivors are ranked, so positives never
+    occupy top-k slots. At corpus scale swap the scan for an ANN
+    candidate pass (srp_ann/ivf_ann) and re-rank exactly — the filter
+    and top-k stages are unchanged.
+
+    Output: (anchor_id, negative_id, cos_sim, rank), rank 1..k,
+    deterministic tie-break on negative_id.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__al"),
+        F.col(vec_col).alias("__av"),
+    ).withColumn("__an", F.sqrt(dot(F.col("__av"), F.col("__av"))))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("__cl"),
+            F.col(vec_col).alias("__cv"),
+        ),
+        "negative_id",
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("__al") != F.col("__cl"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__av"), F.col("__cv"))
+                / (F.col("__an") * F.col("__cn")),
+                6,
+            ),
+        )
+    )
+    order = [F.col("cos_sim").desc(), F.col("negative_id")]
+    return topk_per_key(scored, "anchor_id", order, k).select(
+        "anchor_id", "negative_id", "cos_sim", "rank"
+    )

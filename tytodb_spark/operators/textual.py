@@ -972,3 +972,78 @@ def nb_classify(
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col("label").alias("pred"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge-pair vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_table(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 3, joiner: str = "~"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE-style merge rules over the
+    corpus: each round counts adjacent symbol pairs corpus-wide, picks
+    the most frequent (ties: lexicographic), and fuses every
+    non-overlapping occurrence — the distributed heart of tokenizer
+    training (symbols here start at words, so this doubles as
+    word2phrase-style phrase induction).
+
+    The fuse step is a padded-string 3-pass `replace(' a b ',' a~b ')`
+    applied identically in any engine: one greedy left-to-right pass
+    can miss a pair whose flanking spaces were consumed by adjacent
+    matches, but missed pairs are never adjacent to each other, so a
+    second pass completes the merge set (third pass = safety margin).
+    The pair argmax is a 1-row DataFrame cross-joined back (broadcast)
+    — no driver round-trip, and each round is one map-side bigram
+    explode + one narrow count shuffle over the (tiny, vocab-bounded)
+    pair space. State between rounds is a corpus-sized string column:
+    at 100 TB checkpoint it every few rounds instead of growing one
+    lineage per merge.
+
+    Output: (merge_idx, w1, w2, cnt) — the learned merge table.
+    """
+    cur = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" ")).alias("__t"),
+    )
+    results = []
+    for k in range(1, n_merges + 1):
+        toks = F.filter(F.split("__t", " "), lambda t: t != "")
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i.cast("int")).alias("w1"),
+                            F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        best = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2")
+            .limit(1)
+            .withColumn("merge_idx", F.lit(k))
+        )
+        results.append(best.select("merge_idx", "w1", "w2", "cnt"))
+        pat = F.concat(F.lit(" "), F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "), F.col("w1"), F.lit(joiner), F.col("w2"), F.lit(" ")
+        )
+        merged = F.col("__t")
+        for _ in range(3):
+            merged = F.replace(merged, pat, rep)
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("w1", "w2")))
+            .select(F.col(id_col), merged.alias("__t"))
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out

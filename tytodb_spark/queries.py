@@ -4391,6 +4391,88 @@ def q127_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q128_hard_negatives",
+    f"""
+    SELECT anchor_id, negative_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.label != c.label
+      WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    "k most-similar corpus vectors with a DIFFERENT label (the "
+    "examples the loss learns most from). Broadcast anchors x one "
+    "corpus scan, label filter before ranking, two-phase top-k; at "
+    "corpus scale the scan swaps for an ANN candidate pass + exact "
+    "re-rank; operators/similarity.py hard_negatives.",
+)
+def q128_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 8), emb, "vec_id", "embedding", "label", k=5
+    )
+
+
+def _BPE_ORACLE(n_merges: int = 3) -> str:
+    """Unrolled BPE merge-rule induction mirroring operators/textual.py
+    bpe_merge_table: per round, bigram argmax (count desc, pair asc)
+    then the SAME padded-string 3-pass replace fuse."""
+    ctes = [
+        f"d0 AS (SELECT doc_id, ' ' || array_to_string({_TOKS}, ' ') || ' ' AS t"
+        " FROM documents)"
+    ]
+    for k in range(1, n_merges + 1):
+        rep1 = "replace(d.t, ' '||m.w1||' '||m.w2||' ', ' '||m.w1||'~'||m.w2||' ')"
+        rep2 = f"replace({rep1}, ' '||m.w1||' '||m.w2||' ', ' '||m.w1||'~'||m.w2||' ')"
+        rep3 = f"replace({rep2}, ' '||m.w1||' '||m.w2||' ', ' '||m.w1||'~'||m.w2||' ')"
+        ctes.append(f"""
+    b{k} AS (
+      SELECT u['w1'] AS w1, u['w2'] AS w2, cast(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(CASE WHEN len(l) >= 2
+                 THEN list_transform(range(1, len(l)),
+                                     i -> {{'w1': l[i], 'w2': l[i+1]}})
+                 ELSE [] END) AS u
+        FROM (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS l
+              FROM d{k - 1})
+      ) GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT {k} AS merge_idx, w1, w2, cnt FROM b{k}
+             ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    d{k} AS (SELECT d.doc_id, {rep3} AS t FROM d{k - 1} d CROSS JOIN m{k} m)
+    """)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + " " + union
+
+
+@query(
+    "q129_bpe_merges",
+    _BPE_ORACLE(3),
+    doc="BPE-style merge-rule induction (the distributed heart of "
+    "tokenizer training; words as base symbols = word2phrase phrase "
+    "mining): per round one bigram count shuffle over the vocab-"
+    "bounded pair space, a 1-row argmax broadcast back, and a padded-"
+    "string 3-pass greedy fuse executed identically in both engines "
+    "(parity by construction); operators/textual.py bpe_merge_table.",
+)
+def q129_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import bpe_merge_table
+
+    return bpe_merge_table(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_merges=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4421,6 +4503,7 @@ _CHECK_FIRST = [
     "q122_fuzzy_decontaminate", "q123_incremental_rollup",
     "q124_dup_graph_pagerank", "q125_heavy_hitters",
     "q126_nb_classifier", "q127_scd2_history",
+    "q128_hard_negatives", "q129_bpe_merges",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
