@@ -1015,3 +1015,26 @@ def test_hard_negatives_excludes_same_label(spark):
     ).orderBy("rank").collect()
     assert [r["negative_id"] for r in out] == [2, 3]  # positive 1 never appears
     assert out[0]["cos_sim"] > out[1]["cos_sim"]
+
+
+def test_alignment_scores_match_reference_math(spark):
+    import hashlib as hl
+    import math as m
+
+    rows = [Row(doc_id=0, text="hello world"), Row(doc_id=1, text="spark")]
+    df = spark.createDataFrame(rows)
+    media = M.to_media_table(df, "doc_id", "text")
+    out = {
+        r["doc_id"]: r["alignment"]
+        for r in M.alignment_scores(media, df, "doc_id", "text").collect()
+    }
+
+    def emb(b):
+        h = hl.md5(b).hexdigest()
+        return [int(h[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(8)]
+
+    for did, text in [(0, "hello world"), (1, "spark")]:
+        iv, tv = emb(text.encode()), emb(("t:" + text).encode())
+        num = sum(a * b for a, b in zip(iv, tv))
+        den = m.sqrt(sum(a * a for a in iv)) * m.sqrt(sum(b * b for b in tv))
+        assert out[did] == m.floor(num / den * 1e6 + 0.5) / 1e6

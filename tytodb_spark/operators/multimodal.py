@@ -18,6 +18,7 @@ swappable.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -180,3 +181,63 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
             )
 
     return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+ALIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("alignment", T.DoubleType()),
+    ]
+)
+
+
+def _fake_clip_embed(data: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a CLIP-style encoder: 4 hex chars of
+    md5 per dimension, scaled to [0, 1]. Swap for a real model forward
+    pass in production — the operator plumbing (Arrow batches, Python
+    workers, JVM-side filter) is identical."""
+    h = hashlib.md5(data).hexdigest()
+    return [int(h[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(dims)]
+
+
+def alignment_scores(media: DataFrame, text_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Image-text alignment scoring (the CLIP-score filter step of a
+    multimodal pair pipeline): embed the binary payload and its caption
+    text with the (stubbed) encoder inside Arrow-batched mapInPandas,
+    score cosine alignment, and return (id, alignment) for JVM-side
+    thresholding/joining.
+
+    Plan shape at 100 TB: the payload never leaves its scan partition
+    — embedding happens where the bytes live, one Python worker per
+    core, and only (id, 8-float) rows flow on. The caption join is on
+    the id key (broadcast while captions fit). The encoder here is the
+    deterministic md5 fake (`_fake_clip_embed`); a real model swaps in
+    with a broadcast weights handle and a GPU-pinned worker pool.
+    """
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload, text in zip(
+                pdf["doc_id"], pdf["payload"], pdf["text"]
+            ):
+                iv = _fake_clip_embed(bytes(payload))
+                tv = _fake_clip_embed(("t:" + text).encode("utf-8"))
+                num = sum(a * b for a, b in zip(iv, tv))
+                den = (sum(a * a for a in iv) ** 0.5) * (
+                    sum(b * b for b in tv) ** 0.5
+                )
+                # floor(x*1e6+0.5)/1e6, NOT round(): Python round is
+                # banker's, SQL round is half-away — the one explicit
+                # rule both engines reproduce (q81 lesson)
+                q = math.floor(num / den * 1e6 + 0.5) / 1e6
+                out.append((int(did), q))
+            yield pd.DataFrame(out, columns=["doc_id", "alignment"])
+
+    joined = media.select("doc_id", "payload").join(
+        text_df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        ),
+        "doc_id",
+    )
+    return joined.mapInPandas(score, ALIGN_SCHEMA)

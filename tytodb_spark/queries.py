@@ -4473,6 +4473,110 @@ def q129_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q130_dataset_card",
+    f"""
+    WITH base AS (
+      SELECT source, lang, doc_id, len({_TOKS}) AS n_toks, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+      FROM documents
+    ),
+    dup AS (
+      SELECT source, sum(cnt - 1) AS n_dup_docs
+      FROM (SELECT source, ck, count(*) AS cnt FROM base GROUP BY 1, 2)
+      GROUP BY source
+    )
+    SELECT b.source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(b.n_toks) AS BIGINT) AS n_tokens,
+           cast(any_value(d.n_dup_docs) AS BIGINT) AS n_dup_docs,
+           cast(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           round(sum(b.n_chars) / count(*), 6) AS mean_chars
+    FROM base b JOIN dup d USING (source)
+    GROUP BY b.source
+    """,
+    doc="Dataset card: the per-source summary a corpus release ships "
+    "(doc/token counts, within-source exact-dup count, language "
+    "spread, mean length). Two narrow aggregates — content-key groups "
+    "within source, then the source rollup; every sum is over exact "
+    "integers so the card is bit-stable. The composition pattern for "
+    "bolting on any declared signal (quality, dup rate, NLL) as "
+    "another aggregate column.",
+)
+def q130_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import normalize_text
+    from tytodb_spark.operators.textual import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_toks"),
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("ck"),
+    )
+    dup = (
+        base.groupBy("source", "ck")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).alias("n_dup_docs"))
+    )
+    return (
+        base.join(dup, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.first("n_dup_docs").cast("bigint").alias("n_dup_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("mean_chars"),
+        )
+    )
+
+
+def _FAKE_CLIP_SQL(expr: str) -> str:
+    """DuckDB twin of multimodal._fake_clip_embed: 8 dims of 4 md5 hex
+    chars scaled to [0,1]."""
+    return (
+        f"list_transform(range(0, 8), i -> "
+        f"('0x' || substr(md5({expr}), 4*i + 1, 4))::BIGINT / 65535.0)"
+    )
+
+
+@query(
+    "q131_multimodal_alignment",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             {_FAKE_CLIP_SQL('text')} AS iv,
+             {_FAKE_CLIP_SQL("'t:' || text")} AS tv
+      FROM documents
+    )
+    SELECT doc_id,
+           floor({_DOT.format(a='iv', b='tv')}
+                 / (sqrt({_DOT.format(a='iv', b='iv')})
+                    * sqrt({_DOT.format(a='tv', b='tv')})) * 1e6 + 0.5) / 1e6
+             AS alignment
+    FROM v
+    """,
+    doc="Image-text alignment scoring (the CLIP-score filter of a "
+    "multimodal pair pipeline): payload and caption embedded INSIDE "
+    "Arrow-batched mapInPandas — bytes never leave their scan "
+    "partition, only (id, score) rows flow on. Encoder is the "
+    "deterministic md5 stub (container has no model libs); a real "
+    "model swaps in behind the same batch signature. Scores quantize "
+    "floor(x*1e6+0.5) on both engines (q81 rounding rule); "
+    "operators/multimodal.py alignment_scores.",
+)
+def q131_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import alignment_scores, to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text", mime="image/fake")
+    return alignment_scores(media, docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4504,6 +4608,7 @@ _CHECK_FIRST = [
     "q124_dup_graph_pagerank", "q125_heavy_hitters",
     "q126_nb_classifier", "q127_scd2_history",
     "q128_hard_negatives", "q129_bpe_merges",
+    "q130_dataset_card", "q131_multimodal_alignment",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
