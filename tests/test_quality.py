@@ -1,0 +1,44 @@
+"""Unit tests for the data-validation operators (operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tytodb_spark.operators import quality as QA
+
+
+def test_histogram_clamps_and_zero_fills(spark):
+    df = spark.createDataFrame(
+        [Row(x=-5.0), Row(x=0.0), Row(x=9.9), Row(x=10.0), Row(x=35.0),
+         Row(x=99.0), Row(x=None)]
+    )
+    out = {r["bin"]: r for r in QA.equi_width_histogram(df, "x", 0.0, 40.0, 4).collect()}
+    assert len(out) == 4                      # zero-count bins included
+    assert out[0]["cnt"] == 3                 # -5 clamps low; 0.0 and 9.9 in-bin
+    assert out[1]["cnt"] == 1 and out[2]["cnt"] == 0
+    assert out[3]["cnt"] == 2                 # 35 in-bin; 99 clamps high
+    assert out[1]["lo"] == 10.0 and out[1]["hi"] == 20.0
+
+
+def test_check_constraints_single_pass_verdicts(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, q=5.0), Row(k=2, q=-1.0), Row(k=None, q=3.0)]
+    )
+    out = {
+        r["check"]: r
+        for r in QA.check_constraints(
+            df,
+            {"k_not_null": F.col("k").isNotNull(), "q_positive": F.col("q") > 0},
+        ).collect()
+    }
+    assert out["k_not_null"]["n_violations"] == 1 and not out["k_not_null"]["passed"]
+    assert out["q_positive"]["n_violations"] == 1 and not out["q_positive"]["passed"]
+    assert all(r["n_rows"] == 3 for r in out.values())
+
+
+def test_referential_integrity_counts_orphans(spark):
+    child = spark.createDataFrame([Row(fk=1), Row(fk=1), Row(fk=9)])
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    r = QA.referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_child"], r["n_orphans"], r["passed"]) == (3, 1, False)

@@ -1,0 +1,101 @@
+"""Data-quality / validation operators (Deequ-style): column profiling,
+constraint suites with PASS/FAIL verdicts, and referential-integrity
+audits. A training-data pipeline runs these as gates between stages —
+cheap aggregates whose cost is one scan regardless of how many
+constraints share it.
+
+Everything is built-in expressions; constraint evaluation composes into
+ONE aggregate per table (Catalyst collapses the shared scan), so adding
+a constraint adds a column, not a pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column over [lo, hi): one
+    map-side bin assignment + one count shuffle on `bins` keys. Bounds
+    are caller-supplied (profile metadata / table stats) so the plan is
+    a single pass; out-of-range rows clamp into the edge bins, and
+    every bin appears in the output (zero-count bins included) so
+    downstream diffing of two profiles is positional.
+
+    Output: (bin, lo, hi, cnt) with exact integer counts.
+    """
+    spark = df.sparkSession
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    edges = spark.range(bins).select(
+        F.col("id").cast("int").alias("bin"),
+        (F.lit(lo) + F.col("id") * F.lit(width)).alias("lo"),
+        (F.lit(lo) + (F.col("id") + 1) * F.lit(width)).alias("hi"),
+    )
+    return (
+        edges.join(counts, "bin", "left")
+        .select("bin", "lo", "hi", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+    )
+
+
+def check_constraints(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Evaluate named row-level constraints in ONE aggregate pass:
+    each check is a boolean Column; the result reports violations and a
+    verdict per check. Long output format so suites diff/union across
+    tables.
+
+    Output: (check, n_rows, n_violations, passed).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")] + [
+        F.sum((~c).cast("bigint")).cast("bigint").alias(f"__v_{name}")
+        for name, c in checks.items()
+    ]
+    row = df.agg(*aggs)
+    outs = []
+    for name in checks:
+        outs.append(
+            row.select(
+                F.lit(name).alias("check"),
+                F.col("__n").alias("n_rows"),
+                F.coalesce(F.col(f"__v_{name}"), F.lit(0)).alias("n_violations"),
+                (F.coalesce(F.col(f"__v_{name}"), F.lit(0)) == 0).alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def referential_integrity(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """FK audit: count child rows whose key has no parent (orphans).
+    Plan: left-anti join — the parent side ships as a broadcast/semi
+    structure while it fits; the child side never shuffles its payload,
+    only the key. Output: 1 row (n_child, n_orphans, passed)."""
+    n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    orphans = (
+        child.select(F.col(child_key).alias("__k"))
+        .join(
+            parent.select(F.col(parent_key).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    )
+    return n_child.crossJoin(orphans).select(
+        "n_child", "n_orphans", (F.col("n_orphans") == 0).alias("passed")
+    )

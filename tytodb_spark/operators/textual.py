@@ -861,21 +861,30 @@ def frequent_tokens_exact(
     )
 
     def mg_partition(batches):
+        # WEIGHTED Misra-Gries: each Arrow batch collapses to
+        # value_counts (vectorized — the per-token work stays in C),
+        # then the counter update loops over DISTINCT terms only.
+        # Weighted decrements discard d mass from m+1 entries at once,
+        # so total discarded <= n_p and the per-item undercount bound
+        # (and the superset guarantee) is unchanged.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < m:
-                    counters[t] = 1
-                else:  # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            for t, c in pdf["term"].value_counts().items():
+                c = int(c)
+                while c > 0:
+                    if t in counters:
+                        counters[t] += c
+                        c = 0
+                    elif len(counters) < m:
+                        counters[t] = c
+                        c = 0
+                    else:
+                        d = min(min(counters.values()), c)
+                        c -= d
+                        for k in list(counters):
+                            counters[k] -= d
+                            if counters[k] == 0:
+                                del counters[k]
         yield pd.DataFrame({"term": list(counters.keys())})
 
     candidates = toks.mapInPandas(mg_partition, "term string").distinct()

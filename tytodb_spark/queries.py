@@ -4577,6 +4577,121 @@ def q131_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alignment_scores(media, docs, "doc_id", "text")
 
 
+@query(
+    "q132_profile_histogram",
+    """
+    WITH c AS (
+      SELECT least(greatest(floor((l_extendedprice - 0.0) / 10000.0),
+                            0), 11)::INT AS bin,
+             cast(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT e.bin, 0.0 + e.bin * 10000.0 AS lo,
+           0.0 + (e.bin + 1) * 10000.0 AS hi,
+           coalesce(c.cnt, 0) AS cnt
+    FROM (SELECT unnest(range(12))::INT AS bin) e
+    LEFT JOIN c USING (bin)
+    """,
+    doc="Column profiling: equi-width histogram of l_extendedprice "
+    "(12 x 10k bins, edge clamp) — the data-profiling pass a pipeline "
+    "gate runs per stage. One map-side bin assignment + one count "
+    "shuffle on |bins| keys; bounds come from table stats so it's a "
+    "single scan; operators/quality.py equi_width_histogram.",
+)
+def q132_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import equi_width_histogram
+
+    return equi_width_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", 0.0, 120000.0, bins=12
+    )
+
+
+@query(
+    "q133_constraint_suite",
+    """
+    WITH a AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum((l_orderkey IS NULL)::INT) AS BIGINT) AS v_key_not_null,
+             cast(sum((NOT (l_quantity > 0))::INT) AS BIGINT) AS v_qty_positive,
+             cast(sum((NOT (l_discount BETWEEN 0 AND 0.1))::INT) AS BIGINT)
+               AS v_discount_range,
+             cast(sum((NOT (l_extendedprice > 0))::INT) AS BIGINT)
+               AS v_price_positive
+      FROM lineitem
+    )
+    SELECT 'key_not_null' AS "check", n AS n_rows,
+           v_key_not_null AS n_violations, v_key_not_null = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'qty_positive', n, v_qty_positive, v_qty_positive = 0 FROM a
+    UNION ALL
+    SELECT 'discount_range', n, v_discount_range, v_discount_range = 0 FROM a
+    UNION ALL
+    SELECT 'price_positive', n, v_price_positive, v_price_positive = 0 FROM a
+    """,
+    doc="Constraint suite (Deequ-style pipeline gate): named row-level "
+    "checks evaluated in ONE aggregate pass — adding a constraint adds "
+    "a column to the shared scan, not another pass. Long output so "
+    "suites union across tables; operators/quality.py "
+    "check_constraints.",
+)
+def q133_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "key_not_null": F.col("l_orderkey").isNotNull(),
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_range": F.col("l_discount").between(0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+        },
+    )
+
+
+@query(
+    "q134_ref_integrity",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT cast(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT cast(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0 AS passed
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT cast(count(*) AS BIGINT) FROM orders),
+           (SELECT cast(count(*) AS BIGINT) FROM orders r
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = r.o_custkey)),
+           (SELECT count(*) FROM orders r
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = r.o_custkey)) = 0
+    """,
+    doc="Referential-integrity audit (FK orphan counts) across the "
+    "star schema: left-anti join per relation — the parent key set "
+    "broadcasts while it fits, the child side ships only its key. The "
+    "dbt-test/Deequ-style gate before a join-heavy pipeline trusts "
+    "its dims; operators/quality.py referential_integrity.",
+)
+def q134_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = referential_integrity(li, orders, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem->orders").alias("relation"), "n_child", "n_orphans", "passed"
+    )
+    b = referential_integrity(orders, cust, "o_custkey", "c_custkey").select(
+        F.lit("orders->customer").alias("relation"), "n_child", "n_orphans", "passed"
+    )
+    return a.unionAll(b)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4609,6 +4724,7 @@ _CHECK_FIRST = [
     "q126_nb_classifier", "q127_scd2_history",
     "q128_hard_negatives", "q129_bpe_merges",
     "q130_dataset_card", "q131_multimodal_alignment",
+    "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
