@@ -748,15 +748,23 @@ def duplicate_span_stats(
     Unlike passage dedup (fixed disjoint chunks, passage_dedup_stats)
     this catches copied spans at ANY offset.
 
-    Plan shape: stride-1 windows are hashed in place (md5 — portable
-    across engines; the window TEXT never leaves the row), exploded to
-    (id, pos, key) triples, counted corpus-wide (one narrow shuffle on
-    the 32-hex key, map-side combinable), and positions covered by a
-    key with count >= 2 are merged into maximal islands per document
-    (one shuffle back onto id; same-length intervals sorted by start
-    merge exactly when successive starts differ < window). Only hashes
-    and integer positions ever shuffle — at 100 TB the wide rows stay
-    in the scan stage.
+    Plan shape — ONE corpus scan, TWO narrow shuffles (the first cut
+    of this operator scanned the corpus three times; the join-free
+    rewrite was verified by plan audit):
+
+    1. stride-1 windows are hashed in place (md5 — portable across
+       engines; the window TEXT never leaves the row) and exploded to
+       (id, n_toks, pos, key) rows — `explode_outer` keeps a sentinel
+       row for docs shorter than the window, so every doc survives to
+       the final rollup without a second scan.
+    2. corpus-wide occurrence counting is a COUNT window over the key
+       (one shuffle of 32-hex + int rows, replacing a groupBy + join
+       back that re-hashed everything); rows with count >= 2 are hits.
+    3. hits merge into maximal islands per doc: one window over
+       (id) ordered (is_hit, pos) — same-length intervals sorted by
+       start merge exactly when successive starts differ < window —
+       and the two rollups reuse the same id partitioning, so no
+       further exchange is planned.
 
     Output: (id, n_toks, dup_islands, dup_tokens, dup_frac), one row
     per input document (docs with no duplicated window report zeros).
@@ -772,54 +780,49 @@ def duplicate_span_stats(
             F.md5(F.concat_ws(" ", F.slice("__t", i, window))).alias("key"),
         ),
     )
-    pos_tbl = (
-        base.select(
-            F.col(id_col),
-            F.size("__t").alias("n_toks"),
-            F.explode(
-                F.when(F.size("__t") >= window, wins).otherwise(
-                    F.array().cast("array<struct<pos:int,key:string>>")
-                )
-            ).alias("w"),
-        )
-        .select(F.col(id_col), "n_toks", F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
+    pos_tbl = base.select(
+        F.col(id_col),
+        F.size("__t").alias("n_toks"),
+        F.explode_outer(F.when(F.size("__t") >= window, wins)).alias("w"),
+    ).select(
+        F.col(id_col), "n_toks", F.col("w.pos").alias("pos"), F.col("w.key").alias("key")
     )
-    dup_keys = (
-        pos_tbl.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("key")
+    counted = pos_tbl.withColumn(
+        "__hit",
+        F.col("key").isNotNull()
+        & (F.count("key").over(W.partitionBy("key")) >= 2),
     )
-    hits = pos_tbl.join(dup_keys, "key")  # AQE: broadcast while dup set fits
-    w_doc = W.partitionBy(id_col).orderBy("pos")
-    islands = (
-        hits.withColumn(
-            "__new",
-            (
-                F.coalesce(
-                    F.col("pos") - F.lag("pos").over(w_doc) >= window, F.lit(True)
-                )
-            ).cast("int"),
-        )
-        .withColumn("__isl", F.sum("__new").over(w_doc))
-        .groupBy(id_col, "n_toks", "__isl")
+    w_doc = W.partitionBy(id_col).orderBy("__hit", "pos")
+    marked = counted.withColumn(
+        "__new",
+        (
+            F.col("__hit")
+            & F.coalesce(
+                ~F.lag("__hit").over(w_doc)
+                | (F.col("pos") - F.lag("pos").over(w_doc) >= window),
+                F.lit(True),
+            )
+        ).cast("int"),
+    ).withColumn("__isl", F.sum("__new").over(w_doc))
+    return (
+        marked.groupBy(id_col, "n_toks", "__hit", "__isl")
         .agg((F.max("pos") - F.min("pos") + window).alias("__covered"))
         .groupBy(id_col, "n_toks")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("dup_islands"),
-            F.sum("__covered").cast("bigint").alias("dup_tokens"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_islands"),
+            F.sum(F.when(F.col("__hit"), F.col("__covered")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
         )
-    )
-    all_docs = base.select(F.col(id_col), F.size("__t").alias("n_toks"))
-    return (
-        all_docs.join(islands, [id_col, "n_toks"], "left")
         .select(
             F.col(id_col),
             F.col("n_toks").cast("bigint").alias("n_toks"),
-            F.coalesce("dup_islands", F.lit(0)).cast("bigint").alias("dup_islands"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            "dup_islands",
+            "dup_tokens",
             F.round(
-                F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_toks", F.lit(1)), 6
+                F.col("dup_tokens") / F.greatest("n_toks", F.lit(1)), 6
             ).alias("dup_frac"),
         )
     )
