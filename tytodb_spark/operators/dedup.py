@@ -794,6 +794,12 @@ def semantic_dedup(
         )
     )
     w = W.partitionBy("id_a").orderBy(F.col("__cos").desc(), F.col("id_s"))
+    # cache the assignment: the pair join consumes it twice, the final
+    # keep-flag join a third time, and embedding_dup_pairs' size gate
+    # counts it — uncached, each re-runs the corpus-wide argmax (plan
+    # audit: 6 scans). This is the operator's working set ((id, vec,
+    # cluster)); at 100 TB prefer persist(MEMORY_AND_DISK) semantics —
+    # cache() already spills.
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -802,6 +808,7 @@ def semantic_dedup(
             F.col("va").alias(vec_col),
             F.col("id_s").cast("bigint").alias("cluster"),
         )
+        .cache()
     )
     pairs = embedding_dup_pairs(
         assigned, id_col, vec_col, threshold=threshold, block_col="cluster"

@@ -62,40 +62,46 @@ def check_constraints(
         F.sum((~c).cast("bigint")).cast("bigint").alias(f"__v_{name}")
         for name, c in checks.items()
     ]
+    # ONE aggregate row, then explode per-check structs from it — a
+    # union of per-check selects would re-execute the aggregate (and
+    # its scan) once per constraint (verified by plan audit)
     row = df.agg(*aggs)
-    outs = []
-    for name in checks:
-        outs.append(
-            row.select(
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(name).alias("check"),
                 F.col("__n").alias("n_rows"),
                 F.coalesce(F.col(f"__v_{name}"), F.lit(0)).alias("n_violations"),
                 (F.coalesce(F.col(f"__v_{name}"), F.lit(0)) == 0).alias("passed"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+            for name in checks
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.check", "e.n_rows", "e.n_violations", "e.passed"
+    )
 
 
 def referential_integrity(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
 ) -> DataFrame:
     """FK audit: count child rows whose key has no parent (orphans).
-    Plan: left-anti join — the parent side ships as a broadcast/semi
-    structure while it fits; the child side never shuffles its payload,
-    only the key. Output: 1 row (n_child, n_orphans, passed)."""
-    n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-    orphans = (
-        child.select(F.col(child_key).alias("__k"))
-        .join(
-            parent.select(F.col(parent_key).alias("__k")).distinct(),
-            "__k",
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    Plan: ONE pass over the child — a left OUTER join against the
+    distinct parent keys (broadcast while they fit) feeds a single
+    aggregate computing both the row count and the orphan count (a
+    separate count + anti-join pair would scan the child twice; plan
+    audit). The child ships only its key column.
+    Output: 1 row (n_child, n_orphans, passed)."""
+    probe = child.select(F.col(child_key).alias("__k")).join(
+        parent.select(F.col(parent_key).alias("__k"))
+        .distinct()
+        .withColumn("__hit", F.lit(True)),
+        "__k",
+        "left",
     )
-    return n_child.crossJoin(orphans).select(
+    return probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        F.sum(F.col("__hit").isNull().cast("bigint")).cast("bigint").alias("n_orphans"),
+    ).select(
         "n_child", "n_orphans", (F.col("n_orphans") == 0).alias("passed")
     )

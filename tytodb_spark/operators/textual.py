@@ -871,7 +871,9 @@ def frequent_tokens_exact(
         # so total discarded <= n_p and the per-item undercount bound
         # (and the superset guarantee) is unchanged.
         counters: dict[str, int] = {}
+        n_seen = 0
         for pdf in batches:
+            n_seen += len(pdf)
             for t, c in pdf["term"].value_counts().items():
                 c = int(c)
                 while c > 0:
@@ -888,10 +890,21 @@ def frequent_tokens_exact(
                             counters[k] -= d
                             if counters[k] == 0:
                                 del counters[k]
-        yield pd.DataFrame({"term": list(counters.keys())})
+        # candidates + a NULL-term sentinel carrying this partition's
+        # token count: the global total falls out of the same pass
+        # instead of a third corpus scan (plan audit)
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "n": [0] * len(counters) + [n_seen],
+            }
+        )
 
-    candidates = toks.mapInPandas(mg_partition, "term string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    summaries = toks.mapInPandas(mg_partition, "term string, n long").cache()
+    candidates = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = summaries.filter(F.col("term").isNull()).agg(
+        F.sum("n").cast("bigint").alias("__n")
+    )
     return (
         toks.join(F.broadcast(candidates), "term")
         .groupBy("term")
@@ -937,14 +950,18 @@ def nb_classify(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
+    # cache the two small aggregates every downstream table derives
+    # from: without it class_tot/vocab/priors each re-run the train
+    # corpus scan+tokenize (plan audit showed 7 scans; now the corpus
+    # is read once per side)
     model = toks_tr.groupBy("term", "label").agg(
         F.count(F.lit(1)).alias("c_tc")
-    )
+    ).cache()
     class_tot = model.groupBy("label").agg(F.sum("c_tc").alias("c_c"))
     vocab = model.agg(F.countDistinct("term").alias("v"))
     doc_counts = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
+    ).cache()
     n_total = train.agg(F.count(F.lit(1)).alias("n_all"))
     k_classes = doc_counts.agg(F.count(F.lit(1)).alias("k"))
     classes = (
