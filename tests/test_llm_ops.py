@@ -1038,3 +1038,26 @@ def test_alignment_scores_match_reference_math(spark):
         num = sum(a * b for a, b in zip(iv, tv))
         den = m.sqrt(sum(a * a for a in iv)) * m.sqrt(sum(b * b for b in tv))
         assert out[did] == m.floor(num / den * 1e6 + 0.5) / 1e6
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    from tytodb_spark.operators.sketches import count_min_build, count_min_estimate
+
+    items = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 1, "term string"
+    )
+    sk = count_min_build(items, "term", depth=4, width=16)
+    probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "term string")
+    est = {
+        r["term"]: r["est"]
+        for r in count_min_estimate(sk, probes, "term", depth=4, width=16).collect()
+    }
+    assert est["a"] >= 50 and est["b"] >= 10 and est["zz"] >= 0
+    # mergeability: sketch(x ++ y) == sketch(x) + sketch(y) cell-wise
+    s_all = {(r["d"], r["bucket"]): r["c"] for r in sk.collect()}
+    sa = count_min_build(items.filter(F.col("term") == "a"), "term", 4, 16)
+    sb = count_min_build(items.filter(F.col("term") != "a"), "term", 4, 16)
+    merged: dict = {}
+    for r in sa.collect() + sb.collect():
+        merged[(r["d"], r["bucket"])] = merged.get((r["d"], r["bucket"]), 0) + r["c"]
+    assert merged == s_all

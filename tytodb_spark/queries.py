@@ -4692,6 +4692,72 @@ def q134_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionAll(b)
 
 
+_CMS_PROBES = ["table", "value", "spark", "row", "zzz_absent"]
+
+
+def _CMS_ORACLE(depth: int = 4, width: int = 256) -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    # plain % (not pmod — absent in DuckDB): the 8-hex-char int is
+    # nonnegative, so % == pmod here
+    bucket = (
+        "(('0x' || substr(md5(cast(d AS VARCHAR) || ':' || term), 1, 8))"
+        f"::BIGINT % {width})"
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    pairs AS (SELECT d, {bucket} AS bucket
+              FROM toks CROSS JOIN (SELECT unnest(range({depth})) AS d)),
+    sketch AS (SELECT d, bucket, cast(count(*) AS BIGINT) AS c
+               FROM pairs GROUP BY 1, 2),
+    probes(term) AS (VALUES {probes}),
+    pb AS (SELECT term, d, {bucket} AS bucket
+           FROM probes CROSS JOIN (SELECT unnest(range({depth})) AS d)),
+    est AS (SELECT pb.term, cast(min(coalesce(s.c, 0)) AS BIGINT) AS est
+            FROM pb LEFT JOIN sketch s USING (d, bucket) GROUP BY 1),
+    exact AS (SELECT term, cast(count(*) AS BIGINT) AS exact FROM toks GROUP BY 1)
+    SELECT e.term, e.est, coalesce(x.exact, 0) AS exact,
+           e.est >= coalesce(x.exact, 0) AS never_undercounts
+    FROM est e LEFT JOIN exact x USING (term)
+    """
+
+
+@query(
+    "q135_count_min_sketch",
+    _CMS_ORACLE(4, 256),
+    doc="Count-Min frequency sketch (the point-frequency dual of q87's "
+    "HLL): the sketch is a (depth x width) counter TABLE built with "
+    "one narrow map-side-combinable shuffle — mergeable by addition "
+    "across batches/streams, broadcastable, and bit-reproducible via "
+    "the md5-portable hash family (no opaque sketch blobs). Probe "
+    "estimates are exact-checked (deterministic hashes -> the oracle "
+    "recomputes the estimate itself, plus the est>=true CMS "
+    "invariant); operators/sketches.py.",
+)
+def q135_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import count_min_build, count_min_estimate
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", "text"), "doc_id").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    sketch = count_min_build(toks, "term", depth=4, width=256)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    est = count_min_estimate(sketch, probes, "term", depth=4, width=256)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est",
+            F.coalesce("exact", F.lit(0)).cast("bigint").alias("exact"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0))).alias(
+                "never_undercounts"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4725,6 +4791,7 @@ _CHECK_FIRST = [
     "q128_hard_negatives", "q129_bpe_merges",
     "q130_dataset_card", "q131_multimodal_alignment",
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
+    "q135_count_min_sketch",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
