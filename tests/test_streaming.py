@@ -191,3 +191,17 @@ def test_rate_limit_stateful_admits_per_window(spark):
         for r in rate_limit_stateful(spark, ev, limit=3, window_seconds=3600).collect()
     )
     assert got == [(1, 0), (1, 1), (1, 2), (1, 10), (1, 11), (2, 20), (2, 21)]
+
+
+def test_stream_incremental_rollup_equals_batch(spark):
+    from tytodb_spark.operators.incremental import rollup_state
+    from tytodb_spark.streaming.pipeline import stream_incremental_rollup
+
+    df = spark.createDataFrame(
+        [(("a" if i % 3 else "b"), float(i)) for i in range(100)],
+        "k string, x double",
+    )
+    # n_files=5 forces 5 micro-batches through the foreachBatch merge
+    out = stream_incremental_rollup(spark, df, ["k"], ["x"], n_files=5)
+    expect = rollup_state(df, ["k"], ["x"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))

@@ -4758,6 +4758,42 @@ def q135_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q136_stream_incremental_rollup",
+    f"""
+    SELECT event_type,
+           cast(user_id % 7 AS BIGINT) AS shard,
+           cast(sum(cast(value AS {DEC})) AS double) AS sum_value,
+           cast(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type, user_id % 7
+    """,
+    doc="Streaming materialized-view maintenance: q123's mergeable "
+    "(SUM, COUNT) algebra driven by Structured Streaming — every "
+    "micro-batch folds into the persisted view with a state-sized "
+    "key-wise merge under a snapshot-swap write (crash-safe between "
+    "batches); history is never rescanned. DECIMAL partials make the "
+    "drained final state bit-equal to the cold single-pass aggregate, "
+    "which IS the oracle; streaming/pipeline.py "
+    "stream_incremental_rollup.",
+)
+def q136_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_incremental_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 7).cast("bigint").alias("shard"),
+        "value",
+    )
+    state = stream_incremental_rollup(spark, ev, ["event_type", "shard"], ["value"])
+    return state.select(
+        "event_type",
+        "shard",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4791,7 +4827,7 @@ _CHECK_FIRST = [
     "q128_hard_negatives", "q129_bpe_merges",
     "q130_dataset_card", "q131_multimodal_alignment",
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
-    "q135_count_min_sketch",
+    "q135_count_min_sketch", "q136_stream_incremental_rollup",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",

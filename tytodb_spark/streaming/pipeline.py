@@ -241,3 +241,70 @@ def stream_static_enrich(
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_incremental_rollup(
+    spark: SparkSession,
+    source: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    n_files: int = 8,
+) -> DataFrame:
+    """Streaming materialized-view maintenance: each micro-batch is
+    collapsed to its mergeable (SUM, COUNT) partial state
+    (operators/incremental.rollup_state) and merged key-wise into the
+    persisted view (merge_rollup) — per batch the work is
+    batch-scan + state-sized merge, never a rescan of history. This is
+    q123's incremental-refresh algebra driven by Structured Streaming:
+    the snapshot-swap write keeps the view atomic between batches
+    (crash mid-merge leaves the previous snapshot intact).
+
+    The bounded availableNow drain (maxFilesPerTrigger=1 over an
+    n_files staging copy) makes the run deterministic: the final state
+    equals the cold single-pass aggregate — exactly what the oracle
+    asserts. Output: the final view state (keys..., sum_<m>..., cnt);
+    DECIMAL partials keep every merge exact, so the equality is
+    bit-level, not approximate.
+    """
+    from tytodb_spark.operators.incremental import merge_rollup, rollup_state
+
+    staging = tempfile.mkdtemp(prefix="tyto_incr_rollup_")
+    try:
+        src_dir = os.path.join(staging, "src")
+        source.repartition(n_files).write.parquet(src_dir)
+        state_dir = os.path.join(staging, "state")
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_state = rollup_state(batch_df, keys, measures)
+            if os.path.exists(state_dir):
+                prev = spark.read.parquet(state_dir)
+                new_state = merge_rollup(prev, batch_state, keys)
+            else:
+                new_state = batch_state
+            tmp = os.path.join(staging, f"state_tmp_{batch_id}")
+            new_state.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(staging, f"state_old_{batch_id}")
+            if os.path.exists(state_dir):
+                os.rename(state_dir, old)
+            os.rename(tmp, state_dir)  # snapshot swap: atomic dir rename
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+        stream = (
+            spark.readStream.schema(source.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(staging, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the view state is key-bounded (tiny by construction) — pin it
+        # to the driver so the staging dir can be reclaimed
+        final = spark.read.parquet(state_dir)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
