@@ -66,6 +66,13 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # pr is deliberately NOT cached: each iteration's output feeds
+        # exactly one consumer (the next iteration), so the whole chain
+        # evaluates as one job with shuffle boundaries as natural
+        # stage breaks — caching it only adds memory-store overhead.
+        # e/nodes (consumed every iteration) ARE cached above; at
+        # hundreds of iterations add a localCheckpoint every ~10 to cap
+        # lineage depth.
         pr = (
             nodes.select("node")
             .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
@@ -76,6 +83,5 @@ def pagerank_int(
                     + F.expr(f"({damping_num} * coalesce(s, 0)) div {damping_den}")
                 ).cast("bigint").alias("pr"),
             )
-            .cache()
         )
     return pr
