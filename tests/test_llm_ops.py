@@ -1061,3 +1061,21 @@ def test_count_min_never_undercounts_and_merges(spark):
     for r in sa.collect() + sb.collect():
         merged[(r["d"], r["bucket"])] = merged.get((r["d"], r["bucket"]), 0) + r["c"]
     assert merged == s_all
+
+
+def test_strip_duplicate_spans_rewrites_text(spark):
+    shared = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        Row(doc_id=0, text="a1 a2 a3 " + shared + " a4 a5"),
+        Row(doc_id=1, text=shared + " b1 b2 b3 b4 b5 b6 b7"),
+        Row(doc_id=2, text=" ".join(f"z{i}" for i in range(12))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.strip_duplicate_spans(
+            spark.createDataFrame(rows), "doc_id", "text", window=8
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "a1 a2 a3 a4 a5" and out[0]["n_removed"] == 10
+    assert out[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"].startswith("z0 z1")

@@ -1076,3 +1076,68 @@ def bpe_merge_table(
     for r in results[1:]:
         out = out.unionAll(r)
     return out
+
+
+def strip_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """The ACTUATOR counterpart of duplicate_span_stats: rewrite every
+    document with its duplicated ``window``-token spans removed (the
+    removal step of suffix-array substring dedup — here the aggressive
+    variant that drops every occurrence of a duplicated window; keep-
+    first needs a corpus-wide position order and is the same plan plus
+    one rank window).
+
+    Plan: the (id, pos, key) window table is built once (1 corpus
+    scan), duplicated windows are found with the COUNT-over-key window
+    (1 narrow shuffle), covered token positions explode per hit and
+    dedup per doc (1 shuffle on id), and the rewrite joins the covered
+    set back to the documents (2nd scan — the actuator must touch the
+    text; Lee et al.'s pipeline is two-pass for the same reason). The
+    rewrite itself is a map-side array filter by token index.
+
+    Output: (id, n_toks, n_removed, clean_text).
+    """
+    toks = tokens(F.col(text_col))
+    base = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (window - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("__t", i, window))).alias("key"),
+        ),
+    )
+    pos_tbl = base.select(
+        F.col(id_col),
+        F.explode(F.when(F.size("__t") >= window, wins)).alias("w"),
+    ).select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
+    hits = pos_tbl.withColumn(
+        "__c", F.count(F.lit(1)).over(W.partitionBy("key"))
+    ).filter(F.col("__c") >= 2)
+    cov = (
+        hits.select(
+            F.col(id_col),
+            F.explode(F.sequence("pos", F.col("pos") + (window - 1))).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(i.cast("int").alias("i"), F.element_at(toks, i.cast("int")).alias("t")),
+        ),
+        lambda s: ~F.array_contains(F.col("__cov"), s["i"]),
+    )
+    return (
+        df.join(cov, id_col, "left")
+        .withColumn("__cov", F.coalesce("__cov", F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_toks"),
+            F.size("__cov").cast("bigint").alias("n_removed"),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        )
+    )

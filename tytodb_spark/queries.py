@@ -4794,6 +4794,56 @@ def q136_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "q137_strip_dup_spans",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    flat AS (
+      SELECT doc_id, w['pos'] AS pos, w['key'] AS key
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1),
+                     i -> {{'pos': i,
+                            'key': md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' '))}}
+                   )) AS w
+            FROM base)
+    ),
+    dups AS (SELECT key FROM flat GROUP BY key HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, list_sort(list(DISTINCT cp)) AS cov
+      FROM (SELECT f.doc_id, unnest(range(f.pos, f.pos + {_SPAN_W})) AS cp
+            FROM flat f JOIN dups USING (key))
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           cast(len(b.t) AS BIGINT) AS n_toks,
+           cast(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(list_transform(list_filter(
+             list_transform(range(1, len(b.t) + 1),
+                            i -> {{'i': i, 'tk': b.t[i]}}),
+             s -> NOT list_contains(coalesce(c.cov, []), s['i'])),
+             s -> s['tk']), ' '), '') AS clean_text
+           -- coalesce: DuckDB array_to_string(EMPTY,...) is NULL,
+           -- Spark array_join(EMPTY) is '' (fully-removed docs)
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="The ACTUATOR for q120: rewrite every doc with its duplicated "
+    "8-token spans removed (substring-dedup removal step, aggressive "
+    "drop-every-occurrence variant). One window-table scan + COUNT-"
+    "over-key shuffle finds dup positions; covered indexes dedup per "
+    "doc; the rewrite is a map-side array filter on a second text "
+    "pass (the actuator must touch the text — two-pass like the "
+    "suffix-array original); operators/textual.py "
+    "strip_duplicate_spans.",
+)
+def q137_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=_SPAN_W
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4828,6 +4878,7 @@ _CHECK_FIRST = [
     "q130_dataset_card", "q131_multimodal_alignment",
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
+    "q137_strip_dup_spans",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
