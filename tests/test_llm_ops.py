@@ -1079,3 +1079,75 @@ def test_strip_duplicate_spans_rewrites_text(spark):
     assert out[0]["clean_text"] == "a1 a2 a3 a4 a5" and out[0]["n_removed"] == 10
     assert out[1]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7"
     assert out[2]["n_removed"] == 0 and out[2]["clean_text"].startswith("z0 z1")
+
+
+def test_strip_duplicate_spans_keep_first_preserves_one_copy(spark):
+    shared = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        Row(doc_id=0, text=shared + " a1 a2"),   # first occurrence -> kept
+        Row(doc_id=1, text=shared + " b1 b2"),   # later occurrence -> stripped
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.strip_duplicate_spans(
+            spark.createDataFrame(rows), "doc_id", "text", window=8,
+            keep_first=True,
+        ).collect()
+    }
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"].endswith("a1 a2")
+    assert out[1]["n_removed"] == 8 and out[1]["clean_text"] == "b1 b2"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _span_reference(texts: list[str], window: int) -> dict[int, tuple]:
+    """Pure-Python twin of duplicate_span_stats."""
+    from collections import Counter
+
+    docs = {i: t.lower().split() for i, t in enumerate(texts)}
+    counts: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - window + 1):
+            counts[" ".join(toks[i : i + window])] += 1
+    out = {}
+    for did, toks in docs.items():
+        pos = [
+            i + 1
+            for i in range(len(toks) - window + 1)
+            if counts[" ".join(toks[i : i + window])] >= 2
+        ]
+        islands, dup_tokens = 0, 0
+        i = 0
+        while i < len(pos):
+            j = i
+            while j + 1 < len(pos) and pos[j + 1] - pos[j] < window:
+                j += 1
+            islands += 1
+            dup_tokens += pos[j] - pos[i] + window
+            i = j + 1
+        out[did] = (len(toks), islands, dup_tokens)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_duplicate_span_stats_matches_python_reference(spark, texts):
+    # 2-token vocab + 3-token windows force heavy window collisions,
+    # overlap chains, and sub-window docs — the adversarial regime for
+    # the island merge.
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["dup_islands"], r["dup_tokens"])
+        for r in X.duplicate_span_stats(df, "doc_id", "text", window=3).collect()
+    }
+    assert got == _span_reference(texts, 3)

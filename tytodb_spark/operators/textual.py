@@ -1079,14 +1079,20 @@ def bpe_merge_table(
 
 
 def strip_duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, window: int = 8
+    df: DataFrame, id_col: str, text_col: str, window: int = 8,
+    keep_first: bool = False,
 ) -> DataFrame:
     """The ACTUATOR counterpart of duplicate_span_stats: rewrite every
     document with its duplicated ``window``-token spans removed (the
-    removal step of suffix-array substring dedup — here the aggressive
-    variant that drops every occurrence of a duplicated window; keep-
-    first needs a corpus-wide position order and is the same plan plus
-    one rank window).
+    removal step of suffix-array substring dedup). Two policies:
+
+    - ``keep_first=False`` (default): drop EVERY occurrence of a
+      duplicated window — the aggressive variant.
+    - ``keep_first=True``: the faithful Lee et al. policy — each
+      distinct duplicated window keeps its corpus-wide first occurrence
+      (lowest (id, pos)); only later occurrences are stripped. Same
+      plan plus one row_number over the key partition (the COUNT
+      window's shuffle is reused — no extra exchange).
 
     Plan: the (id, pos, key) window table is built once (1 corpus
     scan), duplicated windows are found with the COUNT-over-key window
@@ -1113,9 +1119,15 @@ def strip_duplicate_spans(
         F.col(id_col),
         F.explode(F.when(F.size("__t") >= window, wins)).alias("w"),
     ).select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
+    w_key = W.partitionBy("key")
     hits = pos_tbl.withColumn(
-        "__c", F.count(F.lit(1)).over(W.partitionBy("key"))
+        "__c", F.count(F.lit(1)).over(w_key)
     ).filter(F.col("__c") >= 2)
+    if keep_first:
+        hits = hits.withColumn(
+            "__rn",
+            F.row_number().over(w_key.orderBy(F.col(id_col), F.col("pos"))),
+        ).filter(F.col("__rn") > 1)
     cov = (
         hits.select(
             F.col(id_col),

@@ -4844,6 +4844,59 @@ def q137_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q138_strip_dup_spans_keep_first",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    flat AS (
+      SELECT doc_id, w['pos'] AS pos, w['key'] AS key
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1),
+                     i -> {{'pos': i,
+                            'key': md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' '))}}
+                   )) AS w
+            FROM base)
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY key) AS c,
+             row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+      FROM flat
+    ),
+    cov AS (
+      SELECT doc_id, list_sort(list(DISTINCT cp)) AS cov
+      FROM (SELECT doc_id, unnest(range(pos, pos + {_SPAN_W})) AS cp
+            FROM ranked WHERE c >= 2 AND rn > 1)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           cast(len(b.t) AS BIGINT) AS n_toks,
+           cast(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(list_transform(list_filter(
+             list_transform(range(1, len(b.t) + 1),
+                            i -> {{'i': i, 'tk': b.t[i]}}),
+             s -> NOT list_contains(coalesce(c.cov, []), s['i'])),
+             s -> s['tk']), ' '), '') AS clean_text
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="q137's faithful policy variant: each distinct duplicated "
+    "window KEEPS its corpus-wide first occurrence (lowest (id, pos)) "
+    "and only later occurrences are stripped — Lee et al.'s actual "
+    "substring-dedup rule. One extra row_number over the key "
+    "partition, reusing the COUNT window's shuffle (no extra "
+    "exchange); operators/textual.py strip_duplicate_spans("
+    "keep_first=True).",
+)
+def q138_strip_dup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=_SPAN_W,
+        keep_first=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4878,7 +4931,7 @@ _CHECK_FIRST = [
     "q130_dataset_card", "q131_multimodal_alignment",
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
-    "q137_strip_dup_spans",
+    "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
