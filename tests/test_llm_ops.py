@@ -1151,3 +1151,22 @@ def test_duplicate_span_stats_matches_python_reference(spark, texts):
         for r in X.duplicate_span_stats(df, "doc_id", "text", window=3).collect()
     }
     assert got == _span_reference(texts, 3)
+
+
+def test_bpe_apply_compression(spark):
+    rows = [
+        Row(doc_id=0, text="x y x y p q"),
+        Row(doc_id=1, text="x y r x y s"),
+        Row(doc_id=2, text="p q r s"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.bpe_apply(
+            spark.createDataFrame(rows), "doc_id", "text", n_merges=2
+        ).collect()
+    }
+    # rules learned: (x,y) then (p,q) — doc 0: 6 syms -> [x~y x~y p~q] = 3
+    assert (out[0]["n_syms_before"], out[0]["n_syms_after"]) == (6, 3)
+    assert (out[1]["n_syms_before"], out[1]["n_syms_after"]) == (6, 4)
+    assert (out[2]["n_syms_before"], out[2]["n_syms_after"]) == (4, 3)
+    assert out[0]["compression"] == 0.5

@@ -1036,6 +1036,16 @@ def bpe_merge_table(
         F.col(id_col),
         F.concat(F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" ")).alias("__t"),
     )
+    results, cur = _bpe_rounds(cur, id_col, n_merges, joiner)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _bpe_rounds(cur: DataFrame, id_col: str, n_merges: int, joiner: str):
+    """The shared merge-round loop: returns ([per-round 1-row merge
+    DataFrames], final re-segmented corpus)."""
     results = []
     for k in range(1, n_merges + 1):
         toks = F.filter(F.split("__t", " "), lambda t: t != "")
@@ -1072,10 +1082,40 @@ def bpe_merge_table(
             cur.crossJoin(F.broadcast(best.select("w1", "w2")))
             .select(F.col(id_col), merged.alias("__t"))
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionAll(r)
-    return out
+    return results, cur
+
+
+def bpe_apply(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 3, joiner: str = "~"
+) -> DataFrame:
+    """Tokenizer APPLICATION closing the q129 loop: learn the first
+    ``n_merges`` merge rules (same rounds as bpe_merge_table — the two
+    functions share _bpe_rounds, so rules can't drift) and report each
+    document's segmentation under them: symbols before/after and the
+    compression ratio — the metric a tokenizer-training pipeline tracks
+    per round. The apply step is the same broadcast-rule padded-string
+    fuse; per-doc counting is map-side.
+
+    Output: (id, n_syms_before, n_syms_after, compression).
+    """
+    cur = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" ")
+        ).alias("__t"),
+    )
+    _, final = _bpe_rounds(cur, id_col, n_merges, joiner)
+    n_of = lambda c: F.size(F.filter(F.split(c, " "), lambda t: t != ""))
+    before = cur.select(F.col(id_col), n_of("__t").cast("bigint").alias("n_syms_before"))
+    after = final.select(F.col(id_col), n_of("__t").cast("bigint").alias("n_syms_after"))
+    return before.join(after, id_col).select(
+        F.col(id_col),
+        "n_syms_before",
+        "n_syms_after",
+        F.round(
+            F.col("n_syms_after") / F.greatest("n_syms_before", F.lit(1)), 6
+        ).alias("compression"),
+    )
 
 
 def strip_duplicate_spans(

@@ -4455,6 +4455,25 @@ def _BPE_ORACLE(n_merges: int = 3) -> str:
     return "WITH " + ",".join(ctes) + " " + union
 
 
+def _BPE_APPLY_ORACLE(n_merges: int = 3) -> str:
+    """Same merge-round CTE chain as _BPE_ORACLE, but the final select
+    reports per-doc segmentation under the learned rules (q139)."""
+    chain = _BPE_ORACLE(n_merges)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    assert chain.endswith(union)
+    nsym = "len(list_filter(string_split({}.t, ' '), x -> x <> ''))"
+    return chain[: -len(union)] + f"""
+    SELECT a.doc_id,
+           cast({nsym.format('a')} AS BIGINT) AS n_syms_before,
+           cast({nsym.format('b')} AS BIGINT) AS n_syms_after,
+           round({nsym.format('b')} / greatest({nsym.format('a')}, 1), 6)
+             AS compression
+    FROM d0 a JOIN d{n_merges} b USING (doc_id)
+    """
+
+
 @query(
     "q129_bpe_merges",
     _BPE_ORACLE(3),
@@ -4471,6 +4490,22 @@ def q129_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n_merges=3
     )
+
+
+@query(
+    "q139_bpe_apply",
+    _BPE_APPLY_ORACLE(3),
+    doc="Tokenizer APPLICATION closing the q129 loop: re-segment every "
+    "document under the first 3 learned merge rules and report the "
+    "per-doc compression ratio — the metric tokenizer training tracks "
+    "per round. Shares the merge-round implementation with q129 "
+    "(textual._bpe_rounds), so learned rules cannot drift between "
+    "train and apply; operators/textual.py bpe_apply.",
+)
+def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import bpe_apply
+
+    return bpe_apply(_t(spark, sf_dir, "documents"), "doc_id", "text", n_merges=3)
 
 
 @query(
@@ -4932,6 +4967,7 @@ _CHECK_FIRST = [
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
+    "q139_bpe_apply",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
