@@ -205,3 +205,20 @@ def test_stream_incremental_rollup_equals_batch(spark):
     out = stream_incremental_rollup(spark, df, ["k"], ["x"], n_files=5)
     expect = rollup_state(df, ["k"], ["x"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_sliding_windows_double_count(spark):
+    from tytodb_spark.streaming.windows import sliding_window_counts
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:02:00", "a", 1.0), ("2024-01-01 00:07:00", "a", 2.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    out = sorted(
+        (r["window_start"], r["n_events"]) for r in sliding_window_counts(df).collect()
+    )
+    # 00:02 lands in windows starting 23:55 and 00:00; 00:07 in 00:00
+    # and 00:05 -> [23:55]:1, [00:00]:2, [00:05]:1
+    counts = [n for _, n in out]
+    assert counts == [1, 2, 1]
+    assert sum(counts) == 4  # every event exactly twice

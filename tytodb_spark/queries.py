@@ -4932,6 +4932,34 @@ def q138_strip_dup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "q140_sliding_windows",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+    x AS (SELECT event_type, value,
+                 unnest([(t // 300000000) * 300000000,
+                         (t // 300000000) * 300000000 - 300000000]) AS ws
+          FROM e)
+    SELECT ws AS window_start, event_type,
+           cast(count(*) AS BIGINT) AS n_events,
+           cast(sum(cast(value AS {DEC})) AS double) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+    doc="SLIDING (hopping) event-time windows — 10-minute window, "
+    "5-minute hop, every event in exactly two windows: the smoothing/"
+    "rate-monitoring shape between tumbling (q34) and session (q35). "
+    "Drained as a real stream (availableNow, complete mode) equal to "
+    "the batch twin; the oracle materializes each event's two window "
+    "starts on the 5-minute epoch grid. Streaming state is bounded by "
+    "windows-per-key x watermark horizon; streaming/windows.py "
+    "sliding_window_counts.",
+)
+def q140_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.windows import stream_sliding_window_counts
+
+    return stream_sliding_window_counts(spark, _t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4967,7 +4995,7 @@ _CHECK_FIRST = [
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
-    "q139_bpe_apply",
+    "q139_bpe_apply", "q140_sliding_windows",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",

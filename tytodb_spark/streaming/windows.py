@@ -131,3 +131,55 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    """The shared (batch == streaming) SLIDING-window aggregation: a
+    10-minute window hopping every 5 minutes, so every event lands in
+    exactly two windows. Hopping windows are the standard smoothing /
+    rate-monitoring shape between tumbling (q34) and session (q35);
+    state at stream scale is (windows-per-key x slide-horizon) bounded
+    and the watermark expires closed windows."""
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_window_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Streaming drain of the sliding-window aggregation (availableNow,
+    complete mode) — equals the batch `sliding_window_counts`."""
+    staging = tempfile.mkdtemp(prefix="tyto_slide_")
+    name = f"tyto_slide_{uuid.uuid4().hex[:12]}"
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                sliding_window_counts(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
