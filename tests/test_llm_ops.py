@@ -1170,3 +1170,50 @@ def test_bpe_apply_compression(spark):
     assert (out[1]["n_syms_before"], out[1]["n_syms_after"]) == (6, 4)
     assert (out[2]["n_syms_before"], out[2]["n_syms_after"]) == (4, 3)
     assert out[0]["compression"] == 0.5
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.sampled_from(["h", "i", "j", "k"]), min_size=5, max_size=60),
+    st.integers(min_value=1, max_value=4),
+)
+def test_frequent_tokens_fuzz_exact_any_partitioning(spark, stream, parts):
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(stream)]
+    ).repartition(parts)
+    got = {
+        (r["term"], r["cnt"])
+        for r in X.frequent_tokens_exact(df, "doc_id", "text", min_frac=0.3).collect()
+    }
+    c = Counter(stream)
+    import math as m
+
+    want = {(t, n) for t, n in c.items() if n >= m.ceil(0.3 * len(stream))}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.floats(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=39),
+)
+def test_incremental_rollup_fuzz_any_split(spark, rows, cut):
+    from tytodb_spark.operators.incremental import merge_rollup, rollup_state
+
+    schema = "k string, x double"
+    clean = [(k, round(x, 2)) for k, x in rows]
+    cut = min(cut, len(clean))
+    df = spark.createDataFrame(clean, schema)
+    base = spark.createDataFrame(clean[:cut], schema)
+    delta = spark.createDataFrame(clean[cut:], schema)
+    merged = merge_rollup(
+        rollup_state(base, ["k"], ["x"]), rollup_state(delta, ["k"], ["x"]), ["k"]
+    )
+    full = rollup_state(df, ["k"], ["x"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
