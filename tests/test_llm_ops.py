@@ -1217,3 +1217,30 @@ def test_incremental_rollup_fuzz_any_split(spark, rows, cut):
     )
     full = rollup_state(df, ["k"], ["x"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_global_rank_partitioning_independent(spark):
+    from tytodb_spark.operators.ranking import global_rank
+
+    rows = [(float(v), i) for i, v in enumerate([5, 3, 8, 3, 1, 9, 2, 7])]
+    expect = {
+        i: r + 1
+        for r, (v, i) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(rows, "v double, id long").repartition(parts)
+        got = {r["id"]: r["rank"] for r in global_rank(df, ["v", "id"]).collect()}
+        assert got == expect
+
+
+def test_equi_depth_histogram_balanced(spark):
+    from tytodb_spark.operators.ranking import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(i % 17), i) for i in range(100)], "v double, id long"
+    )
+    out = sorted(
+        (r["bin"], r["cnt"]) for r in equi_depth_histogram(df, "v", "id", 4).collect()
+    )
+    assert [b for b, _ in out] == [0, 1, 2, 3]
+    assert all(c == 25 for _, c in out)  # 100 rows / 4 bins exactly

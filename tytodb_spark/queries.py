@@ -4960,6 +4960,38 @@ def q140_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sliding_window_counts(spark, _t(spark, sf_dir, "events"))
 
 
+@query(
+    "q141_equi_depth_histogram",
+    """
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rank,
+             count(*) OVER () AS total
+      FROM events
+    )
+    SELECT cast(floor((rank - 1) * 8 / total) AS INT) AS bin,
+           cast(count(*) AS BIGINT) AS cnt,
+           min(value) AS lo, max(value) AS hi
+    FROM r GROUP BY 1
+    """,
+    doc="Equi-depth (equal-frequency) histogram over a DISTRIBUTED "
+    "total-order ranking: a bare row_number() OVER (ORDER BY) would "
+    "collapse the table into one task, so ranks come from range-"
+    "repartition + local row_number + a broadcast of |partitions| "
+    "cumulative offsets (operators/ranking.py global_rank — "
+    "partitioning-independent given the unique tie key). Bin edges "
+    "are actual data values, no interpolation; the equi-WIDTH twin "
+    "is q132; at 100 TB swap ranking for approx_percentile "
+    "boundaries.",
+)
+def q141_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.ranking import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _t(spark, sf_dir, "events"), "value", "event_id", bins=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -4995,7 +5027,7 @@ _CHECK_FIRST = [
     "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
-    "q139_bpe_apply", "q140_sliding_windows",
+    "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
