@@ -4992,6 +4992,66 @@ def q141_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q142_session_assembly",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+               FROM events),
+    g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) AS session_id
+          FROM g),
+    q AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                       ORDER BY t, event_id) AS seq
+          FROM s)
+    SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+           cast(floor((seq - 1) / 8) AS BIGINT) AS chunk_id,
+           cast(count(*) AS BIGINT) AS n_events,
+           min(t) AS first_us, max(t) AS last_us
+    FROM q GROUP BY 1, 2, 3
+    """,
+    doc="Conversation/session assembly for chat-style training data: "
+    "sessionize each user's stream (30-minute inactivity gap, gaps-"
+    "and-islands — the batch twin of q35's session_window) and slice "
+    "every session into bounded 8-event context chunks in stream "
+    "order — the unit a dialogue pipeline tokenizes. One shuffle on "
+    "the user key; every window reuses the same partitioning.",
+)
+def q142_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    s = (
+        ev.withColumn(
+            "new_s",
+            (
+                F.coalesce(
+                    F.col("t") - F.lag("t").over(w) > 1_800_000_000, F.lit(True)
+                )
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_s").over(w))
+    )
+    wq = W.partitionBy("user_id", "session_id").orderBy("t", "event_id")
+    q = s.withColumn("seq", F.row_number().over(wq))
+    return (
+        q.groupBy(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            F.floor((F.col("seq") - 1) / 8).cast("bigint").alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("t").alias("first_us"),
+            F.max("t").alias("last_us"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5028,6 +5088,7 @@ _CHECK_FIRST = [
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
+    "q142_session_assembly",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
