@@ -5052,6 +5052,99 @@ def q142_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q143_table_checksum",
+    """
+    SELECT cast(count(*) AS BIGINT) AS n_rows,
+           cast(sum(('0x' || substr(md5(
+                 cast(l_orderkey AS VARCHAR) || '|' ||
+                 cast(l_linenumber AS VARCHAR) || '|' ||
+                 cast(cast(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                   || '|' || l_returnflag
+               ), 1, 8))::BIGINT) AS DECIMAL(38,0)) AS checksum
+    FROM lineitem
+    """,
+    doc="Order-insensitive table content checksum (the anti-entropy / "
+    "replication-audit primitive: two replicas or a pre/post-migration "
+    "pair compare one row instead of terabytes): per-row md5 over a "
+    "canonical column serialization, summed as exact DECIMAL(38,0) — "
+    "commutative, mergeable across partitions/shards, no overflow at "
+    "any row count. One scan, map-side combine, a 1-row result.",
+)
+def q143_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    # doubles stringify through DECIMAL: Java and DuckDB
+                    # double->string diverge on sci-notation thresholds,
+                    # decimal rendering is identical
+                    F.col("l_quantity").cast(DEC).cast("string"),
+                    F.col("l_returnflag"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(row_hash).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+@query(
+    "q144_snapshot_diff",
+    """
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+    b AS (SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS v
+          FROM orders WHERE o_orderkey % 101 <> 0),
+    j AS (SELECT coalesce(a.k, b.k) AS k,
+                 CASE WHEN b.k IS NULL THEN 'removed'
+                      WHEN a.k IS NULL THEN 'added'
+                      WHEN a.v <> b.v THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT status, cast(count(*) AS BIGINT) AS n
+    FROM j GROUP BY status
+    """,
+    doc="Snapshot diff (the table-migration / replication-drift audit): "
+    "a keyed FULL OUTER JOIN of two snapshot versions classifying "
+    "every key as added / removed / changed / unchanged — here "
+    "snapshot B simulates drops (k%101=0) and value drift (k%97=0). "
+    "One co-partitioned shuffle join on the key; at 100 TB pre-filter "
+    "both sides with q143-style per-partition checksums so only "
+    "differing partitions join.",
+)
+def q144_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v"))
+    b = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("v"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    status = (
+        F.when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("a.v") != F.col("b.v"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5088,7 +5181,7 @@ _CHECK_FIRST = [
     "q135_count_min_sketch", "q136_stream_incremental_rollup",
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
-    "q142_session_assembly",
+    "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
