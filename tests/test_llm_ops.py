@@ -1244,3 +1244,22 @@ def test_equi_depth_histogram_balanced(spark):
     )
     assert [b for b, _ in out] == [0, 1, 2, 3]
     assert all(c == 25 for _, c in out)  # 100 rows / 4 bins exactly
+
+
+def test_bm25_retrieve_ranks_relevant_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark join shuffle plan"),
+            Row(doc_id=1, text="spark join broadcast"),   # shares 2 terms with 0
+            Row(doc_id=2, text="spark streaming state"),  # shares 1 term
+            Row(doc_id=3, text="completely unrelated words here"),
+        ]
+    )
+    out = X.bm25_retrieve(
+        corpus, corpus.filter(F.col("doc_id") == 0), "doc_id", "text", k=3
+    ).orderBy("rank").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 not in ids                # self-match excluded
+    assert ids[0] == 1                 # most term overlap ranks first
+    assert 3 not in ids                # no shared terms -> never retrieved
+    assert out[0]["bm25"] > out[-1]["bm25"]

@@ -1193,3 +1193,76 @@ def strip_duplicate_spans(
             F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
         )
     )
+
+
+def bm25_retrieve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: for every QUERY DOCUMENT, the top-k most
+    relevant corpus documents — the bulk retrieval shape behind RAG
+    example mining and query-document training pairs, as one shared
+    plan rather than per-query scans.
+
+    Scale shape: the corpus is tokenized ONCE; the union of all query
+    terms broadcasts and filters the term-frequency aggregation, so
+    per-query work shares a single (id, term, tf) table — adding a
+    query adds broadcast rows, not corpus passes. The (query, doc)
+    score space is bounded by docs-sharing-a-term per query, ranked
+    with the two-phase top-k. Per-term scores quantize to 1e-7 before
+    the cross-term sum (q96's determinism rule); self-matches are
+    excluded.
+
+    Output: (query_id, doc_id, bm25, rank), rank 1..k.
+    """
+    from tytodb_spark.operators.similarity import topk_per_key
+
+    toks = spread(corpus.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__corpus_n"),
+        (F.sum("__dl").cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "__avgdl"
+        ),
+    )
+    qterms = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("__w"),
+        )
+    ).cache()  # tiny: |queries| x terms; feeds the filter AND the score join
+    tf = (
+        toks.join(F.broadcast(qterms.select("__w").distinct()), "__w")
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.col("__corpus_n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("__tf") * (k1 + 1))
+        / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    per = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "__w")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "__w")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__q", F.floor(score * 1e7).cast("bigint"))
+    )
+    scored = per.groupBy("query_id", id_col).agg(
+        (F.sum("__q") / F.lit(1e7)).alias("bm25")
+    )
+    return topk_per_key(
+        scored, "query_id", [F.col("bm25").desc(), F.col(id_col)], k
+    ).select("query_id", F.col(id_col).alias("doc_id"), "bm25", "rank")

@@ -5145,6 +5145,60 @@ def q144_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q145 query-doc selector: first md5 byte < 3 (~1.2% of docs)
+_RETR_SEL = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 2))::BIGINT < 3"
+
+
+@query(
+    "q145_bm25_retrieval",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    qt AS (SELECT doc_id AS query_id, unnest(list_distinct({_TOKS})) AS w
+           FROM documents WHERE {_RETR_SEL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_corpus,
+                     cast(cast(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+           WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    per AS (
+        SELECT qt.query_id, tf.doc_id,
+               cast(floor(
+                   ln((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   * 1e7) AS BIGINT) AS q
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w)
+             JOIN qt USING (w) CROSS JOIN stats
+        WHERE tf.doc_id <> qt.query_id
+    ),
+    scored AS (SELECT query_id, doc_id, cast(sum(q) AS BIGINT) / 1e7 AS bm25
+               FROM per GROUP BY 1, 2)
+    SELECT query_id, doc_id, bm25, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Batch BM25 retrieval: top-5 most relevant corpus docs PER "
+    "QUERY DOC (the RAG example-mining / query-doc pair shape) in one "
+    "shared plan — the corpus tokenizes once, the union of query "
+    "terms broadcasts into a shared tf table, and adding a query adds "
+    "broadcast rows, not corpus passes. Per-term scores quantize to "
+    "1e-7 before summing (q96 rule); self-matches excluded; "
+    "operators/textual.py bm25_retrieve.",
+)
+def q145_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import bm25_retrieve
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") < 3
+    )
+    return bm25_retrieve(docs, docs.filter(sel), "doc_id", "text", k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5182,6 +5236,7 @@ _CHECK_FIRST = [
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
     "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
+    "q145_bm25_retrieval",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
