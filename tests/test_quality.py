@@ -42,3 +42,18 @@ def test_referential_integrity_counts_orphans(spark):
     parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
     r = QA.referential_integrity(child, parent, "fk", "pk").collect()[0]
     assert (r["n_child"], r["n_orphans"], r["passed"]) == (3, 1, False)
+
+
+def test_exact_corr_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.5]
+    ys = [2.0, 4.1, 5.9, 8.2, 10.9]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double")
+    r = QA.exact_corr(df, ["g"], "x", "y").collect()[0]
+    assert r["n"] == 5
+    assert abs(r["corr"] - np.corrcoef(xs, ys)[0, 1]) < 1e-5
+    assert abs(r["covar_pop"] - np.cov(xs, ys, bias=True)[0, 1]) < 1e-5
+    # partitioning invariance (the point of exact component sums)
+    r8 = QA.exact_corr(df.repartition(8), ["g"], "x", "y").collect()[0]
+    assert (r8["corr"], r8["covar_pop"]) == (r["corr"], r["covar_pop"])

@@ -105,3 +105,39 @@ def referential_integrity(
     ).select(
         "n_child", "n_orphans", (F.col("n_orphans") == 0).alias("passed")
     )
+
+
+def exact_corr(
+    df: DataFrame, group_cols: list[str], x: str, y: str
+) -> DataFrame:
+    """Per-group Pearson correlation + population covariance computed
+    from EXACT decimal component sums (n, Sx, Sy, Sxx, Syy, Sxy) — the
+    profiling stat pairs (does length predict price? quality predict
+    dup rate?) without the float-summation-order nondeterminism of the
+    built-in corr()/covar_pop() (their double accumulators differ
+    across partitionings and engines). One map-side-combinable
+    aggregate; the float math happens ONCE on exact inputs, so results
+    are bit-stable at any parallelism.
+
+    Output: (group_cols..., n, corr, covar_pop), both rounded to 6.
+    """
+    dx = F.col(x).cast("decimal(18,2)")
+    dy = F.col(y).cast("decimal(18,2)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast("decimal(38,4)").alias("sx"),
+        F.sum(dy).cast("decimal(38,4)").alias("sy"),
+        F.sum((dx * dx).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,4)")).cast("decimal(38,4)").alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("corr"),
+        F.round(num / (n * n), 6).alias("covar_pop"),
+    )

@@ -5199,6 +5199,52 @@ def q145_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_retrieve(docs, docs.filter(sel), "doc_id", "text", k=5)
 
 
+@query(
+    "q146_exact_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sy,
+             cast(sum(cast(cast(l_quantity AS DECIMAL(18,2))
+                    * cast(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS sxx,
+             cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                    * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS syy,
+             cast(sum(cast(cast(l_quantity AS DECIMAL(18,2))
+                    * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+             AS corr,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE), 6) AS covar_pop
+    FROM s
+    """,
+    doc="Per-group Pearson correlation + covariance from EXACT decimal "
+    "component sums — the profiling stat the built-in corr()/"
+    "covar_pop() cannot hash-check (double accumulators vary with "
+    "partitioning and engine); here all six components are exact "
+    "integers/decimals and the float math runs once, so the result is "
+    "bit-stable at any parallelism; operators/quality.py exact_corr.",
+)
+def q146_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import exact_corr
+
+    return exact_corr(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5236,7 +5282,7 @@ _CHECK_FIRST = [
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
     "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
-    "q145_bm25_retrieval",
+    "q145_bm25_retrieval", "q146_exact_correlation",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
