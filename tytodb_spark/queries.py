@@ -5245,6 +5245,59 @@ def q146_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q147_vocab_growth",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    firsts AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+    dlen AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    ck AS (SELECT (unnest(range(1, 11)) * (SELECT max(doc_id) + 1 FROM documents)
+                   ) // 10 AS cutoff)
+    SELECT ck.cutoff AS cutoff,
+           (SELECT cast(coalesce(sum(n), 0) AS BIGINT) FROM dlen
+            WHERE doc_id < ck.cutoff) AS n_tokens,
+           (SELECT cast(count(*) AS BIGINT) FROM firsts
+            WHERE first_doc < ck.cutoff) AS n_distinct_terms
+    FROM ck
+    """,
+    doc="Vocabulary-growth (Heaps-law) curve: distinct terms vs tokens "
+    "seen at 10 corpus prefixes. The trick that keeps it one cheap "
+    "pass: aggregate each term's FIRST-occurrence doc once (vocab-"
+    "sized table), then every checkpoint is a filter-count over that "
+    "tiny table + the per-doc length table — the corpus token stream "
+    "is never re-scanned per checkpoint. The sublinear-growth signal "
+    "data teams use to size tokenizer vocabs and detect synthetic/"
+    "templated corpora (this 30-word corpus saturates immediately — "
+    "exactly the tell).",
+)
+def q147_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from tytodb_spark.operators.textual import spread, tokens
+
+    toks = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    max_id = docs.agg((F.max("doc_id") + 1).alias("__m"))
+    ck = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(max_id))
+        .select(F.expr("(id * __m) div 10").alias("cutoff"))
+    )
+    tok_cum = (
+        ck.join(dlen, dlen.doc_id < ck.cutoff, "left")
+        .groupBy("cutoff")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"))
+    )
+    vocab_cum = (
+        ck.join(firsts, firsts.first_doc < ck.cutoff, "left")
+        .groupBy("cutoff")
+        .agg(F.count("term").cast("bigint").alias("n_distinct_terms"))
+    )
+    return tok_cum.join(vocab_cum, "cutoff")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5282,7 +5335,7 @@ _CHECK_FIRST = [
     "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
     "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
-    "q145_bm25_retrieval", "q146_exact_correlation",
+    "q145_bm25_retrieval", "q146_exact_correlation", "q147_vocab_growth",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
