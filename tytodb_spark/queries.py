@@ -3843,21 +3843,18 @@ def q114_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
     ).select(*on)
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_miss = exact.join(lsh, on, "left_anti").agg(
-        F.count(F.lit(1)).alias("__n_missed")
+    # One full-outer join + one aggregate: each expensive branch (exact
+    # AllPairs, LSH banding) is evaluated exactly once, instead of the
+    # 3x/2x re-evaluation that separate count/anti-join aggregates cost.
+    both = exact.withColumn("__e", F.lit(1)).join(
+        lsh.withColumn("__l", F.lit(1)), on, "full_outer"
     )
-    n_extra = lsh.join(exact, on, "left_anti").agg(
-        F.count(F.lit(1)).alias("__n_extra")
-    )
-    return (
-        n_exact.crossJoin(n_miss)
-        .crossJoin(n_extra)
-        .select(
-            F.col("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
-            (F.col("__n_missed") * 20 <= F.col("n_exact_pairs")).alias("recall_ok"),
-            (F.col("__n_extra") == 0).alias("no_extra"),
-        )
+    return both.agg(
+        F.count("__e").cast("bigint").alias("n_exact_pairs"),
+        (
+            F.count(F.when(F.col("__l").isNull(), 1)) * 20 <= F.count("__e")
+        ).alias("recall_ok"),
+        (F.count(F.when(F.col("__e").isNull(), 1)) == 0).alias("no_extra"),
     )
 
 
