@@ -1263,3 +1263,92 @@ def test_bm25_retrieve_ranks_relevant_docs(spark):
     assert ids[0] == 1                 # most term overlap ranks first
     assert 3 not in ids                # no shared terms -> never retrieved
     assert out[0]["bm25"] > out[-1]["bm25"]
+
+
+def test_pmi_pairs_hand_computed(spark):
+    rows = [
+        Row(doc_id=0, text="a b"),
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a b c"),
+        Row(doc_id=3, text="a c"),
+        Row(doc_id=4, text="d"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["term_a"], r["term_b"]): r
+        for r in X.pmi_pairs(df, "doc_id", "text", vocab_k=10, min_pair=2).collect()
+    }
+    # df(a)=4, df(b)=3, df(c)=2, N=5; n(a,b)=3, n(a,c)=2; (b,c)=1 < min_pair
+    assert set(out) == {("a", "b"), ("a", "c")}
+    assert out[("a", "b")]["n_ab"] == 3
+    assert out[("a", "b")]["pmi_q"] == math.floor(math.log(3 * 5 / (4 * 3)) * 1e6 + 0.5)
+    assert out[("a", "c")]["n_ab"] == 2
+    assert out[("a", "c")]["pmi_q"] == math.floor(math.log(2 * 5 / (4 * 2)) * 1e6 + 0.5)
+
+
+def test_pmi_pairs_vocab_cap(spark):
+    rows = [Row(doc_id=i, text="x y z w") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = X.pmi_pairs(df, "doc_id", "text", vocab_k=2, min_pair=2).collect()
+    # only the 2 lexicographically-first of the tied terms survive the cap
+    assert {(r["term_a"], r["term_b"]) for r in out} == {("w", "x")}
+
+
+def test_token_entropy_values(spark):
+    rows = [
+        Row(doc_id=0, text="a a a a"),        # zero entropy
+        Row(doc_id=1, text="a b c d"),        # uniform: 2 bits
+        Row(doc_id=2, text="a a b"),          # H = log2(3) - (2/3)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in X.token_entropy(df, "doc_id", "text").collect()}
+    assert out[0]["entropy_q"] == 0 and out[0]["n_distinct"] == 1
+    assert out[1]["entropy_q"] == 2_000_000 and out[1]["n_tokens"] == 4
+    expect = math.log2(3) - 2 * math.log2(2) / 3
+    assert out[2]["entropy_q"] == math.floor(expect * 1e6 + 0.5)
+
+
+def test_chunk_with_overlap_covers_text(spark):
+    rows = [
+        Row(doc_id=0, text="x" * 200),
+        Row(doc_id=1, text="short"),
+        Row(doc_id=2, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    out = X.chunk_with_overlap(df, "doc_id", "text", size=80, stride=60)
+    rows_out = out.collect()
+    by_doc = {}
+    for r in rows_out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 200 chars, stride 60 -> chunks at 0,60,120,180 (len 80,80,80,20)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [len(r["chunk_text"]) for r in c0] == [80, 80, 80, 20]
+    assert all(r["n_chunks"] == 4 for r in c0)
+    # overlap: chunk i's last 20 chars == chunk i+1's first 20 chars
+    assert c0[0]["chunk_text"][60:] == c0[1]["chunk_text"][:20]
+    # short + empty docs emit exactly one chunk (nothing disappears)
+    assert [r["chunk_text"] for r in by_doc[1]] == ["short"]
+    assert [r["chunk_text"] for r in by_doc[2]] == [""]
+
+
+def test_ewma_truncated_matches_pandas(spark):
+    from tytodb_spark.operators.timeseries import ewma_truncated
+
+    rows = [
+        Row(k=1, t=i, v=float(x))
+        for i, x in enumerate([10.0, 20.0, 10.0, 40.0, 0.0, 5.5, 7.25, 100.0, 1.0, 2.0])
+    ] + [Row(k=2, t=0, v=3.0)]
+    df = spark.createDataFrame(rows)
+    out = ewma_truncated(df, "k", ["t"], "v", depth=8)
+    got = {(r["k"], r["t"]): r for r in out.collect()}
+    # reference recurrence: truncated sum of cents * 2^(7-lag) / 25500
+    series = [1000, 2000, 1000, 4000, 0, 550, 725, 10000, 100, 200]
+    for i in range(len(series)):
+        num = sum(
+            series[i - k] * 2 ** (7 - k) for k in range(8) if i - k >= 0
+        )
+        assert got[(1, i)]["ewma_q"] == math.floor(num * 1e6 / 25500.0 + 0.5)
+    assert got[(2, 0)]["v_cents"] == 300
+    # partitioning invariance
+    out8 = ewma_truncated(df.repartition(8), "k", ["t"], "v", depth=8)
+    assert sorted(map(tuple, out8.collect())) == sorted(map(tuple, out.collect()))

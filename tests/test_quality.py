@@ -57,3 +57,24 @@ def test_exact_corr_matches_numpy(spark):
     # partitioning invariance (the point of exact component sums)
     r8 = QA.exact_corr(df.repartition(8), ["g"], "x", "y").collect()[0]
     assert (r8["corr"], r8["covar_pop"]) == (r["corr"], r["covar_pop"])
+
+
+def test_ols_fit_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.5]
+    ys = [2.0, 4.1, 5.9, 8.2, 10.9]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    r = QA.ols_fit(df, ["g"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r["n"] == 5
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-5
+    assert abs(r["r2"] - np.corrcoef(xs, ys)[0, 1] ** 2) < 1e-5
+    # partitioning invariance (the point of exact component sums)
+    r8 = QA.ols_fit(df.repartition(8), ["g"], "x", "y").collect()[0]
+    assert (r8["slope"], r8["intercept"], r8["r2"]) == (
+        r["slope"], r["intercept"], r["r2"],
+    )

@@ -141,3 +141,43 @@ def exact_corr(
         F.round(num / F.sqrt(denx * deny), 6).alias("corr"),
         F.round(num / (n * n), 6).alias("covar_pop"),
     )
+
+
+def ols_fit(
+    df: DataFrame, group_cols: list[str], x: str, y: str
+) -> DataFrame:
+    """Per-group simple linear regression (y = slope·x + intercept) fit
+    from the same EXACT decimal sufficient statistics as exact_corr —
+    the distributed closed-form OLS: one map-side-combinable aggregate
+    carries (n, Sx, Sy, Sxx, Syy, Sxy) and the fit happens once per
+    group on exact inputs, so slope/intercept/R² are bit-stable at any
+    parallelism. This is how a 100 TB profile fits trends (bytes vs
+    tokens, price vs quantity) without MLlib or a second pass; the
+    shuffle carries six numbers per group, never rows.
+
+    Output: (group_cols..., n, slope, intercept, r2), rounded to 6.
+    """
+    dx = F.col(x).cast("decimal(18,2)")
+    dy = F.col(y).cast("decimal(18,2)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast("decimal(38,4)").alias("sx"),
+        F.sum(dy).cast("decimal(38,4)").alias("sy"),
+        F.sum((dx * dx).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,4)")).cast("decimal(38,4)").alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    denx = n * F.col("sxx").cast("double") - sx * sx
+    deny = n * F.col("syy").cast("double") - sy * sy
+    slope = num / denx
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )

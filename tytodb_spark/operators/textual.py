@@ -1266,3 +1266,145 @@ def bm25_retrieve(
     return topk_per_key(
         scored, "query_id", [F.col("bm25").desc(), F.col(id_col)], k
     ).select("query_id", F.col(id_col).alias("doc_id"), "bm25", "rank")
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_k: int = 30,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information of term CO-OCCURRENCE (doc-level
+    presence) over a capped vocabulary — the collocation/topic-structure
+    profile of a corpus (which terms travel together; boilerplate and
+    template families light up as near-certain pairs).
+
+    Scale shape: the vocabulary is the top-`vocab_k` terms by document
+    frequency (one aggregate + TakeOrderedAndProject — index metadata,
+    corpus-size-independent) and BROADCASTS into the presence filter, so
+    the corpus tokenizes once and the pair self-join runs on presence
+    rows capped at `vocab_k` per doc: ≤ k·(k−1)/2 pairs per doc, never
+    |doc|². Doc frequencies of the vocab terms broadcast into the final
+    score, which is computed once per surviving pair from exact integer
+    counts (log quantized to 1e-6).
+
+    Output: (term_a, term_b, n_ab, pmi_q) with term_a < term_b.
+    """
+    from tytodb_spark.operators.similarity import topk_per_key  # noqa: PLC0415
+
+    pres = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col).alias("__d"),
+                F.explode(F.array_distinct(tokens(text_col))).alias("term"))
+    )
+    dfreq = pres.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    vocab = (
+        topk_per_key(
+            dfreq.withColumn("__g", F.lit(1)),
+            "__g",
+            [F.col("__df").desc(), F.col("term")],
+            vocab_k,
+        ).select("term", "__df")
+    )
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    vpres = pres.join(F.broadcast(vocab.select("term")), "term")
+    a = vpres.select("__d", F.col("term").alias("term_a"))
+    b = vpres.select("__d", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "__d")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("__df").alias("__dfa"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("__df").alias("__dfb"))
+    pmi = F.log(
+        F.col("n_ab").cast("double") * F.col("__n")
+        / (F.col("__dfa").cast("double") * F.col("__dfb"))
+    )
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b", "n_ab",
+            F.floor(pmi * 1e6 + F.lit(0.5)).cast("bigint").alias("pmi_q"),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    repetitiveness gate that catches what length/stopword ratios miss:
+    keyword-stuffed spam and template loops have low entropy for their
+    length, clean prose sits near log2 of its vocabulary size.
+
+    One tokenize pass → per-(doc, term) counts → one per-doc aggregate;
+    both shuffles key on doc (and doc+term), so a 100 TB corpus
+    distributes evenly unless a single document is itself huge. Entropy
+    is computed once per doc from exact integer counts and quantized to
+    1e-6 (floor(x·1e6 + 0.5)) for cross-engine hash equality.
+
+    Output: (id_col, n_tokens, n_distinct, entropy_q).
+    """
+    tf = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # H = log2(N) - (1/N)·Σ c·log2(c): one pass over the count rows,
+    # no per-term p=c/N division inside the sum (fewer float ops, and
+    # the Σ c·log2(c) partial is map-side combinable).
+    agg = tf.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("__c").cast("double") * F.log2(F.col("__c").cast("double")))
+        .alias("__clgc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.log2(n) - F.col("__clgc") / n
+    return agg.select(
+        id_col, "n_tokens", "n_distinct",
+        F.floor(h * 1e6 + F.lit(0.5)).cast("bigint").alias("entropy_q"),
+    )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 80,
+    stride: int = 60,
+) -> DataFrame:
+    """RAG-style fixed-size character chunking with overlap: chunk i
+    covers [i·stride, i·stride + size); the last chunk starts at the
+    final stride position that still begins inside the text, so every
+    character lands in ≥1 chunk and consecutive chunks share
+    (size − stride) characters of context.
+
+    Pure per-row expression work (sequence + transform + posexplode) —
+    no shuffle at all; a 100 TB corpus chunks map-side and the output
+    inherits the input partitioning. Chunk count for a length-L doc is
+    floor(max(L−1, 0)/stride) + 1 (empty docs emit one empty chunk, so
+    no document silently disappears from the chunk store).
+
+    Output: (id_col, chunk_id, chunk_text, n_chunks).
+    """
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+    L = F.length(F.col(text_col))
+    n_chunks = (F.floor(F.greatest(L - 1, F.lit(0)) / stride) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(
+            F.col(text_col), (i * stride + 1).cast("int"), size
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(id_col, "chunk_id", "chunk_text", "n_chunks")

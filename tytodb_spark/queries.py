@@ -5295,6 +5295,134 @@ def q147_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok_cum.join(vocab_cum, "cutoff")
 
 
+@query(
+    "q148_group_ols",
+    """
+    WITH s AS (
+      SELECT l_linestatus,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sy,
+             cast(sum(cast(cast(l_quantity AS DECIMAL(18,2))
+                    * cast(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS sxx,
+             cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                    * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS syy,
+             cast(sum(cast(cast(l_quantity AS DECIMAL(18,2))
+                    * cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS sxy
+      FROM lineitem GROUP BY l_linestatus
+    ),
+    d AS (
+      SELECT l_linestatus, n,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS denx,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS deny,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+      FROM s
+    )
+    SELECT l_linestatus, n,
+           round(num / denx, 6) AS slope,
+           round((syd - num / denx * sxd) / n::DOUBLE, 6) AS intercept,
+           round(num * num / (denx * deny), 6) AS r2
+    FROM d
+    """,
+    doc="Per-group closed-form OLS fit (y = slope·x + b, plus R²) from "
+    "EXACT decimal sufficient statistics — distributed regression "
+    "without MLlib or a second pass: one map-side-combinable aggregate "
+    "carries (n, Sx, Sy, Sxx, Syy, Sxy) per group, the shuffle moves "
+    "six numbers per group (never rows), and the float math runs once "
+    "on exact inputs so the fit is bit-stable at any parallelism. "
+    "The profiling trend stat (price-vs-quantity, bytes-vs-tokens) a "
+    "100 TB pipeline wants per partition slice; operators/quality.py "
+    "ols_fit (complements q146's correlation from the same sums).",
+)
+def q148_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import ols_fit
+
+    return ols_fit(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_linestatus"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@query(
+    "q149_pmi_cooccur",
+    f"""
+    WITH pres AS (SELECT doc_id AS d, unnest(list_distinct({_TOKS})) AS term
+                  FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+    vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 30),
+    nd AS (SELECT count(*) AS n FROM documents),
+    vp AS (SELECT d, term FROM pres JOIN vocab USING (term)),
+    pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+                     cast(count(*) AS BIGINT) AS n_ab
+              FROM vp a JOIN vp b ON a.d = b.d AND a.term < b.term
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT term_a, term_b, n_ab,
+           cast(floor(ln(n_ab::DOUBLE * n / (va.df::DOUBLE * vb.df)) * 1e6
+                      + 0.5) AS BIGINT) AS pmi_q
+    FROM pairs JOIN vocab va ON va.term = pairs.term_a
+               JOIN vocab vb ON vb.term = pairs.term_b
+               CROSS JOIN nd
+    """,
+    doc="PMI term co-occurrence (doc-level presence) over a capped "
+    "vocabulary — the collocation/template-structure profile of a "
+    "corpus (boilerplate families surface as near-certain pairs). "
+    "Scale shape: the top-30 vocab is one aggregate + "
+    "TakeOrderedAndProject (index metadata) and BROADCASTS into the "
+    "presence filter, so the pair self-join runs on ≤30 presence rows "
+    "per doc (≤ k²/2 pairs/doc, never |doc|²); doc frequencies and the "
+    "corpus count broadcast into a single quantized-log score per "
+    "surviving pair; operators/textual.py pmi_pairs.",
+)
+def q149_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_pairs(docs, "doc_id", "text", vocab_k=30, min_pair=2)
+
+
+@query(
+    "q150_ewma",
+    """
+    WITH v AS (SELECT event_id, user_id, ts,
+                      cast(floor(value * 100) AS BIGINT) AS v_cents
+               FROM events)
+    SELECT event_id, user_id, v_cents,
+           cast(floor((v_cents * 128
+             + coalesce(lag(v_cents, 1) OVER w, 0) * 64
+             + coalesce(lag(v_cents, 2) OVER w, 0) * 32
+             + coalesce(lag(v_cents, 3) OVER w, 0) * 16
+             + coalesce(lag(v_cents, 4) OVER w, 0) * 8
+             + coalesce(lag(v_cents, 5) OVER w, 0) * 4
+             + coalesce(lag(v_cents, 6) OVER w, 0) * 2
+             + coalesce(lag(v_cents, 7) OVER w, 0)) * 1e6 / 25500.0 + 0.5)
+             AS BIGINT) AS ewma_q
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Truncated EWMA (α=1/2, 8-term tail) per user over event time — "
+    "the smoothing every metrics pipeline runs, reshaped for exact "
+    "distributed execution: power-of-two weights over integer cents "
+    "make the numerator an exact BIGINT (no float accumulation order), "
+    "the single division quantizes once, and the whole operator is a "
+    "fixed LAG chain — one shuffle on the key, O(depth) state, "
+    "streaming-portable. Cold-start rows are biased low exactly like a "
+    "zero-initialized streaming EWMA (documented); operators/"
+    "timeseries.py ewma_truncated.",
+)
+def q150_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.timeseries import ewma_truncated
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = ewma_truncated(ev, "user_id", ["ts", "event_id"], "value", depth=8)
+    return out.select("event_id", "user_id", "v_cents", "ewma_q")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5333,6 +5461,7 @@ _CHECK_FIRST = [
     "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
     "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
     "q145_bm25_retrieval", "q146_exact_correlation", "q147_vocab_growth",
+    "q148_group_ols", "q149_pmi_cooccur", "q150_ewma",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
