@@ -1352,3 +1352,64 @@ def test_ewma_truncated_matches_pandas(spark):
     # partitioning invariance
     out8 = ewma_truncated(df.repartition(8), "k", ["t"], "v", depth=8)
     assert sorted(map(tuple, out8.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from tytodb_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    probes = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=65536)
+    out = bloom_probe(probes, "k", bloom, m_bits=65536).collect()
+    hits = {r["k"] for r in out if r["bloom_hit"]}
+    # the defining invariant: every true member hits
+    assert set(range(500)) <= hits
+    # fp rate for n=1000 positions in m=65536: (1-e^-2n/m)^2 ~ 0.09%... loose bound
+    fp = len(hits) - 500
+    assert fp < 60, fp
+
+
+def test_bloom_merges_by_bit_or(spark):
+    from tytodb_spark.operators.sketches import bloom_build
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    both = spark.range(0, 200).select(F.col("id").alias("k"))
+    merged = (
+        bloom_build(a, "k").unionByName(bloom_build(b, "k"))
+        .groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    direct = bloom_build(both, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_triangle_count_known_graph(spark):
+    from tytodb_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a disjoint path a-b-c (0 triangles, 1 wedge)
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    path = [(10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in k4 + path] + [(3, 2), (2, 2)],  # dup edge + self loop ignored
+        "src long, dst long",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r["n_edges"] == 8
+    assert r["n_triangles"] == 4
+    # K4 wedges: C(3,2) per low-id orientation = 3+2+1... enumerate: oriented
+    # edges (0,1)(0,2)(0,3)(1,2)(1,3)(2,3); wedges a<b<c sharing middle b:
+    # (0,1,2)(0,1,3)(0,2,3)(1,2,3) = 4; path adds (10,11,12) = 1
+    assert r["n_wedges"] == 5
+
+
+def test_key_skew_report_exact_ppm(spark):
+    from tytodb_spark.operators.quality import key_skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r for r in key_skew_report(df, "k", top_n=2).collect()}
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["rank"] == 1 and out["hot"]["cnt"] == 60
+    assert out["hot"]["share_q"] == 600_000          # 60%
+    assert out["hot"]["ratio_to_mean_q"] == 1_800_000  # 1.8x mean (mean=100/3)
+    assert out["warm"]["share_q"] == 300_000

@@ -181,3 +181,42 @@ def ols_fit(
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     )
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Join/shuffle-key skew diagnostics — the measurement that decides
+    whether a key needs salting (q58) or AQE skew handling before a
+    100 TB join: per-key counts, then the `top_n` heaviest keys with
+    their corpus share and ratio-to-mean, all in EXACT integer math
+    (share_q = ⌊cnt·1e6/total⌋ ppm; ratio_q = ⌊cnt·n_keys·1e6/total⌋ =
+    cnt/mean in ppm) so the report hash-checks in any engine.
+
+    Plan: one count aggregate on the key (map-side combinable), a
+    two-phase distributed top-k over the per-key counts (never a global
+    sort), and a broadcast 1-row totals join. Output:
+    (key, cnt, rank, share_q, ratio_to_mean_q).
+    """
+    from tytodb_spark.operators.similarity import topk_per_key  # noqa: PLC0415
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
+    )
+    top = topk_per_key(
+        counts.withColumn("__g", F.lit(1)),
+        "__g",
+        [F.col("cnt").desc(), F.col(key)],
+        top_n,
+    ).drop("__g")
+    return top.crossJoin(F.broadcast(totals)).select(
+        key,
+        "cnt",
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("__total"))
+        .cast("bigint")
+        .alias("share_q"),
+        F.floor(F.col("cnt") * F.col("__n_keys") * F.lit(1_000_000) / F.col("__total"))
+        .cast("bigint")
+        .alias("ratio_to_mean_q"),
+    )

@@ -77,3 +77,84 @@ def count_min_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def _bloom_positions(key, m_bits: int):
+    """k=2 bit positions from independent md5 slices (portable family:
+    DuckDB ('0x'||substr(md5(k),1,8))::BIGINT % m)."""
+    h = F.md5(key.cast("string"))
+    h1 = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m_bits))
+    h2 = F.pmod(F.conv(F.substring(h, 9, 8), 16, 10).cast("long"), F.lit(m_bits))
+    return h1, h2
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 65536) -> DataFrame:
+    """Build a PORTABLE Bloom filter over a key set as a word table:
+    m_bits bits packed 32-per-BIGINT word (32 keeps every set bit far
+    from the sign bit, so the same `1 << offset` arithmetic is legal in
+    any engine). Plan: distinct keys → 2 bit positions each → ONE
+    bit_or aggregate on m/32 word keys (map-side combinable — each task
+    ships at most m/32 words regardless of key count). Filters over
+    different batches MERGE by bit_or on word_idx — the same mergeable-
+    counter-table shape as the CMS sketch, and the artifact a 100 TB
+    join prefilter broadcasts instead of the key set itself.
+
+    Output: (word_idx, word) — only non-zero words; absent words read 0.
+    """
+    h1, h2 = _bloom_positions(F.col(key_col), m_bits)
+    pos = keys.select(F.col(key_col)).distinct().select(
+        F.explode(F.array(h1, h2)).alias("__pos")
+    )
+    return (
+        pos.select(
+            (F.col("__pos") / 32).cast("int").alias("word_idx"),
+            # SQL form: shiftleft's bit-count arg must be an expression,
+            # not a Python literal, to vary per row
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos % 32 as int))")
+            .alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, key_col: str, bloom: DataFrame, m_bits: int = 65536
+) -> DataFrame:
+    """Membership probe: each key's two words join against the (tiny,
+    broadcast) word table; a key is a `bloom_hit` iff both its bits are
+    set. No false negatives by construction; false-positive rate is
+    governed by m_bits vs key count (k=2: fp ≈ (1−e^{−2n/m})²).
+    Output: probes + bloom_hit."""
+    h1, h2 = _bloom_positions(F.col(key_col), m_bits)
+    with_pos = probes.withColumn("__p1", h1).withColumn("__p2", h2)
+    w1 = bloom.select(
+        F.col("word_idx").alias("__w1i"), F.col("word").alias("__w1")
+    )
+    w2 = bloom.select(
+        F.col("word_idx").alias("__w2i"), F.col("word").alias("__w2")
+    )
+    out = (
+        with_pos.join(
+            F.broadcast(w1), (F.col("__p1") / 32).cast("int") == F.col("__w1i"), "left"
+        )
+        .join(
+            F.broadcast(w2), (F.col("__p2") / 32).cast("int") == F.col("__w2i"), "left"
+        )
+        .withColumn(
+            "bloom_hit",
+            (
+                F.coalesce("__w1", F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(cast(1 as bigint), cast(__p1 % 32 as int))")
+                )
+                != 0
+            )
+            & (
+                F.coalesce("__w2", F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(cast(1 as bigint), cast(__p2 % 32 as int))")
+                )
+                != 0
+            ),
+        )
+    )
+    return out.drop("__p1", "__p2", "__w1i", "__w1", "__w2i", "__w2")

@@ -1343,32 +1343,36 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One tokenize pass → per-(doc, term) counts → one per-doc aggregate;
     both shuffles key on doc (and doc+term), so a 100 TB corpus
-    distributes evenly unless a single document is itself huge. Entropy
-    is computed once per doc from exact integer counts and quantized to
-    1e-6 (floor(x·1e6 + 0.5)) for cross-engine hash equality.
+    distributes evenly unless a single document is itself huge. Using
+    H = log2(N) − (1/N)·Σ c·log2(c), each term's c·log2(c) quantizes to
+    an exact 1e-6 integer BEFORE the sum (the q96/q105 convention), so
+    the per-doc accumulation is integer (order-independent across
+    partitions and engines) and the remaining float ops run once per
+    doc.
 
-    Output: (id_col, n_tokens, n_distinct, entropy_q).
+    Output: (id_col, n_tokens, n_distinct, entropy_q) with entropy_q =
+    floor(H·1e6 + 0.5) in bits.
     """
+    c = F.col("__c").cast("double")
     tf = (
         spread(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__clgc_q", F.floor(c * F.log2(c) * 1e6 + F.lit(0.5)).cast("bigint")
+        )
     )
-    # H = log2(N) - (1/N)·Σ c·log2(c): one pass over the count rows,
-    # no per-term p=c/N division inside the sum (fewer float ops, and
-    # the Σ c·log2(c) partial is map-side combinable).
     agg = tf.groupBy(id_col).agg(
         F.sum("__c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.sum(F.col("__c").cast("double") * F.log2(F.col("__c").cast("double")))
-        .alias("__clgc"),
+        F.sum("__clgc_q").cast("bigint").alias("__sq"),
     )
     n = F.col("n_tokens").cast("double")
-    h = F.log2(n) - F.col("__clgc") / n
+    h_times_1e6 = F.log2(n) * F.lit(1e6) - F.col("__sq") / n
     return agg.select(
         id_col, "n_tokens", "n_distinct",
-        F.floor(h * 1e6 + F.lit(0.5)).cast("bigint").alias("entropy_q"),
+        F.floor(h_times_1e6 + F.lit(0.5)).cast("bigint").alias("entropy_q"),
     )
 
 

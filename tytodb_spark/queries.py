@@ -5423,6 +5423,227 @@ def q150_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "v_cents", "ewma_q")
 
 
+@query(
+    "q151_bloom_filter",
+    """
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pos AS (SELECT key,
+                   unnest([('0x'||substr(md5(key::VARCHAR),1,8))::BIGINT % 65536,
+                           ('0x'||substr(md5(key::VARCHAR),9,8))::BIGINT % 65536])
+                   AS p
+            FROM k),
+    words AS (SELECT p // 32 AS widx, bit_or(1::BIGINT << cast(p % 32 AS INT)) AS word
+              FROM pos GROUP BY 1),
+    bits AS (SELECT cast(sum(bit_count(word)) AS BIGINT) AS n_set_bits FROM words),
+    probe AS (
+      SELECT c.c_custkey,
+             ('0x'||substr(md5(c.c_custkey::VARCHAR),1,8))::BIGINT % 65536 AS p1,
+             ('0x'||substr(md5(c.c_custkey::VARCHAR),9,8))::BIGINT % 65536 AS p2,
+             (k.key IS NOT NULL) AS is_member
+      FROM customer c LEFT JOIN k ON k.key = c.c_custkey),
+    hit AS (
+      SELECT is_member,
+             ((coalesce(w1.word, 0) & (1::BIGINT << cast(p1 % 32 AS INT))) <> 0
+              AND (coalesce(w2.word, 0) & (1::BIGINT << cast(p2 % 32 AS INT))) <> 0)
+             AS bloom_hit
+      FROM probe LEFT JOIN words w1 ON w1.widx = p1 // 32
+                 LEFT JOIN words w2 ON w2.widx = p2 // 32)
+    SELECT cast(count(*) AS BIGINT) AS n_probes,
+           (SELECT n_set_bits FROM bits) AS n_set_bits,
+           cast(sum(is_member::INT) AS BIGINT) AS n_true_members,
+           cast(sum(bloom_hit::INT) AS BIGINT) AS n_bloom_hits,
+           cast(sum((bloom_hit AND NOT is_member)::INT) AS BIGINT)
+             AS n_false_positives,
+           bool_and(bloom_hit OR NOT is_member) AS no_false_negatives
+    FROM hit
+    """,
+    doc="PORTABLE Bloom filter as a mergeable word table (m=65536 bits "
+    "packed 32-per-BIGINT — every set bit stays clear of the sign bit, "
+    "so the same `1 << offset` arithmetic is legal in any engine; k=2 "
+    "md5-slice hashes). Build = distinct keys → ONE bit_or aggregate "
+    "on m/32 word keys (map-side combinable; batches merge by bit_or "
+    "— the CMS-style mergeable-sketch shape, q135's dual for set "
+    "membership). Probe = two broadcast word joins; the filter is what "
+    "a 100 TB join prefilter ships instead of the key set. The oracle "
+    "recomputes the filter AND asserts the defining invariant: zero "
+    "false negatives, exact false-positive census; operators/"
+    "sketches.py bloom_build/bloom_probe.",
+)
+def q151_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    bloom = bloom_build(orders, "o_custkey", m_bits=65536)
+    bits = bloom.agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_set_bits")
+    )
+    truth = orders.distinct().withColumn("__m", F.lit(True))
+    probed = bloom_probe(cust, "c_custkey", bloom, m_bits=65536).join(
+        truth, cust.c_custkey == truth.o_custkey, "left"
+    )
+    summary = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("__m").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_true_members"),
+        F.sum(F.col("bloom_hit").cast("bigint")).cast("bigint").alias("n_bloom_hits"),
+        F.sum((F.col("bloom_hit") & F.col("__m").isNull()).cast("bigint"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.bool_and(F.col("bloom_hit") | F.col("__m").isNull()).alias(
+            "no_false_negatives"
+        ),
+    )
+    return summary.crossJoin(F.broadcast(bits)).select(
+        "n_probes", "n_set_bits", "n_true_members", "n_bloom_hits",
+        "n_false_positives", "no_false_negatives",
+    )
+
+
+@query(
+    "q152_token_entropy",
+    f"""
+    WITH tf AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    c AS (SELECT doc_id, t, count(*) AS c,
+                 cast(floor(count(*)::DOUBLE * log2(count(*)::DOUBLE) * 1e6 + 0.5)
+                      AS BIGINT) AS clgc_q
+          FROM tf GROUP BY doc_id, t),
+    a AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+                 cast(count(*) AS BIGINT) AS n_distinct,
+                 cast(sum(clgc_q) AS BIGINT) AS sq
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           cast(floor(log2(n_tokens::DOUBLE) * 1e6 - sq / n_tokens::DOUBLE + 0.5)
+                AS BIGINT) AS entropy_q
+    FROM a
+    """,
+    doc="Per-document token-distribution Shannon entropy (bits) — the "
+    "repetitiveness gate that catches what length/stopword ratios "
+    "miss (keyword-stuffed spam, template loops). One tokenize pass → "
+    "per-(doc,term) counts → one per-doc aggregate; each term's "
+    "c·log2(c) quantizes to an exact 1e-6 integer BEFORE summing "
+    "(q96/q105 convention) so the accumulation is order-independent "
+    "integers and the result hash-checks across engines; operators/"
+    "textual.py token_entropy.",
+)
+def q152_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q153_chunk_overlap",
+    """
+    WITH n AS (SELECT doc_id, text,
+                      cast(floor(greatest(length(text) - 1, 0) / 60) + 1 AS INT)
+                        AS n_chunks
+               FROM documents),
+    c AS (SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS chunk_id, text
+          FROM n)
+    SELECT doc_id, cast(chunk_id AS INT) AS chunk_id,
+           substr(text, cast(chunk_id * 60 + 1 AS INT), 80) AS chunk_text,
+           n_chunks
+    FROM c
+    """,
+    doc="RAG-style overlap chunking: fixed 80-char chunks on a 60-char "
+    "stride, so consecutive chunks share 20 chars of context and every "
+    "character lands in ≥1 chunk (empty docs emit one empty chunk — "
+    "nothing silently disappears from the chunk store). Pure per-row "
+    "expression work (sequence + posexplode), ZERO shuffles — a "
+    "100 TB corpus chunks map-side and inherits the input "
+    "partitioning; operators/textual.py chunk_with_overlap.",
+)
+def q153_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import chunk_with_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_with_overlap(docs, "doc_id", "text", size=80, stride=60)
+
+
+@query(
+    "q154_triangle_count",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM ids a JOIN ids b
+        ON b.doc_id = a.doc_id + 1 AND a.doc_id // 50 = b.doc_id // 50
+      UNION ALL
+      SELECT a.doc_id, b.doc_id
+      FROM ids a JOIN ids b
+        ON b.doc_id = a.doc_id + 2 AND a.doc_id // 50 = b.doc_id // 50
+    ),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM e0 WHERE u <> v),
+    w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e1.v = e2.u),
+    probe AS (SELECT (e.u IS NOT NULL) AS hit
+              FROM w LEFT JOIN e ON e.u = w.a AND e.v = w.c)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM e) AS n_edges,
+           cast(count(*) AS BIGINT) AS n_wedges,
+           cast(sum(hit::INT) AS BIGINT) AS n_triangles
+    FROM probe
+    """,
+    doc="Triangle counting via compact-forward (orient low→high, wedge "
+    "join on the middle vertex, semi-probe the closing edge) — the "
+    "clustering-coefficient census of the near-dup graph that "
+    "distinguishes tight template families (triangle-dense) from "
+    "drifting chains (triangle-free, q112's regime). Orientation "
+    "generates each wedge exactly once (no dedup shuffle); both joins "
+    "are equi-joins the planner broadcasts when the edge list fits. "
+    "Edge fixture: consecutive-id +1/+2 edges inside 50-doc blocks "
+    "(48 triangles per full block, deterministic in any engine); "
+    "operators/graph.py triangle_count.",
+)
+def q154_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.graph import triangle_count
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+
+    def step(k: int) -> DataFrame:
+        return (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + k)
+            .filter(F.expr("a.doc_id div 50") == F.expr("b.doc_id div 50"))
+            .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        )
+
+    edges = step(1).unionByName(step(2))
+    return triangle_count(edges, "src", "dst")
+
+
+@query(
+    "q155_skew_report",
+    """
+    WITH c AS (SELECT o_custkey, cast(count(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT cast(sum(cnt) AS BIGINT) AS total,
+                 cast(count(*) AS BIGINT) AS n_keys FROM c),
+    r AS (SELECT o_custkey, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rank
+          FROM c)
+    SELECT o_custkey, cnt, cast(rank AS INT) AS rank,
+           cast(floor(cnt * 1000000 / total) AS BIGINT) AS share_q,
+           cast(floor(cnt * n_keys * 1000000 / total) AS BIGINT)
+             AS ratio_to_mean_q
+    FROM r CROSS JOIN t WHERE rank <= 5
+    """,
+    doc="Shuffle-key skew diagnostics — the measurement that decides "
+    "whether a join key needs salting (q58) or AQE skew splitting "
+    "BEFORE the 100 TB join runs: top-5 heaviest keys with corpus "
+    "share and ratio-to-mean in exact ppm integer math. Plan: one "
+    "combinable count aggregate on the key, two-phase distributed "
+    "top-k over the per-key counts (never a global sort), broadcast "
+    "1-row totals join; operators/quality.py key_skew_report.",
+)
+def q155_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.quality import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=5)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5462,6 +5683,8 @@ _CHECK_FIRST = [
     "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
     "q145_bm25_retrieval", "q146_exact_correlation", "q147_vocab_growth",
     "q148_group_ols", "q149_pmi_cooccur", "q150_ewma",
+    "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
+    "q154_triangle_count", "q155_skew_report",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
