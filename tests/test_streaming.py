@@ -222,3 +222,32 @@ def test_sliding_windows_double_count(spark):
     counts = [n for _, n in out]
     assert counts == [1, 2, 1]
     assert sum(counts) == 4  # every event exactly twice
+
+
+def test_stream_outer_join_evicts_below_watermark(spark):
+    from tytodb_spark.streaming.pipeline import stream_stream_left_join
+
+    rows = [
+        # u1: signup with an error in-window (matched)
+        ("2024-01-01 00:00:00", 1, "signup"),
+        ("2024-01-01 00:30:00", 1, "error"),
+        # u2: signup with no error, old enough to evict (null emission)
+        ("2024-01-01 01:00:00", 2, "signup"),
+        # u3: signup with no error, within 1h of stream end (held in state)
+        ("2024-01-01 09:30:00", 3, "signup"),
+        # advance both watermarks to 10:00
+        ("2024-01-01 10:00:00", 9, "error"),
+        ("2024-01-01 10:00:00", 9, "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(t, u, e, 0.0, "{}") for t, u, e in rows],
+        "ts_s string, user_id long, event_type string, value double, props string",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props")
+    out = stream_stream_left_join(spark, df)
+    got = {(r["user_id"], r["error_us"] is None) for r in out.collect()}
+    # wm = min(max signup 10:00, max error 10:00) = 10:00
+    assert (1, False) in got          # matched pair emitted
+    assert (2, True) in got           # evicted unmatched -> null row
+    assert (3, True) not in got       # still in state (9:30+1h > ... boundary) — not emitted
+    # u9's signup at 10:00 has eviction boundary 11:00 > wm -> held
+    assert (9, True) not in got

@@ -5644,6 +5644,47 @@ def q155_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=5)
 
 
+@query(
+    "q156_stream_outer_join",
+    """
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM s),
+                        (SELECT max(epoch_us(ts)) FROM e)) AS w)
+    SELECT s.user_id AS user_id,
+           epoch_us(s.ts) AS signup_us,
+           epoch_us(e.ts) AS error_us
+    FROM s JOIN e
+      ON s.user_id = e.user_id
+     AND epoch_us(e.ts) >= epoch_us(s.ts)
+     AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+    UNION ALL
+    SELECT s.user_id, epoch_us(s.ts), NULL::BIGINT
+    FROM s CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.user_id = s.user_id
+          AND epoch_us(e.ts) >= epoch_us(s.ts)
+          AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000)
+      AND epoch_us(s.ts) + 3600000000 < wm.w
+    """,
+    doc="Stream-stream LEFT OUTER join with watermark state eviction — "
+    "q66's missing half: a signup with no error within 1 h emits with "
+    "a NULL match only once the global watermark proves no match can "
+    "still arrive, which is exactly the mechanism that bounds "
+    "outer-join state on an unbounded stream (rows near the stream "
+    "head stay in state; everything older flushes in the no-data "
+    "final micro-batch). Oracle = batch LEFT JOIN with the same "
+    "strict-below-watermark emission rule (boundary-equal rows are "
+    "excluded on both engines — version-ambiguous semantics "
+    "determinized); streaming/pipeline.py stream_stream_left_join.",
+)
+def q156_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_stream_left_join
+
+    return stream_stream_left_join(spark, _t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5684,7 +5725,7 @@ _CHECK_FIRST = [
     "q145_bm25_retrieval", "q146_exact_correlation", "q147_vocab_growth",
     "q148_group_ols", "q149_pmi_cooccur", "q150_ewma",
     "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
-    "q154_triangle_count", "q155_skew_report",
+    "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",

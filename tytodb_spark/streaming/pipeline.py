@@ -308,3 +308,79 @@ def stream_incremental_rollup(
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_stream_left_join(
+    spark: SparkSession,
+    events: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state eviction:
+    every signup, matched with its errors within 1 hour — or emitted
+    with a NULL error once the watermark proves no match can still
+    arrive. That deferred null-side emission is the point of the
+    operator: outer-join state stays bounded on an unbounded stream
+    because a left row is held only until the global watermark passes
+    its last possible match time (signup_ts + 1 h), then emitted and
+    dropped.
+
+    With a 0-second delay the final watermark of a bounded drain is
+    min(max signup ts, max error ts); Spark's no-data final micro-batch
+    flushes every evictable row. Determinization for the check: rows
+    whose eviction boundary EQUALS the final watermark are
+    boundary-ambiguous across engine versions, so the drained output
+    keeps null rows strictly below it (the oracle applies the same
+    strict rule). The 1-row watermark lookup is driver-side check
+    metadata, not operator cost.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_sslj_")
+    try:
+        relevant = (
+            events.filter(F.col("event_type").isin("signup", "error"))
+            .select("user_id", "event_type", "ts")
+            .repartition(4)
+        )
+        relevant.write.mode("overwrite").parquet(f"{staging}/in")
+        staged = spark.read.parquet(f"{staging}/in")
+        wm_us = (
+            staged.groupBy("event_type")
+            .agg(F.max(F.unix_micros("ts")).alias("__m"))
+            .agg(F.min("__m").alias("__wm"))
+            .collect()[0]["__wm"]
+        )
+
+        def side(event_type: str, user: str, ts: str) -> DataFrame:
+            return (
+                spark.readStream.schema(staged.schema)
+                .parquet(f"{staging}/in")
+                .filter(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(user), F.col("ts").alias(ts))
+                .withWatermark(ts, "0 seconds")
+            )
+
+        joined = (
+            side("signup", "s_user", "signup_ts")
+            .join(
+                side("error", "e_user", "error_ts"),
+                F.expr(
+                    """
+                    s_user = e_user AND
+                    error_ts >= signup_ts AND
+                    error_ts <= signup_ts + interval 1 hour
+                    """
+                ),
+                "leftOuter",
+            )
+            .select(
+                F.col("s_user").alias("user_id"),
+                F.unix_micros("signup_ts").alias("signup_us"),
+                F.unix_micros("error_ts").alias("error_us"),
+            )
+        )
+        out = _drain(joined, staging, "append", state_partitions)
+        return out.filter(
+            F.col("error_us").isNotNull()
+            | (F.col("signup_us") + F.lit(3_600_000_000) < F.lit(wm_us))
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
