@@ -1413,3 +1413,45 @@ def test_key_skew_report_exact_ppm(spark):
     assert out["hot"]["share_q"] == 600_000          # 60%
     assert out["hot"]["ratio_to_mean_q"] == 1_800_000  # 1.8x mean (mean=100/3)
     assert out["warm"]["share_q"] == 300_000
+
+
+def test_quantile_normalize_ranks(spark):
+    from tytodb_spark.operators.similarity import quantile_normalize
+
+    rows = [
+        Row(vec_id=0, embedding=[3.0, 1.0]),
+        Row(vec_id=1, embedding=[1.0, 2.0]),
+        Row(vec_id=2, embedding=[2.0, 3.0]),
+        Row(vec_id=3, embedding=[2.0, 4.0]),  # tie on dim0 -> id breaks it
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r["vec_id"], r["pos"]): r for r in
+           quantile_normalize(df, "vec_id", "embedding").collect()}
+    assert out[(1, 0)]["rnk"] == 1           # smallest on dim 0
+    assert out[(2, 0)]["rnk"] == 2 and out[(3, 0)]["rnk"] == 3  # tie: id order
+    assert out[(0, 0)]["rnk"] == 4
+    assert out[(0, 0)]["norm_q"] == 800_000  # 4/5
+    assert out[(1, 1)]["norm_q"] == 400_000  # rank 2 of 4 on dim 1
+
+
+def test_knn_margin_confident_vs_ambiguous(spark):
+    from tytodb_spark.operators.similarity import knn_margin
+
+    # corpus = the four unit axes; q0 hugs axis 10 (confident), q1 is
+    # exactly equidistant from every axis (ambiguous, margin 0)
+    rows = [
+        Row(vec_id=0, embedding=[0.9, 0.1, 0.05, 0.02]),
+        Row(vec_id=1, embedding=[1.0, 1.0, 1.0, 1.0]),
+        Row(vec_id=10, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=11, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=12, embedding=[0.0, 0.0, 1.0, 0.0]),
+        Row(vec_id=13, embedding=[0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    queries = df.filter(F.col("vec_id") < 2)
+    corpus = df.filter(F.col("vec_id") >= 10)
+    out = {r["query_id"]: r for r in
+           knn_margin(queries, corpus, "vec_id", "embedding", k=4).collect()}
+    assert out[0]["best_id"] == 10 and out[0]["accepted"]
+    assert not out[1]["accepted"]  # all cosines equal -> margin ~ 0
+    assert out[1]["margin_q"] < 5000

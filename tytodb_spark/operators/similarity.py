@@ -733,3 +733,83 @@ def hard_negatives(
     return topk_per_key(scored, "anchor_id", order, k).select(
         "anchor_id", "negative_id", "cos_sim", "rank"
     )
+
+
+def quantile_normalize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-dimension rank (quantile) normalization of an embedding
+    column — the feature-engineering step that makes dimensions
+    comparable before distance math when per-dim scales drift across
+    encoder versions: each value maps to rank/(n+1) ∈ (0,1) within its
+    dimension.
+
+    Plan: map-side posexplode, ONE shuffle partitioned on the dimension
+    index (each dim ranks independently; parallelism = dim count, which
+    beats the cores on any real embedding width), row_number + count in
+    the same window pass. Ranks tie-break on the id so the transform is
+    deterministic; output quantizes to ppm integers. For the degenerate
+    huge-N × tiny-d case the documented alternative is q141's
+    distributed total-order ranking applied per dim.
+
+    Output: (id_col, pos, rnk, norm_q).
+    """
+    e = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "__v")
+    ).select(id_col, "pos", F.col("__v").cast("double").alias("__v"))
+    w = W.partitionBy("pos").orderBy("__v", id_col)
+    wc = W.partitionBy("pos")
+    return (
+        e.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            "pos",
+            "rnk",
+            F.floor(F.col("rnk") * F.lit(1_000_000) / (F.col("__n") + 1))
+            .cast("bigint")
+            .alias("norm_q"),
+        )
+    )
+
+
+def knn_margin(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    accept_margin_q: int = 20_000,
+) -> DataFrame:
+    """Margin-based neighbor acceptance (the Artetxe-&-Schwenk-style
+    confidence gate for mined pairs, difference form): a query keeps its
+    best neighbor only when it clearly beats the runner-up field —
+    margin = cos(best) − mean(cos(ranks 2..k)). Absolute-threshold
+    mining drowns in hubness (dense regions pass everything); the
+    margin normalizes against the query's own neighborhood density.
+
+    Plan: exact top-k per query via brute_force_knn (broadcast queries,
+    one corpus scan, two-phase top-k), then ONE aggregate per query
+    over its k rows. Scores (6-dp-rounded doubles, the portable cosine
+    convention) lift to exact ppm INTEGERS before the runner-up sum, so
+    the aggregate is order-independent; the single mean division runs
+    once per query and the margin floors to ppm.
+
+    Output: (query_id, best_id, best_cos, margin_q, accepted).
+    """
+    top = brute_force_knn(queries_df, corpus_df, id_col, vec_col, k=k)
+    cos_q = F.floor(F.col("cos_sim") * 1e6 + F.lit(0.5)).cast("bigint")
+    agg = top.withColumn("__cq", cos_q).groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("best_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("best_cos"),
+        F.max(F.when(F.col("rank") == 1, F.col("__cq"))).alias("__best_q"),
+        F.sum(F.when(F.col("rank") > 1, F.col("__cq"))).alias("__rest_q"),
+        F.count(F.when(F.col("rank") > 1, 1)).alias("__nrest"),
+    )
+    margin_q = F.floor(
+        F.col("__best_q") - F.col("__rest_q") / F.col("__nrest") + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select(
+        "query_id",
+        "best_id",
+        "best_cos",
+        margin_q.alias("margin_q"),
+    ).withColumn("accepted", F.col("margin_q") >= F.lit(accept_margin_q))

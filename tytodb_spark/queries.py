@@ -5685,6 +5685,86 @@ def q156_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_left_join(spark, _t(spark, sf_dir, "events"))
 
 
+@query(
+    "q157_quantile_normalize",
+    """
+    WITH e AS (SELECT vec_id,
+                      cast(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                      cast(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    r AS (SELECT vec_id, pos,
+                 row_number() OVER (PARTITION BY pos ORDER BY v, vec_id) AS rnk,
+                 count(*) OVER (PARTITION BY pos) AS n
+          FROM e)
+    SELECT vec_id, pos, cast(rnk AS BIGINT) AS rnk,
+           cast(floor(rnk * 1000000 / (n + 1)) AS BIGINT) AS norm_q
+    FROM r
+    """,
+    doc="Per-dimension quantile (rank) normalization of the embedding "
+    "table — maps each value to rank/(n+1) within its dimension, the "
+    "scale-drift-proof feature transform run before distance math when "
+    "encoder versions mix. Plan: map-side posexplode, ONE shuffle on "
+    "the dimension index (dims rank independently — parallelism = "
+    "embedding width), rank + count share the window pass, ppm-integer "
+    "output. Degenerate tiny-d case documented to swap in q141's "
+    "distributed total-order ranking per dim; operators/similarity.py "
+    "quantile_normalize.",
+)
+def q157_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import quantile_normalize
+
+    return quantile_normalize(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "q158_knn_margin",
+    f"""
+    WITH top AS (
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rank <= 4
+    ),
+    cq AS (SELECT *, cast(floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS cqv FROM top),
+    a AS (SELECT query_id,
+                 max(CASE WHEN rank = 1 THEN neighbor_id END) AS best_id,
+                 max(CASE WHEN rank = 1 THEN cos_sim END) AS best_cos,
+                 max(CASE WHEN rank = 1 THEN cqv END) AS best_q,
+                 sum(CASE WHEN rank > 1 THEN cqv END) AS rest_q,
+                 count(CASE WHEN rank > 1 THEN 1 END) AS nrest
+          FROM cq GROUP BY query_id)
+    SELECT query_id, best_id, best_cos,
+           cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT) AS margin_q,
+           (cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT) >= 20000)
+             AS accepted
+    FROM a
+    """,
+    doc="Margin-based neighbor acceptance (Artetxe & Schwenk difference "
+    "margin): a query keeps its best neighbor only when it clearly "
+    "beats the mean of ranks 2..4 — the alignment-confidence gate for "
+    "mined paired data that absolute thresholds can't provide under "
+    "hubness (dense regions pass everything; the margin normalizes by "
+    "the query's own neighborhood density). Exact top-4 via the "
+    "broadcast-queries brute-kNN scan, then ONE per-query aggregate "
+    "over ppm-integer scores (order-independent sum, one mean "
+    "division); operators/similarity.py knn_margin.",
+)
+def q158_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import knn_margin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_margin(
+        emb.filter(F.col("vec_id") < 8), emb, "vec_id", "embedding",
+        k=4, accept_margin_q=20_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5726,6 +5806,7 @@ _CHECK_FIRST = [
     "q148_group_ols", "q149_pmi_cooccur", "q150_ewma",
     "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
     "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
+    "q157_quantile_normalize", "q158_knn_margin",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
