@@ -355,6 +355,88 @@ def main() -> None:
         "k× disjoint subgraphs; fixed iterations, linear join+agg each",
     )
 
+    # token entropy: k× docs (replicas are fresh doc ids) — both
+    # shuffles key on doc/doc+term, group count grows k×, size constant
+    from tytodb_spark.operators.textual import token_entropy
+
+    ops["token_entropy"] = (
+        token_entropy(docs, "doc_id", "text").select("doc_id"),
+        "k× docs; per-doc groups grow in count, not size",
+    )
+
+    # overlap chunking: zero-shuffle map-side expression work — cost is
+    # the scan itself, the purest linear baseline here
+    from tytodb_spark.operators.textual import chunk_with_overlap
+
+    ops["chunk_overlap"] = (
+        chunk_with_overlap(docs, "doc_id", "text").select("doc_id"),
+        "zero shuffles; pure map-side chunking",
+    )
+
+    # EWMA: k× users (shifted), constant events per user — window
+    # partitions grow in count, the LAG chain depth is fixed
+    from tytodb_spark.operators.timeseries import ewma_truncated
+
+    ev = replicate(t["events"], k, ["event_id", "user_id"])
+    ops["ewma"] = (
+        ewma_truncated(ev, "user_id", ["ts", "event_id"], "value").select(
+            "event_id"
+        ),
+        "k× users; fixed-depth LAG chain per row",
+    )
+
+    # Bloom build + probe: k× key space — the build shuffle is capped at
+    # m/32 words per task regardless of k; the probe is broadcast joins
+    from tytodb_spark.operators.sketches import bloom_build, bloom_probe
+
+    bl = bloom_build(orders, "o_custkey", m_bits=1 << 20)
+    ops["bloom"] = (
+        bloom_probe(cust, "c_custkey", bl, m_bits=1 << 20).select("bloom_hit"),
+        "k× keys; build shuffle capped at m/32 words/task",
+    )
+
+    # skew report: k× rows, k× key space — count aggregate combines
+    # map-side, top-k never globally sorts
+    from tytodb_spark.operators.quality import key_skew_report
+
+    ops["skew_report"] = (
+        key_skew_report(orders, "o_custkey", top_n=5),
+        "k× keys; combinable count + two-phase top-k",
+    )
+
+    # triangles: k× disjoint block graphs (both endpoints shifted) —
+    # wedge and closing-join work grows linearly, never k²
+    from tytodb_spark.operators.graph import triangle_count
+
+    tri_e1 = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).filter(F.expr("src div 50 = dst div 50"))
+    tri_e2 = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    ).filter(F.expr("src div 50 = dst div 50"))
+    ops["triangles"] = (
+        triangle_count(tri_e1.unionByName(tri_e2)),
+        "k× disjoint blocks; oriented wedges grow linearly",
+    )
+
+    # quantile normalization: k× vectors — per-dim rank partitions grow
+    # in SIZE (the documented caveat: parallelism = dim count)
+    from tytodb_spark.operators.similarity import quantile_normalize
+
+    ops["quantile_norm"] = (
+        quantile_normalize(emb, "vec_id", "embedding").select("vec_id"),
+        "k× rows per dim partition; parallelism = dim count",
+    )
+
+    # PMI: k× docs, constant vocabulary — presence rows per doc capped
+    # by the broadcast vocab, pair work linear in docs
+    from tytodb_spark.operators.textual import pmi_pairs
+
+    ops["pmi"] = (
+        pmi_pairs(docs, "doc_id", "text", vocab_k=30, min_pair=2),
+        "k× docs; ≤k_vocab presence rows/doc; constant pair key space",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
