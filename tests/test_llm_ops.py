@@ -1455,3 +1455,17 @@ def test_knn_margin_confident_vs_ambiguous(spark):
     assert out[0]["best_id"] == 10 and out[0]["accepted"]
     assert not out[1]["accepted"]  # all cosines equal -> margin ~ 0
     assert out[1]["margin_q"] < 5000
+
+
+def test_trigram_index_search_prunes_and_verifies(spark):
+    rows = [
+        Row(doc_id=0, text="a true SPARK engine"),        # match (case-folded)
+        Row(doc_id=1, text="spa par ark split grams"),    # all trigrams, no substring
+        Row(doc_id=2, text="nothing relevant"),           # pruned by the index
+        Row(doc_id=3, text="sparkle"),                    # superstring still matches
+    ]
+    df = spark.createDataFrame(rows)
+    out = X.trigram_index_search(df, "doc_id", "text", "spark").collect()
+    assert {r["doc_id"] for r in out} == {0, 3}
+    # doc 1 survives the index (covers spa/par/ark) but fails verification
+    assert all(r["n_index_candidates"] == 3 for r in out)

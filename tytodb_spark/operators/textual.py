@@ -1412,3 +1412,53 @@ def chunk_with_overlap(
         n_chunks.alias("n_chunks"),
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     ).select(id_col, "chunk_id", "chunk_text", "n_chunks")
+
+
+def trigram_index_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    n: int = 3,
+) -> DataFrame:
+    """Substring search through an n-gram POSTING-LIST index — the
+    scale-out answer to `WHERE text LIKE '%pattern%'`, which no
+    min/max statistic can prune: documents whose distinct character
+    n-gram set covers ALL of the pattern's n-grams are the only ones
+    that can contain it, so only those are exactly verified.
+
+    Plan: one map-side shingle pass filtered to the pattern's n-grams
+    BEFORE the shuffle (the exchange carries only pattern-gram hits,
+    not the corpus posting list), one count aggregate per candidate
+    doc, then a semi-join back for exact containment on the candidates
+    alone. On a persisted posting table the first stage becomes an
+    index scan of |pattern-grams| keys; here the index builds in-plan.
+    The candidate count rides along as audit evidence of the pruning.
+
+    Output: (id_col, n_index_candidates) for matching docs.
+    """
+    pat = pattern.lower()
+    pat_grams = sorted({pat[i : i + n] for i in range(len(pat) - n + 1)})
+    if not pat_grams:
+        raise ValueError(f"pattern shorter than n={n}")
+    hits = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("__g"),
+        )
+        .filter(F.col("__g").isin(pat_grams))
+    )
+    cand = (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))  # grams are distinct per doc
+        .filter(F.col("__hits") == len(pat_grams))
+        .select(id_col)
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_index_candidates"))
+    verified = (
+        df.join(cand, id_col, "left_semi")
+        .filter(F.lower(F.trim(F.col(text_col))).contains(pat))
+        .select(id_col)
+    )
+    return verified.crossJoin(F.broadcast(n_cand))

@@ -5765,6 +5765,83 @@ def q158_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q159_trigram_search",
+    """
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(
+                   list_transform(range(1, greatest(length(t) - 1, 1)),
+                                  i -> substr(t, cast(i AS INT), 3)))) AS gram
+          FROM t),
+    pg AS (SELECT unnest(['ark', 'par', 'spa']) AS gram),
+    cand AS (SELECT doc_id FROM g JOIN pg USING (gram)
+             GROUP BY doc_id HAVING count(*) = 3),
+    nc AS (SELECT cast(count(*) AS BIGINT) AS n_index_candidates FROM cand)
+    SELECT t.doc_id, nc.n_index_candidates
+    FROM t JOIN cand USING (doc_id) CROSS JOIN nc
+    WHERE contains(t.t, 'spark')
+    """,
+    doc="Substring search through a trigram posting-list index — the "
+    "scale-out answer to LIKE '%spark%', which no min/max statistic "
+    "can prune (the reference's chunked range index, "
+    "src/indexing.rs:33-40, hashes strings and can only do equality — "
+    "SURVEY §2.5 T6): only docs whose distinct trigram set covers ALL "
+    "pattern trigrams are exactly verified. The gram filter runs "
+    "map-side BEFORE the shuffle, so the exchange carries pattern-gram "
+    "hits only, never the corpus posting list; the candidate count "
+    "rides along as audit evidence of the pruning; operators/"
+    "textual.py trigram_index_search.",
+)
+def q159_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import trigram_index_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return trigram_index_search(docs, "doc_id", "text", "spark")
+
+
+@query(
+    "q160_first_touch",
+    """
+    WITH f AS (SELECT user_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    d AS (SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 count(*) AS n_first
+          FROM f WHERE rn = 1 GROUP BY 1)
+    SELECT day, cast(n_first AS BIGINT) AS n_first,
+           cast(sum(n_first) OVER (ORDER BY day) AS BIGINT) AS cum_distinct
+    FROM d
+    """,
+    doc="Rolling distinct via first-touch attribution: cumulative count "
+    "of distinct (user, event_type) pairs ever seen, by day — the "
+    "incremental-friendly reshape of COUNT(DISTINCT) OVER (ORDER BY "
+    "time), which Spark (correctly) refuses to run because naive "
+    "windowed distinct is O(n²) state. First-occurrence flagging is "
+    "one window pass on the (user, event_type) key, daily rollup is a "
+    "combinable count, and the cumulative sum runs over |days| rows — "
+    "each stage shuffles once and none carries distinct-set state; "
+    "the same first-touch flag is what a streaming job would persist.",
+)
+def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.date_trunc("day", "ts").alias("day"))
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_first")
+    )
+    cw = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_first",
+        F.sum("n_first").over(cw).cast("bigint").alias("cum_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5807,6 +5884,7 @@ _CHECK_FIRST = [
     "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
     "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
     "q157_quantile_normalize", "q158_knn_margin",
+    "q159_trigram_search", "q160_first_touch",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
