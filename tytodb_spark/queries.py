@@ -5842,6 +5842,164 @@ def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q161_dedup_tiers",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    norm AS (SELECT doc_id,
+                    md5(array_to_string({_TOKS}, ' ')) AS h
+             FROM docs),
+    exact_flag AS (SELECT doc_id FROM norm
+                   WHERE h IN (SELECT h FROM norm GROUP BY h HAVING count(*) > 1)),
+    sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM docs),
+    ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+              FROM ex a JOIN ex b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING j >= 0.5),
+    perdoc AS (SELECT doc_id, max(j) AS mj FROM (
+                 SELECT id_a AS doc_id, j FROM pairs
+                 UNION ALL SELECT id_b, j FROM pairs) GROUP BY doc_id)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM docs) AS n_docs,
+           (SELECT cast(count(*) AS BIGINT) FROM exact_flag) AS n_exact_dup,
+           (SELECT cast(count(*) AS BIGINT) FROM perdoc WHERE mj >= 0.8)
+             AS n_j80_dup,
+           (SELECT cast(count(*) AS BIGINT) FROM perdoc) AS n_j50_dup,
+           ((SELECT count(*) FROM exact_flag)
+              <= (SELECT count(*) FROM perdoc WHERE mj >= 0.8)
+            AND (SELECT count(*) FROM perdoc WHERE mj >= 0.8)
+              <= (SELECT count(*) FROM perdoc)) AS tiers_monotone
+    FROM (SELECT 1)
+    """,
+    doc="Dedup strictness-tier census — the curation dial report (how "
+    "much corpus survives exact-only vs j≥0.8 vs j≥0.5 near-dup "
+    "removal) from ONE pair computation: per-doc max Jaccard "
+    "aggregates the verified pair set, exact dups flag via the "
+    "normalized-token hash, and the tier counts must nest "
+    "(exact ⊆ j80 ⊆ j50 — exact dups have j=1), asserted as a "
+    "verdict column. Everything reuses the q40/q41 building blocks; "
+    "the only corpus-scale shuffles are the gram join and two "
+    "hash aggregates.",
+)
+def q161_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import normalize_text
+    from tytodb_spark.operators.textual import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("h"))
+    dup_h = norm.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    n_exact = (
+        norm.join(F.broadcast(dup_h.select("h")), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_dup"))
+    )
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    perdoc = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("jaccard").alias("j"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("doc_id"), F.col("jaccard").alias("j"))
+        )
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("mj"))
+    )
+    tiers = perdoc.agg(
+        F.count(F.when(F.col("mj") >= 0.8, 1)).cast("bigint").alias("n_j80_dup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_j50_dup"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        n_docs.crossJoin(n_exact)
+        .crossJoin(tiers)
+        .select(
+            "n_docs", "n_exact_dup", "n_j80_dup", "n_j50_dup",
+            (
+                (F.col("n_exact_dup") <= F.col("n_j80_dup"))
+                & (F.col("n_j80_dup") <= F.col("n_j50_dup"))
+            ).alias("tiers_monotone"),
+        )
+    )
+
+
+@query(
+    "q162_ab_ztest",
+    """
+    WITH s AS (
+      SELECT
+        cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        cast(sum(CASE WHEN event_type = 'click'
+                 THEN cast(value AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS s1,
+        cast(sum(CASE WHEN event_type = 'view'
+                 THEN cast(value AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS s2,
+        cast(sum(CASE WHEN event_type = 'click'
+                 THEN cast(cast(value AS DECIMAL(18,2))
+                      * cast(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS ss1,
+        cast(sum(CASE WHEN event_type = 'view'
+                 THEN cast(value AS DECIMAL(18,2))
+                      * cast(value AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS ss2
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    d AS (SELECT n1, n2,
+                 s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
+                 (ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1) / (n1 - 1) AS v1,
+                 (ss2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2) / (n2 - 1) AS v2
+          FROM s)
+    SELECT n1, n2,
+           cast(floor((m1 - m2) * 1e6 + 0.5) AS BIGINT) AS mean_diff_q,
+           cast(floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1e6 + 0.5) AS BIGINT)
+             AS z_q,
+           (abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) >= 1.96) AS significant
+    FROM d
+    """,
+    doc="Two-sample Welch z-test (click vs view event values) from "
+    "EXACT decimal component sums in ONE conditional aggregate pass — "
+    "the A/B-readout primitive at 100 TB: the shuffle carries six "
+    "numbers total, every mean/variance derives from exact sums, and "
+    "the float pipeline (two divisions, one sqrt) runs once, so z is "
+    "bit-stable at any parallelism. Same sufficient-statistics family "
+    "as q146/q148.",
+)
+def q162_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dv = F.col("value").cast("decimal(18,2)")
+
+    def side(t: str, expr, name: str):
+        return F.sum(F.when(F.col("event_type") == t, expr)).alias(name)
+
+    s = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("n2"),
+        side("click", dv, "__s1").cast("decimal(38,4)").alias("s1"),
+        side("view", dv, "__s2").cast("decimal(38,4)").alias("s2"),
+        side("click", (dv * dv).cast("decimal(38,4)"), "__ss1")
+        .cast("decimal(38,4)")
+        .alias("ss1"),
+        side("view", (dv * dv).cast("decimal(38,4)"), "__ss2")
+        .cast("decimal(38,4)")
+        .alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    z = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return s.select(
+        "n1", "n2",
+        F.floor((m1 - m2) * 1e6 + F.lit(0.5)).cast("bigint").alias("mean_diff_q"),
+        F.floor(z * 1e6 + F.lit(0.5)).cast("bigint").alias("z_q"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -5884,7 +6042,8 @@ _CHECK_FIRST = [
     "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
     "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
     "q157_quantile_normalize", "q158_knn_margin",
-    "q159_trigram_search", "q160_first_touch",
+    "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
+    "q162_ab_ztest",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
