@@ -225,3 +225,51 @@ def test_incremental_minhash_no_cross_join(spark, sf_dir):
     # candidate generation stays a band-bucket equi-join
     plan = P.physical_plan(_df(spark, sf_dir, "q107_incremental_minhash"))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_chunk_overlap_zero_shuffles(spark, sf_dir):
+    # pure map-side chunking — any Exchange would break the scale claim
+    assert P.num_shuffles(_df(spark, sf_dir, "q153_chunk_overlap")) == 0
+
+
+def test_bloom_probe_broadcasts_words(spark, sf_dir):
+    # both word lookups must be broadcast joins; the probe side (and the
+    # k× key table behind it) never shuffles for the membership test
+    df = _df(spark, sf_dir, "q151_bloom_filter")
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_trigram_search_filters_before_shuffle(spark, sf_dir):
+    # the pattern-gram IN-filter must sit below the aggregate exchange:
+    # after AQE the only shuffles are the candidate count + the verify
+    # semi-join — the corpus posting list itself is never exchanged
+    df = _df(spark, sf_dir, "q159_trigram_search")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.num_shuffles(df) <= 4, P.num_shuffles(df)
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    # one window partition exchange on the key; the LAG chain adds none
+    assert P.num_shuffles(_df(spark, sf_dir, "q150_ewma")) <= 1
+
+
+def test_ols_single_aggregate_pass(spark, sf_dir):
+    # sufficient statistics: one partial+final aggregate (<=1 exchange)
+    assert P.num_shuffles(_df(spark, sf_dir, "q148_group_ols")) <= 1
+
+
+def test_ab_ztest_single_pass(spark, sf_dir):
+    # one conditional aggregate over the filtered scan; the final math
+    # is on a 1-row frame
+    assert P.num_shuffles(_df(spark, sf_dir, "q162_ab_ztest")) <= 1
+
+
+def test_pmi_broadcasts_vocab(spark, sf_dir):
+    # vocab + doc frequencies + corpus count all broadcast; the pair
+    # self-join is the only corpus-sized equi-join
+    df = _df(spark, sf_dir, "q149_pmi_cooccur")
+    assert P.num_broadcast_joins(df) >= 3
+    assert "CartesianProduct" not in P.physical_plan(df).replace(
+        "BroadcastNestedLoopJoin", ""
+    )
