@@ -6000,6 +6000,87 @@ def q162_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q163_window_position",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             cast(coalesce(sum(cast(o.o_totalprice AS DECIMAL(18,2))), 0)
+                  AS DOUBLE) AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_mktsegment, spend,
+           cast(floor(percent_rank() OVER w * 1e6 + 0.5) AS BIGINT) AS pr_q,
+           cast(floor(cume_dist() OVER w * 1e6 + 0.5) AS BIGINT) AS cd_q
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+    """,
+    doc="Distribution-position report: percent_rank + cume_dist of each "
+    "customer's total spend within its market segment — the percentile "
+    "position primitive behind 'top-X%% customers' cohorting. The "
+    "window orders by (spend, custkey): the unique tiebreaker makes "
+    "rank == row_number, so both engines' tie semantics coincide and "
+    "the single (rank−1)/(n−1) division quantizes deterministically. "
+    "One aggregate shuffle on the customer key + one window exchange "
+    "on the segment; spend is an exact decimal sum.",
+)
+def q163_window_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC)
+            )
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    return spend.select(
+        "c_custkey", "c_mktsegment", "spend",
+        F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pr_q"),
+        F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cd_q"),
+    )
+
+
+@query(
+    "q164_map_key_census",
+    """
+    WITH kv AS (
+      SELECT event_id, unnest(json_keys(props)) AS k FROM events
+    )
+    SELECT k, cast(count(*) AS BIGINT) AS n,
+           cast(sum(cast(json_extract(props, '$.' || k) AS INT)) AS BIGINT)
+             AS sum_v
+    FROM kv JOIN events USING (event_id)
+    GROUP BY k
+    """,
+    doc="Schema-less JSON profiling: explode every event's props object "
+    "into a MAP and census the keys (which keys exist, how often, with "
+    "what value mass) — the discovery pass run BEFORE committing to "
+    "q93's typed schema-on-read decode. from_json to map<string,int> + "
+    "map explode keeps it one map-side pass + one count shuffle on the "
+    "(tiny) key space; no JSON path is hardcoded.",
+)
+def q164_map_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("props")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6043,7 +6124,7 @@ _CHECK_FIRST = [
     "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
     "q157_quantile_normalize", "q158_knn_margin",
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
-    "q162_ab_ztest",
+    "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
