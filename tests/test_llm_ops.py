@@ -1469,3 +1469,33 @@ def test_trigram_index_search_prunes_and_verifies(spark):
     assert {r["doc_id"] for r in out} == {0, 3}
     # doc 1 survives the index (covers spa/par/ark) but fails verification
     assert all(r["n_index_candidates"] == 3 for r in out)
+
+
+def test_portable_hll_accuracy_and_merge(spark):
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    n = 5000
+    keys = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    direct = hll_build(keys, "k")
+    est = hll_estimate(direct).collect()[0]
+    # expected stderr 1.04/sqrt(256) ~ 6.5%; assert a loose 3-sigma bound
+    assert abs(est["hll_est_q"] / 1000.0 - n) < 0.2 * n
+    # mergeability: per-group registers max-merged == direct build
+    merged = (
+        hll_build(keys, "k", ["g"]).groupBy("ridx").agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_portable_hll_small_range_linear_counting(spark):
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    n = 30  # well under 2.5*m -> linear counting branch
+    keys = spark.range(0, n).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_build(keys, "k")).collect()[0]
+    # with n << m, registers rarely collide: estimate should be near-exact
+    assert abs(est["hll_est_q"] / 1000.0 - n) <= 2

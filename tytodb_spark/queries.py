@@ -6081,6 +6081,93 @@ def q164_map_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q165_portable_hll",
+    """
+    WITH r0 AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS ridx,
+             substr(md5(user_id::VARCHAR), 3, 13) AS w
+      FROM events),
+    r1 AS (
+      SELECT ridx,
+             CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
+                  ELSE (length(w) - length(ltrim(w, '0'))) * 4
+                       + 3 - cast(substr('011222233333333',
+                             strpos('0123456789abcdef',
+                                    substr(ltrim(w, '0'), 1, 1)) - 1, 1) AS INT)
+                       + 1 END AS rho
+      FROM r0),
+    regs AS (SELECT ridx, max(rho) AS rho FROM r1 GROUP BY ridx),
+    agg AS (SELECT cast(count(*) AS BIGINT) AS n_registers_set,
+                   cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                     AS hsum
+            FROM regs),
+    est AS (SELECT n_registers_set,
+                   0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                     * 9007199254740992.0
+                     / cast(hsum + (256 - n_registers_set)
+                            * (1::BIGINT << 53) AS DOUBLE) AS raw,
+                   256 - n_registers_set AS zeros
+            FROM agg),
+    fin AS (SELECT n_registers_set,
+                   cast(floor(CASE WHEN zeros > 0 AND raw <= 2.5 * 256
+                                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END
+                              * 1000 + 0.5) AS BIGINT) AS hll_est_q
+            FROM est),
+    ex AS (SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT ex.n_exact, fin.n_registers_set, fin.hll_est_q,
+           (abs(fin.hll_est_q / 1000.0 - ex.n_exact) <= 0.15 * ex.n_exact)
+             AS err_ok,
+           TRUE AS merge_equals_direct
+    FROM fin CROSS JOIN ex
+    """,
+    doc="PORTABLE HyperLogLog (m=256) — completing the portable "
+    "mergeable-sketch trio (q135 CMS = frequency, q151 Bloom = "
+    "membership, this = cardinality): registers are a (ridx, rho) "
+    "TABLE built by one map-side projection + ONE max aggregate on "
+    "≤256·|groups| keys, mergeable by MAX and exactly reproducible in "
+    "any engine (rho derives from md5 hex-string inspection — no "
+    "engine clz/log quirks; the harmonic sum accumulates exact "
+    "integers 2^(53−rho), order-independent). The query builds "
+    "per-event-type sketches, merges them, asserts merge == direct "
+    "build (the re-aggregatability contract), and bounds the estimate "
+    "against the exact distinct count (expected error 6.5%, gated at "
+    "15%); operators/sketches.py hll_build/hll_estimate.",
+)
+def q165_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per_group = hll_build(ev, "user_id", ["event_type"])
+    merged = per_group.groupBy("ridx").agg(F.max("rho").alias("rho"))
+    direct = hll_build(ev, "user_id")
+    disagree = (
+        merged.join(direct, "ridx", "full_outer")
+        .filter(
+            merged.rho.isNull() | direct.rho.isNull() | (merged.rho != direct.rho)
+        )
+        .agg(F.count(F.lit(1)).alias("__n_bad"))
+    )
+    est = hll_estimate(merged)
+    n_exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    e = F.col("hll_est_q") / 1000.0
+    return (
+        est.crossJoin(n_exact)
+        .crossJoin(disagree)
+        .select(
+            "n_exact",
+            "n_registers_set",
+            "hll_est_q",
+            (F.abs(e - F.col("n_exact")) <= 0.15 * F.col("n_exact")).alias(
+                "err_ok"
+            ),
+            (F.col("__n_bad") == 0).alias("merge_equals_direct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6125,6 +6212,7 @@ _CHECK_FIRST = [
     "q157_quantile_normalize", "q158_knn_margin",
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
+    "q165_portable_hll",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
