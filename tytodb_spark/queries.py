@@ -6168,6 +6168,156 @@ def q165_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q166_oracle() -> str:
+    return rf"""
+    WITH lang AS ({_q46_oracle()}),
+    qual AS ({_q47_oracle()}),
+    raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    gated AS (SELECT r.doc_id, r.text FROM raw r
+              JOIN lang l ON l.doc_id = r.doc_id
+              JOIN qual q ON q.doc_id = r.doc_id
+              WHERE l.lang_pred = 'en' AND q.quality >= 0.5),
+    ck AS (SELECT doc_id, text,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+           FROM gated),
+    exact AS (SELECT doc_id, text FROM ck
+              WHERE doc_id IN (SELECT min(doc_id) FROM ck GROUP BY k)),
+    sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM exact),
+    exx AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+              FROM exx a JOIN exx b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING j >= 0.5),
+    nd AS (SELECT doc_id, text FROM exact
+           WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+    bench AS (SELECT DISTINCT unnest({_NGRAMS(5)}) AS g
+              FROM documents WHERE source = 'src0'),
+    tg AS (SELECT doc_id, unnest({_NGRAMS(5)}) AS g FROM nd),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g)),
+    clean AS (SELECT doc_id, text FROM nd
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    tok AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM clean),
+    packed AS (SELECT doc_id,
+                      floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) / 512) AS seq
+               FROM tok)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM raw) AS n_raw,
+           (SELECT cast(count(*) AS BIGINT) FROM gated) AS n_gated,
+           (SELECT cast(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT cast(count(*) AS BIGINT) FROM nd) AS n_neardup,
+           (SELECT cast(count(*) AS BIGINT) FROM clean) AS n_clean,
+           (SELECT cast(coalesce(sum(n_tok), 0) AS BIGINT) FROM tok)
+             AS n_tokens,
+           (SELECT cast(count(DISTINCT seq) AS BIGINT) FROM packed)
+             AS n_sequences
+    """
+
+
+@query(
+    "q166_pipeline_funnel",
+    None,  # oracle composed below from the q46/q47 CTEs + stage chain
+    doc="The END-TO-END training-data pipeline as ONE declared plan — "
+    "the composition exhibit: raw train corpus (benchmark source held "
+    "out) → language+quality gates (q46/q47, map-side) → exact dedup "
+    "survivorship (q40) → greedy near-dup suppression (drop any doc "
+    "with a smaller-id Jaccard≥0.5 partner — the one-pass non-"
+    "transitive policy, vs q71/q72's cluster-canonical) → benchmark "
+    "decontamination (q94's broadcast gram probe) → greedy 512-token "
+    "sequence packing (q84's rule, single-shard demo shape). Emits the "
+    "per-stage survival funnel a curation run reports. Plan shape: per-"
+    "doc stage flags accumulate in one label frame (left joins of the "
+    "keep/dup/clean id sets), so the whole funnel aggregates in two "
+    "evaluations of the tree — not one per stage.",
+)
+def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import exact_dedup_groups
+    from tytodb_spark.operators.textual import (
+        decontaminate,
+        jaccard_pairs,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    feats = raw.select(
+        "doc_id",
+        "text",
+        (
+            (lang_id(F.col("text")) == "en")
+            & (quality_score(F.col("text")) >= 0.5)
+        ).alias("pass_gate"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    gated = feats.filter("pass_gate").select("doc_id", "text")
+    keep = exact_dedup_groups(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("__keep")
+    )
+    exact = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    dup_b = (
+        jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    nd = exact.join(dup_b.select("doc_id"), "doc_id", "left_anti")
+    clean_ids = (
+        decontaminate(
+            nd, docs.filter(F.col("source") == "src0"), "doc_id", "text", n=5
+        )
+        .select("doc_id")
+        .withColumn("__clean", F.lit(True))
+    )
+    labels = (
+        feats.join(keep, "doc_id", "left")
+        .join(dup_b, "doc_id", "left")
+        .join(clean_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("pass_gate"),
+            (F.col("pass_gate") & F.col("__keep").isNotNull()).alias("s_exact"),
+            (
+                F.col("pass_gate")
+                & F.col("__keep").isNotNull()
+                & F.col("__dup").isNull()
+            ).alias("s_nd"),
+            F.col("__clean").isNotNull().alias("s_clean"),
+        )
+    )
+    counts = labels.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.col("pass_gate").cast("bigint")).cast("bigint").alias("n_gated"),
+        F.sum(F.col("s_exact").cast("bigint")).cast("bigint").alias("n_exact"),
+        F.sum(F.col("s_nd").cast("bigint")).cast("bigint").alias("n_neardup"),
+        F.sum(F.col("s_clean").cast("bigint")).cast("bigint").alias("n_clean"),
+        F.coalesce(F.sum(F.when(F.col("s_clean"), F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    pw = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    seqs = (
+        labels.filter("s_clean")
+        .select(
+            "doc_id",
+            F.floor(
+                F.coalesce(F.sum("n_tok").over(pw), F.lit(0)) / 512
+            ).alias("seq"),
+        )
+        .agg(F.countDistinct("seq").cast("bigint").alias("n_sequences"))
+    )
+    return counts.crossJoin(seqs)
+
+
+REGISTRY["q166_pipeline_funnel"] = QueryDef(
+    fn=REGISTRY["q166_pipeline_funnel"].fn,
+    oracle=_q166_oracle(),
+    doc=REGISTRY["q166_pipeline_funnel"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6212,7 +6362,7 @@ _CHECK_FIRST = [
     "q157_quantile_normalize", "q158_knn_margin",
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
-    "q165_portable_hll",
+    "q165_portable_hll", "q166_pipeline_funnel",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
