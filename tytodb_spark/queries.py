@@ -6318,6 +6318,107 @@ REGISTRY["q166_pipeline_funnel"] = QueryDef(
 )
 
 
+@query(
+    "q167_sliding_hll",
+    """
+    WITH ev AS (SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+                FROM events),
+    r1 AS (
+      SELECT day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS ridx,
+             CASE WHEN length(ltrim(substr(md5(user_id::VARCHAR), 3, 13), '0')) = 0
+                  THEN 53
+                  ELSE (13 - length(ltrim(substr(md5(user_id::VARCHAR), 3, 13),
+                                          '0'))) * 4
+                       + 3 - cast(substr('011222233333333',
+                             strpos('0123456789abcdef',
+                                    substr(ltrim(substr(md5(user_id::VARCHAR),
+                                                        3, 13), '0'), 1, 1)) - 1,
+                             1) AS INT)
+                       + 1 END AS rho
+      FROM ev),
+    daily AS (SELECT day, ridx, max(rho) AS rho FROM r1 GROUP BY day, ridx),
+    days AS (SELECT DISTINCT day FROM ev),
+    merged AS (SELECT d.day AS day, p.ridx, max(p.rho) AS rho
+               FROM days d JOIN daily p
+                 ON p.day >= d.day - INTERVAL 2 DAY AND p.day <= d.day
+               GROUP BY 1, 2),
+    agg AS (SELECT day, cast(count(*) AS BIGINT) AS n_set,
+                   cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                     AS hsum
+            FROM merged GROUP BY day),
+    est AS (SELECT day, n_set,
+                   0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                     * 9007199254740992.0
+                     / cast(hsum + (256 - n_set) * (1::BIGINT << 53) AS DOUBLE)
+                     AS raw,
+                   256 - n_set AS zeros
+            FROM agg),
+    fin AS (SELECT day,
+                   cast(floor(CASE WHEN zeros > 0 AND raw <= 2.5 * 256
+                                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END
+                              * 1000 + 0.5) AS BIGINT) AS hll_est_q
+            FROM est),
+    exact AS (SELECT d.day AS day,
+                     cast(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+              FROM days d JOIN ev e
+                ON e.day >= d.day - INTERVAL 2 DAY AND e.day <= d.day
+              GROUP BY 1)
+    SELECT f.day, x.n_exact, f.hll_est_q,
+           (abs(f.hll_est_q / 1000.0 - x.n_exact) <= 0.2 * x.n_exact) AS err_ok
+    FROM fin f JOIN exact x ON f.day = x.day
+    """,
+    doc="Sliding-window distinct users (trailing 3 days) via MERGED "
+    "portable-HLL daily partials — the re-aggregatability payoff of "
+    "q165: the event stream is register-summarized ONCE per day "
+    "(combinable max aggregate), and every window estimate derives "
+    "from ≤3·256 register rows — no re-scan of history per window, "
+    "which is how a 100 TB stream reports rolling reach at any window "
+    "length. The exact trailing distinct rides along as the audit "
+    "bound (expected error 6.5%, gated at 20%); estimates are "
+    "milli-unit integers, hash-exact across engines; operators/"
+    "sketches.py hll_build/hll_estimate.",
+)
+def q167_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = hll_build(ev, "user_id", ["day"])
+    days = ev.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            daily.alias("p"),
+            F.expr("p.day >= d.day - interval 2 days AND p.day <= d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("p.ridx").alias("ridx"))
+        .agg(F.max("p.rho").alias("rho"))
+    )
+    est = hll_estimate(merged, ["day"]).withColumnRenamed(
+        "n_registers_set", "n_set"
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            ev.alias("e"),
+            F.expr("e.day >= d.day - interval 2 days AND e.day <= d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_exact",
+        "hll_est_q",
+        (
+            F.abs(F.col("hll_est_q") / 1000.0 - F.col("n_exact"))
+            <= 0.2 * F.col("n_exact")
+        ).alias("err_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6362,7 +6463,7 @@ _CHECK_FIRST = [
     "q157_quantile_normalize", "q158_knn_margin",
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
-    "q165_portable_hll", "q166_pipeline_funnel",
+    "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
