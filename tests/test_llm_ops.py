@@ -1499,3 +1499,61 @@ def test_portable_hll_small_range_linear_counting(spark):
     est = hll_estimate(hll_build(keys, "k")).collect()[0]
     # with n << m, registers rarely collide: estimate should be near-exact
     assert abs(est["hll_est_q"] / 1000.0 - n) <= 2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=300),
+        min_size=1,
+        max_size=4,
+    ),
+    st.tuples(st.integers(2, 40), st.integers(1, 40)).filter(
+        lambda t: t[1] <= t[0]
+    ),
+)
+def test_fuzz_chunk_overlap_reconstructs(spark, texts, size_stride):
+    size, stride = size_stride
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = X.chunk_with_overlap(df, "doc_id", "text", size=size, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, text in enumerate(texts):
+        chunks = sorted(by_doc[did], key=lambda r: r["chunk_id"])
+        # chunk i covers [i*stride, i*stride+size): stitching the
+        # non-overlapping prefixes reconstructs the text exactly
+        rebuilt = "".join(c["chunk_text"][:stride] for c in chunks[:-1])
+        rebuilt += chunks[-1]["chunk_text"]
+        assert rebuilt == text
+        assert all(c["n_chunks"] == len(chunks) for c in chunks)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_triangle_count_vs_brute(spark, raw_edges):
+    from itertools import combinations
+
+    from tytodb_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        raw_edges or [(0, 0)], "src long, dst long"
+    )
+    adj: set[tuple] = {
+        (min(u, v), max(u, v)) for u, v in (raw_edges or [(0, 0)]) if u != v
+    }
+    nodes = sorted({n for e in adj for n in e})
+    expect = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    r = triangle_count(df).collect()[0]
+    assert r["n_triangles"] == expect
+    assert r["n_edges"] == len(adj)

@@ -121,7 +121,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         closing.withColumn("__hit", F.lit(True)), ["a", "c"], "left"
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
-        F.sum(F.col("__hit").isNotNull().cast("bigint"))
+        # coalesce: SUM over an empty (wedge-free) graph is NULL, not 0
+        F.coalesce(F.sum(F.col("__hit").isNotNull().cast("bigint")), F.lit(0))
         .cast("bigint")
         .alias("n_triangles"),
     )
