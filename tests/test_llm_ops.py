@@ -1557,3 +1557,31 @@ def test_fuzz_triangle_count_vs_brute(spark, raw_edges):
     r = triangle_count(df).collect()[0]
     assert r["n_triangles"] == expect
     assert r["n_edges"] == len(adj)
+
+
+def test_power_iteration_matches_numpy_direction(spark):
+    import numpy as np
+
+    from tytodb_spark.operators.similarity import power_iteration_dominant
+
+    rng = np.random.RandomState(3)
+    # strongly anisotropic cloud: dominant direction is unambiguous
+    base = rng.randn(60, 6) * np.array([8.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = power_iteration_dominant(df, "vec_id", "embedding", iters=6)
+    v = np.zeros(6)
+    for r in out.collect():
+        v[r["pos"]] = r["v_q"]
+    v = v / np.linalg.norm(v)
+    xq = np.trunc(base.astype(np.float32).astype(np.float64) * 1e7)
+    _, _, vt = np.linalg.svd(xq, full_matrices=False)
+    top = vt[0] / np.linalg.norm(vt[0])
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3
+    # partitioning invariance of the integer pipeline
+    out8 = power_iteration_dominant(
+        df.repartition(8), "vec_id", "embedding", iters=6
+    )
+    assert sorted(map(tuple, out8.collect())) == sorted(map(tuple, out.collect()))

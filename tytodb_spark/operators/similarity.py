@@ -813,3 +813,69 @@ def knn_margin(
         "best_cos",
         margin_q.alias("margin_q"),
     ).withColumn("accepted", F.col("margin_q") >= F.lit(accept_margin_q))
+
+
+def power_iteration_dominant(
+    df: DataFrame, id_col: str, vec_col: str, iters: int = 4
+) -> DataFrame:
+    """Dominant right singular vector of the embedding matrix (top
+    eigenvector of XᵀX) by distributed power iteration — the spectral
+    primitive behind PCA whitening and all-but-the-top (ABTT) embedding
+    post-processing, which needs exactly this vector at corpus scale.
+
+    One iteration is two combinable aggregates over the exploded
+    components with the current d-dim vector BROADCAST between them:
+    a = Xv (one sum per row), then w = Xᵀa (one sum per dimension) —
+    the corpus never shuffles row-wise, only (id)- and (pos)-keyed
+    partials move, and d stays driver-side metadata. Determinism: X
+    quantizes once to exact 1e-7 integers (q79's trunc convention),
+    every accumulation is bigint (order-independent; magnitudes bounded
+    by the per-iteration max-abs renormalization to ±1e6), and the one
+    double division per renormalize truncates identically in any
+    engine. The iteration count is fixed (spectral-gap-dependent
+    accuracy, like q81's fixed Lloyd rounds).
+
+    Output: (pos, v_q) — the unit-direction vector in trunc-1e6
+    integer units (sign follows the all-ones start vector).
+    """
+    xq = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "__x")
+    ).select(
+        "__id",
+        "pos",
+        (F.col("__x").cast("double") * F.lit(1e7)).cast("bigint").alias("xq"),
+    )
+    spark = df.sparkSession
+    dims = xq.select("pos").distinct()
+    v = dims.select("pos", F.lit(1_000_000).cast("bigint").alias("vq"))
+    for _ in range(iters):
+        a = (
+            xq.join(F.broadcast(v), "pos")
+            .groupBy("__id")
+            .agg(F.sum(F.col("xq") * F.col("vq")).alias("__a"))
+        )
+        am = a.agg(F.max(F.abs(F.col("__a"))).alias("__m"))
+        aq = a.crossJoin(F.broadcast(am)).select(
+            "__id",
+            (F.col("__a").cast("double") * F.lit(1e6) / F.col("__m").cast("double"))
+            .cast("bigint")
+            .alias("aq"),
+        )
+        w = (
+            xq.join(aq, "__id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("xq") * F.col("aq")).alias("__w"))
+        )
+        wm = w.agg(F.max(F.abs(F.col("__w"))).alias("__m"))
+        v = w.crossJoin(F.broadcast(wm)).select(
+            "pos",
+            (F.col("__w").cast("double") * F.lit(1e6) / F.col("__m").cast("double"))
+            .cast("bigint")
+            .alias("vq"),
+        )
+        # d-dim vector: safe to pin driver-side per iteration (index
+        # metadata, corpus-size-independent) — keeps the lineage flat
+        # instead of growing 4 joins deep per round
+        rows = v.collect()
+        v = spark.createDataFrame(rows, "pos int, vq bigint")
+    return v.select(F.col("pos"), F.col("vq").alias("v_q"))

@@ -6419,6 +6419,58 @@ def q167_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q168_oracle(iters: int = 4) -> str:
+    ctes = [
+        """xq AS (SELECT vec_id AS id,
+                 cast(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 cast(trunc(cast(unnest(embedding) AS DOUBLE) * 1e7) AS BIGINT)
+                   AS xq
+          FROM embeddings)""",
+        "v0 AS (SELECT DISTINCT pos, 1000000::BIGINT AS vq FROM xq)",
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            f"""a{i} AS (SELECT id, cast(sum(xq * vq) AS BIGINT) AS a
+                 FROM xq JOIN v{i - 1} USING (pos) GROUP BY id)""",
+            f"m{i} AS (SELECT max(abs(a)) AS m FROM a{i})",
+            f"""aq{i} AS (SELECT id,
+                 cast(trunc(a::DOUBLE * 1e6 / m::DOUBLE) AS BIGINT) AS aq
+                 FROM a{i} CROSS JOIN m{i})""",
+            f"""w{i} AS (SELECT pos, cast(sum(xq * aq) AS BIGINT) AS w
+                 FROM xq JOIN aq{i} USING (id) GROUP BY pos)""",
+            f"wm{i} AS (SELECT max(abs(w)) AS m FROM w{i})",
+            f"""v{i} AS (SELECT pos,
+                 cast(trunc(w::DOUBLE * 1e6 / m::DOUBLE) AS BIGINT) AS vq
+                 FROM w{i} CROSS JOIN wm{i})""",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT pos, vq AS v_q FROM v{iters}"
+
+
+@query(
+    "q168_power_iteration",
+    _q168_oracle(4),
+    doc="Dominant right singular vector of the embedding matrix (top "
+    "eigenvector of XᵀX) by distributed power iteration — the spectral "
+    "primitive behind PCA whitening and all-but-the-top embedding "
+    "post-processing. One iteration = two combinable aggregates over "
+    "the exploded components with the d-dim vector BROADCAST between "
+    "them (a = Xv per row, w = Xᵀa per dimension): the corpus never "
+    "shuffles row-wise, only (id)/(pos)-keyed partials move. "
+    "Determinism at any parallelism AND across engines: X quantizes "
+    "once to exact 1e-7 integers, all accumulation is bigint, and the "
+    "per-iteration max-abs renormalization bounds magnitudes with one "
+    "truncating double division — the oracle replays the identical "
+    "four quantized iterations as chained SQL CTEs; operators/"
+    "similarity.py power_iteration_dominant.",
+)
+def q168_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import power_iteration_dominant
+
+    return power_iteration_dominant(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", iters=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6464,6 +6516,7 @@ _CHECK_FIRST = [
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
+    "q168_power_iteration",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
