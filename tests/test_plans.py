@@ -246,7 +246,11 @@ def test_trigram_search_filters_before_shuffle(spark, sf_dir):
     df = _df(spark, sf_dir, "q159_trigram_search")
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert P.num_shuffles(df) <= 4, P.num_shuffles(df)
+    # bounded budget: spread() repartition + candidate count + verify
+    # semi-join + audit-count broadcast (AQE may or may not collapse
+    # one depending on session state — the invariant is that the
+    # corpus-sized posting list never adds an exchange of its own)
+    assert P.num_shuffles(df) <= 5, P.num_shuffles(df)
 
 
 def test_ewma_single_shuffle(spark, sf_dir):

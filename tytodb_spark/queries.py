@@ -6471,6 +6471,69 @@ def q168_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q169_oracle() -> str:
+    base = _q168_oracle(4)
+    body = base[len("WITH ") :].rsplit("\nSELECT", 1)[0]
+    return f"""
+    WITH {body},
+    s AS (SELECT cast(sum(vq * vq) AS BIGINT) AS s FROM v4),
+    c AS (SELECT id, cast(sum(xq * vq) AS BIGINT) AS c
+          FROM xq JOIN v4 USING (pos) GROUP BY id),
+    outp AS (SELECT xq.id, xq.pos,
+                    cast(trunc((xq.xq::DOUBLE * s.s::DOUBLE
+                                - c.c::DOUBLE * v4.vq::DOUBLE)
+                               / s.s::DOUBLE) AS BIGINT) AS corrected_q
+             FROM xq JOIN v4 USING (pos) JOIN c ON c.id = xq.id
+                  CROSS JOIN s)
+    SELECT id AS vec_id, pos, corrected_q FROM outp
+    """
+
+
+@query(
+    "q169_abtt_correction",
+    _q169_oracle(),
+    doc="All-but-the-top embedding correction: subtract each vector's "
+    "projection onto the corpus's dominant direction (q168's power-"
+    "iteration output) — the standard post-processing that removes the "
+    "common-mean/frequency component and measurably improves cosine "
+    "retrieval. Plan: the d-dim direction joins map-side (broadcast), "
+    "the projection coefficient is one combinable per-row aggregate, "
+    "and the correction is arithmetic on the already-exploded "
+    "components — one (id)-keyed shuffle beyond q168's iterations. "
+    "Exactness: coefficients and ‖v‖² are exact bigints; the final "
+    "rational (xq·S − c·vq)/S evaluates in three deterministic IEEE "
+    "ops and truncates identically in both engines.",
+)
+def q169_abtt_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import power_iteration_dominant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = power_iteration_dominant(emb, "vec_id", "embedding", iters=4)
+    xq = emb.select(
+        F.col("vec_id"), F.posexplode("embedding").alias("pos", "__x")
+    ).select(
+        "vec_id",
+        "pos",
+        (F.col("__x").cast("double") * F.lit(1e7)).cast("bigint").alias("xq"),
+    )
+    s = v.agg(F.sum(F.col("v_q") * F.col("v_q")).cast("bigint").alias("__s"))
+    comp = xq.join(F.broadcast(v), "pos")
+    c = comp.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("v_q")).cast("bigint").alias("__c")
+    )
+    corrected = (
+        F.col("xq").cast("double") * F.col("__s").cast("double")
+        - F.col("__c").cast("double") * F.col("v_q").cast("double")
+    ) / F.col("__s").cast("double")
+    return (
+        comp.join(c, "vec_id")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "vec_id", "pos", corrected.cast("bigint").alias("corrected_q")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6516,7 +6579,7 @@ _CHECK_FIRST = [
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
-    "q168_power_iteration",
+    "q168_power_iteration", "q169_abtt_correction",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
