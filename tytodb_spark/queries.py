@@ -6534,6 +6534,123 @@ def q169_abtt_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_subquery(col: str) -> str:
+    """Scalar subquery: portable-HLL NDV estimate (q165 layout) of a
+    lineitem column, in milli-units."""
+    key = f"{col}::VARCHAR"
+    w = f"substr(md5({key}), 3, 13)"
+    return f"""
+      (SELECT cast(floor(CASE WHEN zeros > 0 AND raw <= 2.5 * 256
+                              THEN 256.0 * ln(256.0 / zeros) ELSE raw END
+                         * 1000 + 0.5) AS BIGINT)
+       FROM (SELECT n_set,
+                    0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                      * 9007199254740992.0
+                      / cast(hsum + (256 - n_set) * (1::BIGINT << 53)
+                             AS DOUBLE) AS raw,
+                    256 - n_set AS zeros
+             FROM (SELECT cast(count(*) AS BIGINT) AS n_set,
+                          cast(sum(1::BIGINT << cast(53 - rho AS INT))
+                               AS BIGINT) AS hsum
+                   FROM (SELECT ridx, max(rho) AS rho
+                         FROM (SELECT
+                                 ('0x' || substr(md5({key}), 1, 2))::BIGINT
+                                   AS ridx,
+                                 CASE WHEN length(ltrim({w}, '0')) = 0 THEN 53
+                                      ELSE (13 - length(ltrim({w}, '0'))) * 4
+                                           + 3 - cast(substr('011222233333333',
+                                                 strpos('0123456789abcdef',
+                                                        substr(ltrim({w}, '0'),
+                                                               1, 1)) - 1, 1)
+                                                 AS INT) + 1 END AS rho
+                               FROM lineitem WHERE {col} IS NOT NULL)
+                         GROUP BY ridx))))
+    """
+
+
+def _q170_oracle() -> str:
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               (SELECT cast(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+               (SELECT cast(sum(({c} IS NULL)::INT) AS BIGINT) FROM lineitem)
+                 AS n_nulls,
+               (SELECT min({c})::VARCHAR FROM lineitem) AS min_s,
+               (SELECT max({c})::VARCHAR FROM lineitem) AS max_s,
+               (SELECT cast(count(DISTINCT {c}) AS BIGINT) FROM lineitem)
+                 AS ndv_exact,
+               {_hll_est_subquery(c)} AS ndv_est_q
+        """
+        for c in cols
+    ]
+    u = " UNION ALL ".join(parts)
+    return f"""
+    SELECT column_name, n_rows, n_nulls, min_s, max_s, ndv_exact, ndv_est_q,
+           (abs(ndv_est_q / 1000.0 - ndv_exact) <= 0.2 * ndv_exact
+            OR ndv_exact < 50) AS ndv_ok
+    FROM ({u})
+    """
+
+
+@query(
+    "q170_table_stats",
+    _q170_oracle(),
+    doc="ANALYZE-style table statistics — the stats table a cost-based "
+    "optimizer (and every capacity plan) feeds on: per column, exact "
+    "row/null counts and min/max plus an NDV estimate from the "
+    "portable HLL (q165's register layout — at 100 TB you cannot "
+    "afford COUNT(DISTINCT) per column, and the register tables "
+    "re-merge as partitions arrive, so stats maintenance is "
+    "incremental). The exact NDV rides along at test scale as the "
+    "audit bound (ndv_ok; HLL expected error 6.5%, gated at 20%, "
+    "small-NDV columns exempt where linear counting is near-exact). "
+    "Long-format output so suites diff stats across snapshots "
+    "(q144's shape).",
+)
+def q170_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    outs = []
+    for c in cols:
+        base = li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias("n_nulls"),
+            F.min(F.col(c)).cast("string").alias("min_s"),
+            F.max(F.col(c)).cast("string").alias("max_s"),
+            F.countDistinct(F.col(c)).cast("bigint").alias("ndv_exact"),
+        )
+        est = hll_estimate(
+            hll_build(li.filter(F.col(c).isNotNull()), c)
+        ).select("hll_est_q")
+        outs.append(
+            base.crossJoin(est).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "min_s",
+                "max_s",
+                "ndv_exact",
+                F.col("hll_est_q").alias("ndv_est_q"),
+            )
+        )
+    from functools import reduce
+
+    allc = reduce(lambda a, b: a.unionByName(b), outs)
+    return allc.select(
+        "*",
+        (
+            (
+                F.abs(F.col("ndv_est_q") / 1000.0 - F.col("ndv_exact"))
+                <= 0.2 * F.col("ndv_exact")
+            )
+            | (F.col("ndv_exact") < 50)
+        ).alias("ndv_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6579,7 +6696,7 @@ _CHECK_FIRST = [
     "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
-    "q168_power_iteration", "q169_abtt_correction",
+    "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
