@@ -1585,3 +1585,34 @@ def test_power_iteration_matches_numpy_direction(spark):
         df.repartition(8), "vec_id", "embedding", iters=6
     )
     assert sorted(map(tuple, out8.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_incremental_cc_merges_old_and_new(spark):
+    from tytodb_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    old_labels = connected_components(old_edges)
+    # new batch: its own pair (20,21) + a bridge joining both old comps
+    new_edges = spark.createDataFrame(
+        [(20, 21), (2, 10)], "id_a long, id_b long"
+    )
+    out = {r["vertex"]: r["component"] for r in
+           connected_components_incremental(old_labels, new_edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 10: 0, 11: 0, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from tytodb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)

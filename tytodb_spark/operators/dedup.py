@@ -593,6 +593,18 @@ def connected_components(
         labels = stepped.drop("__prev")
         if changed == 0:
             break
+    else:
+        # exhausting max_iters without a fixed point means labels are
+        # still mid-propagation (min ids have only traveled max_iters
+        # hops) — silently returning them mislabels every component
+        # wider than that. Same contract as connected_components_star:
+        # fail loudly; callers with long chains should raise max_iters
+        # or use the star variant (its regime).
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_iters={max_iters} (graph diameter exceeds the round "
+            f"budget); raise max_iters or use connected_components_star"
+        )
     return labels
 
 
@@ -902,3 +914,44 @@ def fuzzy_decontaminate(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("__id").alias(id_col), "bench_id", "jaccard")
     )
+
+
+def connected_components_incremental(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental connected components — the daily-update twin of
+    :func:`connected_components`, for maintaining near-dup cluster
+    labels as new documents (and their q107-style incremental pair
+    edges) arrive WITHOUT recomputing the full graph.
+
+    The trick is component CONTRACTION: yesterday's labeling collapses
+    every old component to a star (vertex → component edges, height 1),
+    so the graph label propagation runs on is |old vertices| star edges
+    plus the new edges — history's internal structure is gone, and
+    convergence needs ~(new-edge path length + 2) rounds instead of the
+    full graph's diameter. Cost per update is O(|labels| + |new edges|)
+    per round for a round count set by the NEW data only — the property
+    that makes daily dedup maintenance affordable at 100 TB (the full
+    recompute re-pays the whole history every day).
+
+    Output: (vertex, component) for old ∪ new vertices; components that
+    new edges bridge collapse to the min id across the merged set.
+    """
+    star = old_labels.select(
+        F.col("vertex").alias(src_col), F.col("component").alias(dst_col)
+    ).filter(F.col(src_col) != F.col(dst_col))
+    merged = star.unionByName(
+        new_edges.select(src_col, dst_col)
+    )
+    # isolated old vertices (component == self, no new edge) must keep
+    # their row: connected_components only emits edge endpoints, so
+    # re-attach them afterwards
+    out = connected_components(merged, src_col, dst_col, max_iters=max_iters)
+    isolated = old_labels.join(
+        out.select(F.col("vertex")), "vertex", "left_anti"
+    )
+    return out.unionByName(isolated)

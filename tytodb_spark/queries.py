@@ -6651,6 +6651,72 @@ def q170_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q171_incremental_cc",
+    """
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    olde AS (SELECT a.doc_id AS u, b.doc_id AS v FROM ids a JOIN ids b
+             ON b.doc_id = a.doc_id + 1 AND a.doc_id // 10 = b.doc_id // 10
+             WHERE b.doc_id < 300),
+    newe AS (SELECT a.doc_id AS u, b.doc_id AS v FROM ids a JOIN ids b
+             ON b.doc_id = a.doc_id + 1 AND a.doc_id // 10 = b.doc_id // 10
+             WHERE a.doc_id >= 300),
+    bridge AS (SELECT doc_id AS u, doc_id - 300 AS v FROM ids
+               WHERE doc_id >= 300 AND doc_id % 97 = 0),
+    alle AS (SELECT u, v FROM olde UNION SELECT u, v FROM newe
+             UNION SELECT u, v FROM bridge),
+    edges AS (SELECT u, v FROM alle UNION SELECT v, u FROM alle),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    )
+    SELECT a AS vertex, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="INCREMENTAL connected components — daily near-dup cluster "
+    "maintenance without recomputing history: yesterday's labels "
+    "contract each old component to a height-1 star, label propagation "
+    "runs on |old vertices| star edges + the new-batch edges only "
+    "(q107's incremental-pair shape), and convergence rounds are set "
+    "by the NEW data, not the full graph's diameter. Fixture: old "
+    "40-block chains (docs < 300) labeled first, then new chains "
+    "(docs ≥ 300) plus sparse %97 bridges that force old∪new component "
+    "merges. Oracle: recursive-CTE closure over the FULL edge set — "
+    "incremental must equal the from-scratch answer; operators/"
+    "dedup.py connected_components_incremental.",
+)
+def q171_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    chain = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.expr("a.doc_id div 10") == F.expr("b.doc_id div 10"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    olde = chain.filter(F.col("id_b") < 300)
+    newe = chain.filter(F.col("id_a") >= 300)
+    bridges = (
+        ids.filter((F.col("doc_id") >= 300) & (F.col("doc_id") % 97 == 0))
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") - 300).alias("id_b")
+        )
+    )
+    old_labels = connected_components(olde)
+    inc = connected_components_incremental(
+        old_labels, newe.unionByName(bridges)
+    )
+    return inc.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6697,6 +6763,7 @@ _CHECK_FIRST = [
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
     "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
+    "q171_incremental_cc",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
