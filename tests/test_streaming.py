@@ -251,3 +251,16 @@ def test_stream_outer_join_evicts_below_watermark(spark):
     assert (3, True) not in got       # still in state (9:30+1h > ... boundary) — not emitted
     # u9's signup at 10:00 has eviction boundary 11:00 > wm -> held
     assert (9, True) not in got
+
+
+def test_stream_heavy_hitters_bounded_state_exact_output(spark):
+    from tytodb_spark.operators.textual import frequent_tokens_exact
+    from tytodb_spark.streaming.pipeline import stream_heavy_hitters
+
+    rows = [(i, "hot " * 30 + f"rare{i} warm warm") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = stream_heavy_hitters(spark, df, "doc_id", "text", min_frac=0.05)
+    batch = frequent_tokens_exact(df, "doc_id", "text", min_frac=0.05)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    got = {r["term"] for r in out.collect()}
+    assert "hot" in got and "warm" in got and not any(t.startswith("rare") for t in got)

@@ -6717,6 +6717,34 @@ def q171_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q172_stream_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT term, cast(count(*) AS BIGINT) AS cnt
+    FROM toks, total
+    GROUP BY term, total.n
+    HAVING count(*) >= ceil(0.02 * total.n)
+    """,
+    doc="STREAMING heavy-hitter maintenance — q125's answer kept fresh "
+    "on an unbounded stream: a Misra-Gries counter TABLE of at most m "
+    "rows persists between micro-batches (snapshot-swap state like "
+    "q136), each batch's exact counts merge in and the (m+1)-th "
+    "largest count subtracts out (the MG summary merge), so state "
+    "memory is constant regardless of stream length while every item "
+    "with frequency ≥ N/m provably survives. Post-drain the candidate "
+    "set exact-recounts against the accumulated corpus — the output "
+    "equals the batch answer, which is the oracle; streaming/"
+    "pipeline.py stream_heavy_hitters.",
+)
+def q172_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.pipeline import stream_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return stream_heavy_hitters(spark, docs, "doc_id", "text", min_frac=0.02)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6763,7 +6791,7 @@ _CHECK_FIRST = [
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
     "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
-    "q171_incremental_cc",
+    "q171_incremental_cc", "q172_stream_heavy_hitters",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",

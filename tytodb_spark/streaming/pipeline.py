@@ -384,3 +384,111 @@ def stream_stream_left_join(
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_frac: float = 0.02,
+    n_files: int = 6,
+) -> DataFrame:
+    """Streaming heavy-hitter maintenance: a bounded Misra-Gries counter
+    TABLE (at most m rows) persisted between micro-batches — the
+    mergeable-summary shape of q136's rollup maintenance applied to the
+    q125 frequency problem. Per batch: exact batch counts sum into the
+    state, then the (m+1)-th largest count subtracts from all and
+    non-positive rows drop (the MG summary merge) — state memory stays
+    m rows no matter how much stream has passed, and the discarded mass
+    keeps the guarantee that every item with true frequency >= N/m is
+    still present. After the drain, the surviving candidate terms are
+    exact-recounted against the accumulated corpus and thresholded, so
+    the OUTPUT is exact (= the batch q125 answer, which is the oracle).
+
+    Output: (term, cnt) — exact heavy hitters at ``min_frac``.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from tytodb_spark.operators.textual import tokens  # noqa: PLC0415
+
+    m = max(8, int(2.0 / min_frac))
+    staging = tempfile.mkdtemp(prefix="tyto_shh_")
+    try:
+        src = docs.select(F.col(id_col), F.col(text_col))
+        src_dir = os.path.join(staging, "src")
+        src.repartition(n_files).write.parquet(src_dir)
+        state_dir = os.path.join(staging, "state")
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_counts = (
+                batch_df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+                .groupBy("term")
+                .agg(F.sum(F.lit(1)).cast("bigint").alias("c"))
+            )
+            if os.path.exists(state_dir):
+                prev = spark.read.parquet(state_dir)
+                combined = (
+                    prev.unionByName(batch_counts)
+                    .groupBy("term")
+                    .agg(F.sum("c").cast("bigint").alias("c"))
+                )
+            else:
+                combined = batch_counts
+            # MG compress: subtract the (m+1)-th largest count, keep > 0
+            # (state is <= m + |batch vocab| rows — window cost is tiny)
+            ranked = combined.withColumn(
+                "__r",
+                F.row_number().over(W.orderBy(F.col("c").desc(), F.col("term"))),
+            )
+            pivot = ranked.filter(F.col("__r") == m + 1).select(
+                F.col("c").alias("__pv")
+            )
+            compressed = (
+                ranked.crossJoin(
+                    F.broadcast(
+                        pivot.unionByName(
+                            spark.createDataFrame([(0,)], "__pv bigint")
+                        ).agg(F.max("__pv").alias("__pv"))
+                    )
+                )
+                .select("term", (F.col("c") - F.col("__pv")).alias("c"))
+                .filter(F.col("c") > 0)
+            )
+            tmp = os.path.join(staging, f"state_tmp_{batch_id}")
+            compressed.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(staging, f"state_old_{batch_id}")
+            if os.path.exists(state_dir):
+                os.rename(state_dir, old)
+            os.rename(tmp, state_dir)  # snapshot swap: atomic dir rename
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(staging, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # candidate set is m-bounded by construction — driver-side pin
+        # so the staging dir can be reclaimed before the recount runs
+        cand_rows = spark.read.parquet(state_dir).select("term").collect()
+        candidates = spark.createDataFrame(cand_rows or [(" ",)], "term string")
+        toks = src.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        return (
+            toks.join(F.broadcast(candidates), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("__n")))
+            .select("term", "cnt")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
