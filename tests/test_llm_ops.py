@@ -1616,3 +1616,23 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=3)
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from tytodb_spark.operators.sampling import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 50.0 + (i % 21) - 10) for i in range(2000)], "event_id long, value double"
+    )
+    r = poisson_bootstrap_ci(df, "event_id", "value", n_reps=32).collect()[0]
+    assert r["n_rows"] == 2000
+    # sample mean ~= 50.0 -> 5_000_000 milli-cents (49.9.. due to mod grid)
+    assert abs(r["mean_q"] - 5_000_000) < 60_000
+    # CI brackets the point estimate and is not absurdly wide
+    assert r["lo_q"] <= r["mean_q"] <= r["hi_q"] and r["ci_ok"]
+    assert (r["hi_q"] - r["lo_q"]) < 0.05 * r["mean_q"]
+    # determinism across partitionings
+    r8 = poisson_bootstrap_ci(
+        df.repartition(8), "event_id", "value", n_reps=32
+    ).collect()[0]
+    assert tuple(r8) == tuple(r)

@@ -14,7 +14,7 @@ Everything is deterministic across engines and parallelism:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -231,3 +231,100 @@ def domain_cap(
         cap,
     )
     return capped.drop("__pri")
+
+
+def _poisson1_cdf(k_max: int = 9) -> list[float]:
+    """Cumulative P(X<=k) for Poisson(1), k=0..k_max-1 — computed once
+    here and reused verbatim by the SQL oracle (repr(float) round-trips
+    exactly, so both engines compare against bit-identical literals)."""
+    import math
+
+    out, s, term = [], 0.0, math.exp(-1.0)
+    for k in range(k_max):
+        s += term
+        out.append(s)
+        term = term / (k + 1)
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for a mean by POISSON
+    bootstrap — the standard way to bootstrap without global
+    coordination: instead of resampling n rows with replacement (which
+    needs a global multinomial draw), every row gets an independent
+    Poisson(1) weight per replicate; for large n the replicate
+    distributions converge to the true bootstrap. Weights derive from
+    md5(id:replicate) uniforms against precomputed Poisson-CDF
+    thresholds, so the whole procedure is deterministic and
+    engine-portable.
+
+    Plan: replicate spine (n_reps rows) broadcast-crosses the data
+    map-side, each replicate's weighted sum/count aggregates exactly
+    (integer cents), and the CI is a rank pick over n_reps replicate
+    means — one corpus pass total, n_reps× map-side work, shuffle
+    carries n_reps partials. Per-replicate means quantize to
+    milli-cents; empty replicates (W=0) are excluded (probability
+    e^{-n} — nil at any real n).
+
+    Output: 1 row (n_rows, mean_q, lo_q, hi_q, ci_ok).
+    """
+    cdf = _poisson1_cdf()
+    spark = df.sparkSession
+    reps = F.broadcast(spark.range(n_reps).select(F.col("id").alias("__b")))
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.floor(F.col(value_col).cast("double") * 100).cast("bigint").alias(
+            "__vc"
+        ),
+    )
+    u = md5_uniform52(
+        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__b").cast("string"))
+    )
+    w: Column = F.lit(0)
+    for c in cdf:
+        w = w + (u > F.lit(c)).cast("int")
+    rep = (
+        v.crossJoin(reps)
+        .select("__b", (w.cast("bigint")).alias("__w"), "__vc")
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__vc")).cast("bigint").alias("__s"),
+            F.sum("__w").cast("bigint").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "__b",
+            F.floor(F.col("__s") * F.lit(1000) / F.col("__n"))
+            .cast("bigint")
+            .alias("__m"),
+        )
+    )
+    ranked = rep.withColumn(
+        "__r", F.row_number().over(W.orderBy(F.col("__m"), F.col("__b")))
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__m"))).alias("lo_q"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__m"))).alias("hi_q"),
+    )
+    base = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.floor(F.sum("__vc") * F.lit(1000) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_q"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        "mean_q",
+        "lo_q",
+        "hi_q",
+        ((F.col("lo_q") <= F.col("mean_q")) & (F.col("mean_q") <= F.col("hi_q"))).alias(
+            "ci_ok"
+        ),
+    )

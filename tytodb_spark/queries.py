@@ -6745,6 +6745,55 @@ def q172_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_heavy_hitters(spark, docs, "doc_id", "text", min_frac=0.02)
 
 
+def _q173_oracle(n_reps: int = 32, lo_rank: int = 2, hi_rank: int = 31) -> str:
+    from tytodb_spark.operators.sampling import _poisson1_cdf
+
+    u = ("(('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR), 1, 13))"
+         "::BIGINT + 0.5) / 4503599627370496")
+    w = " + ".join(f"({u} > {c!r})::INT" for c in _poisson1_cdf())
+    return f"""
+    WITH v AS (SELECT event_id, cast(floor(value * 100) AS BIGINT) AS vc
+               FROM events),
+    reps AS (SELECT unnest(range(0, {n_reps})) AS b),
+    wts AS (SELECT b, cast({w} AS BIGINT) AS w, vc FROM v CROSS JOIN reps),
+    rep AS (SELECT b, cast(floor(sum(w * vc) * 1000 / sum(w)) AS BIGINT) AS m
+            FROM wts GROUP BY b HAVING sum(w) > 0),
+    ranked AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r FROM rep),
+    ci AS (SELECT max(CASE WHEN r = {lo_rank} THEN m END) AS lo_q,
+                  max(CASE WHEN r = {hi_rank} THEN m END) AS hi_q
+           FROM ranked),
+    base AS (SELECT cast(count(*) AS BIGINT) AS n_rows,
+                    cast(floor(sum(vc) * 1000 / count(*)) AS BIGINT) AS mean_q
+             FROM v)
+    SELECT n_rows, mean_q, lo_q, hi_q,
+           (lo_q <= mean_q AND mean_q <= hi_q) AS ci_ok
+    FROM base CROSS JOIN ci
+    """
+
+
+@query(
+    "q173_bootstrap_ci",
+    _q173_oracle(),
+    doc="Distributed POISSON bootstrap — the uncertainty estimate "
+    "(95% CI of the mean event value) without global coordination: "
+    "classic with-replacement resampling needs a global multinomial "
+    "draw, but giving every row an independent Poisson(1) weight per "
+    "replicate converges to the same bootstrap and runs as ONE corpus "
+    "pass with a broadcast 32-row replicate spine — n_reps× map-side "
+    "work, shuffle carries n_reps partials. Weights come from "
+    "md5(id:replicate) uniforms against Poisson-CDF thresholds shared "
+    "verbatim with the oracle (repr round-trip = bit-identical "
+    "literals); replicate means are exact-integer rationals; the CI is "
+    "a rank pick over the 32 means; operators/sampling.py "
+    "poisson_bootstrap_ci.",
+)
+def q173_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return poisson_bootstrap_ci(ev, "event_id", "value", n_reps=32)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6791,7 +6840,7 @@ _CHECK_FIRST = [
     "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
     "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
-    "q171_incremental_cc", "q172_stream_heavy_hitters",
+    "q171_incremental_cc", "q172_stream_heavy_hitters", "q173_bootstrap_ci",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
