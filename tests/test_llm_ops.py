@@ -1636,3 +1636,24 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
         df.repartition(8), "event_id", "value", n_reps=32
     ).collect()[0]
     assert tuple(r8) == tuple(r)
+
+
+def test_skyline_dominance_and_ties(spark):
+    from tytodb_spark.operators.ranking import skyline2
+
+    rows = [
+        (0, 0.9, 100),   # frontier (best quality)
+        (1, 0.9, 100),   # exact tie of 0 -> both survive
+        (2, 0.8, 50),    # frontier (cheaper, lower quality)
+        (3, 0.8, 60),    # dominated by 2 (same q, more tokens)
+        (4, 0.5, 50),    # dominated by 2 (same tokens, less q)
+        (5, 0.95, 200),  # frontier (highest quality, most expensive)
+        (6, 0.4, 10),    # frontier (cheapest)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_toks long")
+    out = {r["doc_id"] for r in skyline2(df, "doc_id", "quality", "n_toks").collect()}
+    assert out == {0, 1, 2, 5, 6}
+    # partitioning invariance
+    out8 = {r["doc_id"] for r in
+            skyline2(df.repartition(8), "doc_id", "quality", "n_toks").collect()}
+    assert out8 == out

@@ -84,3 +84,66 @@ def equi_depth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def skyline2(
+    df: DataFrame, id_col: str, max_col: str, min_col: str
+) -> DataFrame:
+    """Two-dimensional SKYLINE (Pareto frontier): rows not dominated by
+    any other row, where A dominates B iff A.max_col >= B.max_col AND
+    A.min_col <= B.min_col with at least one strict — the
+    multi-objective selection a curation pass runs when no single score
+    exists ("highest quality at every length budget"). Ties on BOTH
+    coordinates dominate neither way, so duplicates of a frontier point
+    all survive (deterministic at any partitioning).
+
+    Distributed shape: the exact local skyline runs per partition
+    (dominance is transitive, so pruning locally-dominated rows can
+    never remove a global frontier point), then the global skyline runs
+    once over the union of local survivors — frontier sizes are
+    O(log n) expected for independent dims, so phase 2 is
+    metadata-sized. Both phases share one vectorized pandas kernel
+    (sort by max desc / min asc, prefix-min scan).
+
+    Output: (id_col, max_col, min_col) — the frontier rows.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    cols = [id_col, max_col, min_col]
+    schema = ", ".join(f"{c} {t}" for c, t in
+                       [(f.name, f.dataType.simpleString())
+                        for f in df.select(*cols).schema.fields])
+
+    def sky(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        s = pdf.sort_values(
+            [max_col, min_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        q = s[max_col].to_numpy()
+        t = s[min_col].to_numpy()
+        keep = []
+        best_higher = None  # min t among STRICTLY higher q
+        group_q = None
+        group_min_t = None
+        for i in range(len(s)):
+            if group_q is None or q[i] != group_q:
+                # entering a new (lower) q group: previous group joins
+                # the strictly-higher prefix
+                if group_min_t is not None:
+                    best_higher = (
+                        group_min_t
+                        if best_higher is None
+                        else min(best_higher, group_min_t)
+                    )
+                group_q, group_min_t = q[i], t[i]
+            survives = (best_higher is None or t[i] < best_higher) and (
+                t[i] == group_min_t
+            )
+            keep.append(survives)
+        yield s[pd.Series(keep, index=s.index)][cols]
+
+    local = df.select(*cols).mapInPandas(sky, schema)
+    return local.coalesce(1).mapInPandas(sky, schema)

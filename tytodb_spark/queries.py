@@ -6794,6 +6794,54 @@ def q173_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(ev, "event_id", "value", n_reps=32)
 
 
+def _q174_oracle() -> str:
+    return f"""
+    WITH qual AS ({_q47_oracle()}),
+    f AS (SELECT qu.doc_id, qu.quality,
+                 cast(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM qual qu JOIN documents d ON d.doc_id = qu.doc_id)
+    SELECT a.doc_id, a.quality, a.n_toks FROM f a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM f b
+        WHERE b.quality >= a.quality AND b.n_toks <= a.n_toks
+          AND (b.quality > a.quality OR b.n_toks < a.n_toks))
+    """
+
+
+@query(
+    "q174_skyline",
+    None,  # oracle composed below (NOT EXISTS dominance over q47 scores)
+    doc="SKYLINE (Pareto frontier) selection — the multi-objective "
+    "curation pick when no single score exists: documents not "
+    "dominated on (quality ↑, token cost ↓), i.e. the best quality "
+    "available at every length budget. Distributed shape: exact local "
+    "skyline per partition (dominance is transitive — pruning locally-"
+    "dominated rows never removes a global frontier point), then one "
+    "global pass over the union of local survivors (frontier sizes "
+    "are O(log n) expected, metadata-sized); both phases share one "
+    "vectorized pandas kernel. Oracle: NOT-EXISTS dominance SQL over "
+    "the q47 score CTE; operators/ranking.py skyline2.",
+)
+def q174_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.ranking import skyline2
+    from tytodb_spark.operators.textual import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+    return skyline2(feats, "doc_id", "quality", "n_toks")
+
+
+REGISTRY["q174_skyline"] = QueryDef(
+    fn=REGISTRY["q174_skyline"].fn,
+    oracle=_q174_oracle(),
+    doc=REGISTRY["q174_skyline"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order
 # ---------------------------------------------------------------------------
@@ -6841,6 +6889,7 @@ _CHECK_FIRST = [
     "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
     "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
     "q171_incremental_cc", "q172_stream_heavy_hitters", "q173_bootstrap_ci",
+    "q174_skyline",
     # --- oldest r01-green block: re-verify post-refactor code ---
     "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
     "q05_union_all", "q06_subquery_source", "q07_point_lookup",
