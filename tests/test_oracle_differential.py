@@ -36,3 +36,27 @@ def test_every_query_has_an_oracle():
     batch gate). Keep it that way: a new query without an oracle should
     be a deliberate, documented exception, not a default."""
     assert ROWS_ONLY_NAMES == []
+
+
+def test_driver_check_order_is_mechanical(tmp_path, monkeypatch):
+    """The registry prefix the driver verifies must self-rotate: entries
+    without a green row in any committed CORRECTNESS artifact sort
+    first, then oldest-last-green, so a new query can never sit outside
+    the checked prefix (the r02/r03 stale-rotation failure mode)."""
+    green = Q._driver_green_rounds()
+    names = list(Q.REGISTRY)
+    keys = [(green.get(n, -1), i) for i, n in enumerate(Q._check_order(names))]
+    # keys must be non-decreasing in (green-round) — i.e. actually sorted
+    assert all(keys[i][0] <= keys[i + 1][0] for i in range(len(keys) - 1))
+    # every never-green entry precedes every green entry
+    first_green = next(
+        (i for i, n in enumerate(names) if green.get(n, -1) >= 0), len(names)
+    )
+    assert all(green.get(n, -1) < 0 for n in names[:first_green])
+    assert all(green.get(n, -1) >= 0 for n in names[first_green:])
+    # a hash-mismatch row (r03's q143) is NOT green
+    import json
+
+    art = json.load(open("CORRECTNESS_r03.json"))
+    assert art["q143_table_checksum"]["hash_match"] is False
+    assert "q143_table_checksum" in names[:first_green]

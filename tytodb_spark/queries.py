@@ -26,6 +26,7 @@ q2x = analytics extensions (§2.6), q4x = LLM-pipeline ops (BASELINE.json).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -6843,70 +6844,72 @@ REGISTRY["q174_skyline"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
-# registry order = driver check order
+# registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
-# The round driver's CORRECTNESS artifact covers a prefix of the registry
-# (50 entries in r01 and r02), so iteration order decides which queries
-# get a driver-verified row this round. Rotation policy: entries WITHOUT
-# a green driver row yet come first. r03 leads with the 11 entries that
-# are still driver-unverified (the round-2 additions q104–q111 plus the
-# converted no-oracle→oracle checks q57/q38/q39 — all outside r02's
-# 50-entry prefix), then this round's new queries, then the OLDEST
-# r01-green block (q01–q13, q20–q37) whose driver rows predate two
-# rounds of refactoring. Every entry is ALSO oracle-verified locally
-# per-commit by tests/test_oracle_differential.py, which has no prefix
-# cap.
+# The round driver's CORRECTNESS artifact covers a PREFIX of the registry
+# (50 entries per round so far), so iteration order decides which queries
+# get a driver-verified row this round. Rounds 2 and 3 both shipped a
+# hand-maintained rotation list that went stale and left new entries
+# outside the checked prefix — so the order is now COMPUTED at import
+# time from the committed CORRECTNESS_r*.json artifacts themselves:
+#
+#   1. entries with NO green driver row in any committed artifact come
+#      first (green = rows_match AND schema_match AND hash_match, no
+#      err — a hash-mismatch like r03's q143 counts as unverified);
+#   2. verified entries follow, OLDEST last-green round first (their
+#      driver rows predate the most refactoring), registry-insertion
+#      order as the tiebreak.
+#
+# The list cannot go stale a third time: each round's new queries have
+# no artifact row, so they sort into the front group automatically, and
+# committing CORRECTNESS_r{N}.json re-derives the next round's order.
+# Every entry is ALSO oracle-verified locally per-commit by
+# tests/test_oracle_differential.py, which has no prefix cap.
 
-_CHECK_FIRST = [
-    # --- still driver-unverified after r02 (first priority) ---
-    "q104_passage_dedup", "q105_unigram_nll", "q106_weighted_sample",
-    "q107_incremental_minhash", "q108_cross_source_dups",
-    "q109_length_batching", "q110_mad_outliers", "q111_grouped_top_terms",
-    "q57_ann_ivf", "q38_approx_distinct", "q39_stateful_anomalies",
-    # --- round-3 additions (first driver rows this rotation) ---
-    "q112_star_clusters", "q113_mad_outliers_approx",
-    "q114_minhash_recall", "q115_domain_cap",
-    "q116_vocab_coverage", "q117_stream_rate_limit",
-    "q118_robust_scale", "q119_bigram_nll",
-    "q120_dup_spans", "q121_semantic_dedup",
-    "q122_fuzzy_decontaminate", "q123_incremental_rollup",
-    "q124_dup_graph_pagerank", "q125_heavy_hitters",
-    "q126_nb_classifier", "q127_scd2_history",
-    "q128_hard_negatives", "q129_bpe_merges",
-    "q130_dataset_card", "q131_multimodal_alignment",
-    "q132_profile_histogram", "q133_constraint_suite", "q134_ref_integrity",
-    "q135_count_min_sketch", "q136_stream_incremental_rollup",
-    "q137_strip_dup_spans", "q138_strip_dup_spans_keep_first",
-    "q139_bpe_apply", "q140_sliding_windows", "q141_equi_depth_histogram",
-    "q142_session_assembly", "q143_table_checksum", "q144_snapshot_diff",
-    "q145_bm25_retrieval", "q146_exact_correlation", "q147_vocab_growth",
-    "q148_group_ols", "q149_pmi_cooccur", "q150_ewma",
-    "q151_bloom_filter", "q152_token_entropy", "q153_chunk_overlap",
-    "q154_triangle_count", "q155_skew_report", "q156_stream_outer_join",
-    "q157_quantile_normalize", "q158_knn_margin",
-    "q159_trigram_search", "q160_first_touch", "q161_dedup_tiers",
-    "q162_ab_ztest", "q163_window_position", "q164_map_key_census",
-    "q165_portable_hll", "q166_pipeline_funnel", "q167_sliding_hll",
-    "q168_power_iteration", "q169_abtt_correction", "q170_table_stats",
-    "q171_incremental_cc", "q172_stream_heavy_hitters", "q173_bootstrap_ci",
-    "q174_skyline",
-    # --- oldest r01-green block: re-verify post-refactor code ---
-    "q01_filter_scan", "q02_contains", "q03_regex", "q04_projection",
-    "q05_union_all", "q06_subquery_source", "q07_point_lookup",
-    "q08_range_scan", "q09_pagination", "q10_coercion",
-    "q11_bounded_string", "q12_aql_search", "q13_aql_crud",
-    "q20_pricing_summary", "q21_broadcast_join", "q22_multiway_join",
-    "q23_semi_join", "q24_anti_join", "q25_window_rank",
-    "q26_running_sum", "q27_topk", "q28_rollup", "q29_cube",
-    "q30_distinct_agg", "q31_set_ops", "q32_scalars",
-    "q33_event_windows", "q34_stream_windows", "q35_session_windows",
-    "q36_asof_join", "q37_interval_join",
-]
 
-REGISTRY = {
-    **{n: REGISTRY[n] for n in _CHECK_FIRST if n in REGISTRY},
-    **{n: qd for n, qd in REGISTRY.items() if n not in _CHECK_FIRST},
-}
+def _driver_green_rounds() -> dict[str, int]:
+    """name -> latest round with a fully-green driver row, from the
+    committed CORRECTNESS_r*.json artifacts at the repo root."""
+    import glob
+    import json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _check_order(names_in: list[str]) -> list[str]:
+    green = _driver_green_rounds()
+    pos = {n: i for i, n in enumerate(names_in)}
+    return sorted(names_in, key=lambda n: (green.get(n, -1), pos[n]))
+
+
+REGISTRY = {n: REGISTRY[n] for n in _check_order(list(REGISTRY))}
+
 
 
 def names() -> list[str]:
