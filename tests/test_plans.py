@@ -277,3 +277,40 @@ def test_pmi_broadcasts_vocab(spark, sf_dir):
     assert "CartesianProduct" not in P.physical_plan(df).replace(
         "BroadcastNestedLoopJoin", ""
     )
+
+
+def test_skyline_two_phase_not_collapsed(spark, sf_dir):
+    """q174's phase boundary must be a shuffle Exchange so phase 1 (the
+    per-partition local skyline) keeps the input partitioning — r03
+    shipped coalesce(1), which propagated single-partition below the
+    first mapInPandas and ran BOTH phases in one task."""
+    df = _df(spark, sf_dir, "q174_skyline")
+    plan = P.physical_plan(df)
+    assert plan.count("MapInPandas") >= 2
+    first, second = plan.index("MapInPandas"), plan.rindex("MapInPandas")
+    between = plan[first:second]
+    assert "Exchange" in between, plan
+    assert "Coalesce" not in between, plan
+
+
+def test_mg_compress_no_global_window(spark, sf_dir):
+    """The per-batch Misra-Gries compress must find its pivot with a
+    distributed top-(m+1) (TakeOrderedAndProject), never a
+    partition-less Window over the full batch vocabulary."""
+    from pyspark.sql import functions as F
+    from tytodb_spark.streaming.pipeline import mg_compress
+
+    counts = (
+        spark.range(10_000)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % 997)).alias("term"),
+            (F.col("id") % 50 + 1).cast("bigint").alias("c"),
+        )
+        .groupBy("term")
+        .agg(F.sum("c").alias("c"))
+    )
+    out = mg_compress(counts, 16)
+    plan = P.physical_plan(out)
+    assert "Window" not in plan, plan
+    assert P.has_take_ordered(out), plan
+    assert out.count() <= 16

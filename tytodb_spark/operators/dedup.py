@@ -722,7 +722,7 @@ def near_dup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     method: str = "lsh",
-    cc: str = "label",
+    cc: str = "auto",
 ) -> DataFrame:
     """End-to-end near-dup clustering: near-dup pairs → connected
     components → one cluster id (min doc id) per document that has at
@@ -735,20 +735,24 @@ def near_dup_clusters(
     Jaccard, so at r=4/b=16 and t=0.5 their pair sets coincide (LSH
     miss probability for a qualifying pair is ≤(1-t^r)^b ≈ 3e-8).
 
-    ``cc`` picks the component labeler: ``"label"`` (default) is
+    ``cc`` picks the component labeler: ``"auto"`` (default) runs
     min-label propagation — O(diameter) rounds with ONE shuffle each,
     optimal for near-dup graphs (clusters are small and dense, diameter
-    2-3; measured ~1.5× faster than star here). ``"star"`` switches to
-    large-star/small-star (O(log² n) rounds at ~2× the per-round job
-    count) — take it when components can chain long (template families,
-    mirror chains). Both produce identical (vertex, min-id) labels."""
+    2-3; measured ~1.5× faster than star here) — and escalates to
+    large-star/small-star if the diameter bound trips, so long chains
+    (template families, mirror chains) converge instead of raising.
+    ``"label"`` / ``"star"`` force a single regime. All produce
+    identical (vertex, min-id) labels on convergence."""
     if method == "lsh":
         pairs = minhash_lsh_pairs(df, id_col, text_col, shingle_n=n, threshold=threshold)
     else:
         from tytodb_spark.operators.textual import jaccard_pairs
 
         pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    cc_fn = connected_components_star if cc == "star" else connected_components
+    cc_fn = {
+        "star": connected_components_star,
+        "label": connected_components,
+    }.get(cc, connected_components_auto)
     comp = cc_fn(pairs, "id_a", "id_b")
     return comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
@@ -916,12 +920,34 @@ def fuzzy_decontaminate(
     )
 
 
+def connected_components_auto(
+    pairs_df: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    label_iters: int = 10,
+) -> DataFrame:
+    """Connected components with automatic regime escalation: run
+    min-label propagation for up to ``label_iters`` rounds (the cheap
+    path — one shuffle/round, optimal for the small dense clusters
+    near-dup graphs usually have), and if the graph turns out to have
+    long chains (label-prop's diameter bound trips), rerun with
+    large-star/small-star, whose O(log² n) round count is
+    diameter-independent. Removes the caller-side judgment call that
+    let r03's q171 crash: diameter assumptions fail silently until
+    the data grows, so the fallback has to be in the operator."""
+    try:
+        return connected_components(
+            pairs_df, src_col, dst_col, max_iters=label_iters
+        )
+    except RuntimeError:
+        return connected_components_star(pairs_df, src_col, dst_col)
+
+
 def connected_components_incremental(
     old_labels: DataFrame,
     new_edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iters: int = 20,
 ) -> DataFrame:
     """Incremental connected components — the daily-update twin of
     :func:`connected_components`, for maintaining near-dup cluster
@@ -930,13 +956,17 @@ def connected_components_incremental(
 
     The trick is component CONTRACTION: yesterday's labeling collapses
     every old component to a star (vertex → component edges, height 1),
-    so the graph label propagation runs on is |old vertices| star edges
-    plus the new edges — history's internal structure is gone, and
-    convergence needs ~(new-edge path length + 2) rounds instead of the
-    full graph's diameter. Cost per update is O(|labels| + |new edges|)
-    per round for a round count set by the NEW data only — the property
-    that makes daily dedup maintenance affordable at 100 TB (the full
-    recompute re-pays the whole history every day).
+    so the merge graph is |old vertices| star edges plus the new edges
+    — history's INTERNAL structure is gone and per-round cost is
+    O(|labels| + |new edges|), which is what makes daily dedup
+    maintenance affordable at 100 TB (a full recompute re-pays the
+    whole history every day). The round COUNT, however, is not set by
+    the new data alone: new edges can bridge old components into
+    chains whose diameter grows with corpus size (exactly r03's q171
+    failure — %97 bridges chained ~16 contracted components and blew
+    min-label propagation's 20-round budget at sf0.1). So the merge
+    runs on :func:`connected_components_star`, whose O(log² n) round
+    count is independent of how the bridges chain.
 
     Output: (vertex, component) for old ∪ new vertices; components that
     new edges bridge collapse to the min id across the merged set.
@@ -948,9 +978,9 @@ def connected_components_incremental(
         new_edges.select(src_col, dst_col)
     )
     # isolated old vertices (component == self, no new edge) must keep
-    # their row: connected_components only emits edge endpoints, so
-    # re-attach them afterwards
-    out = connected_components(merged, src_col, dst_col, max_iters=max_iters)
+    # their row: the CC output only emits edge endpoints, so re-attach
+    # them afterwards
+    out = connected_components_star(merged, src_col, dst_col)
     isolated = old_labels.join(
         out.select(F.col("vertex")), "vertex", "left_anti"
     )

@@ -102,11 +102,17 @@ def skyline2(
     never remove a global frontier point), then the global skyline runs
     once over the union of local survivors — frontier sizes are
     O(log n) expected for independent dims, so phase 2 is
-    metadata-sized. Both phases share one vectorized pandas kernel
-    (sort by max desc / min asc, prefix-min scan).
+    metadata-sized. The phase boundary is ``repartition(1)`` — a real
+    shuffle Exchange — NOT ``coalesce(1)``: coalesce propagates the
+    single-partition constraint BELOW the first mapInPandas and
+    collapses both phases into one task (r03's committed plan did
+    exactly that; the "per-partition" phase never ran in parallel).
+    Both phases share one vectorized pandas kernel (sort by max desc /
+    min asc, numpy cumulative-min prefix scan — no per-row Python).
 
     Output: (id_col, max_col, min_col) — the frontier rows.
     """
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     cols = [id_col, max_col, min_col]
@@ -124,26 +130,24 @@ def skyline2(
         ).reset_index(drop=True)
         q = s[max_col].to_numpy()
         t = s[min_col].to_numpy()
-        keep = []
-        best_higher = None  # min t among STRICTLY higher q
-        group_q = None
-        group_min_t = None
-        for i in range(len(s)):
-            if group_q is None or q[i] != group_q:
-                # entering a new (lower) q group: previous group joins
-                # the strictly-higher prefix
-                if group_min_t is not None:
-                    best_higher = (
-                        group_min_t
-                        if best_higher is None
-                        else min(best_higher, group_min_t)
-                    )
-                group_q, group_min_t = q[i], t[i]
-            survives = (best_higher is None or t[i] < best_higher) and (
-                t[i] == group_min_t
-            )
-            keep.append(survives)
-        yield s[pd.Series(keep, index=s.index)][cols]
+        n = len(s)
+        # rows sort (q desc, t asc); group = run of equal q. A row
+        # survives iff t == its group's min t (the group's first row,
+        # since t ascends within the group) AND t < min t over all
+        # STRICTLY higher q (= cumulative min of t over prior groups).
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        is_start[1:] = q[1:] != q[:-1]
+        start_idx = np.maximum.accumulate(
+            np.where(is_start, np.arange(n), 0)
+        )
+        group_min_t = t[start_idx]
+        prefix_min_t = np.minimum.accumulate(t)
+        best_higher = np.where(
+            start_idx > 0, prefix_min_t[np.maximum(start_idx - 1, 0)], np.inf
+        )
+        keep = (t < best_higher) & (t == group_min_t)
+        yield s.loc[keep, cols]
 
     local = df.select(*cols).mapInPandas(sky, schema)
-    return local.coalesce(1).mapInPandas(sky, schema)
+    return local.repartition(1).mapInPandas(sky, schema)

@@ -5059,15 +5059,20 @@ def q142_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cast(l_linenumber AS VARCHAR) || '|' ||
                  cast(cast(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
                    || '|' || l_returnflag
-               ), 1, 8))::BIGINT) AS DECIMAL(38,0)) AS checksum
+               ), 1, 8))::BIGINT) AS BIGINT) AS checksum
     FROM lineitem
     """,
     doc="Order-insensitive table content checksum (the anti-entropy / "
     "replication-audit primitive: two replicas or a pre/post-migration "
     "pair compare one row instead of terabytes): per-row md5 over a "
-    "canonical column serialization, summed as exact DECIMAL(38,0) — "
-    "commutative, mergeable across partitions/shards, no overflow at "
-    "any row count. One scan, map-side combine, a 1-row result.",
+    "canonical column serialization, summed as BIGINT — commutative "
+    "and mergeable across partitions/shards. The 32-bit row hashes "
+    "sum safely to ~2^62 (4e18 rows) before overflow; past that, sum "
+    "per-shard and compare shard vectors, or fold hi/lo words — the "
+    "r03 DECIMAL(38,0) output was value-identical to the oracle but "
+    "hash-fragile in the driver's canonicalization, so the output "
+    "type is now the plainly-portable one. One scan, map-side "
+    "combine, a 1-row result.",
 )
 def q143_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -5090,10 +5095,10 @@ def q143_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         16,
         10,
-    ).cast("decimal(38,0)")
+    ).cast("bigint")
     return li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(row_hash).cast("decimal(38,0)").alias("checksum"),
+        F.sum(row_hash).cast("bigint").alias("checksum"),
     )
 
 
@@ -6677,15 +6682,18 @@ def q170_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="INCREMENTAL connected components — daily near-dup cluster "
     "maintenance without recomputing history: yesterday's labels "
-    "contract each old component to a height-1 star, label propagation "
-    "runs on |old vertices| star edges + the new-batch edges only "
-    "(q107's incremental-pair shape), and convergence rounds are set "
-    "by the NEW data, not the full graph's diameter. Fixture: old "
-    "40-block chains (docs < 300) labeled first, then new chains "
-    "(docs ≥ 300) plus sparse %97 bridges that force old∪new component "
-    "merges. Oracle: recursive-CTE closure over the FULL edge set — "
-    "incremental must equal the from-scratch answer; operators/"
-    "dedup.py connected_components_incremental.",
+    "contract each old component to a height-1 star, so the merge "
+    "graph is |old vertices| star edges + the new-batch edges only "
+    "(q107's incremental-pair shape) and per-round cost never re-pays "
+    "history. The merge itself runs large-star/small-star (O(log²n) "
+    "rounds) because new bridges can CHAIN old components — this "
+    "fixture's %97 bridges do exactly that, and the chain diameter "
+    "grows with data (it blew label-prop's 20-round budget at sf0.1 "
+    "in r03). Fixture: old 40-block chains (docs < 300) labeled "
+    "first, then new chains (docs ≥ 300) plus sparse %97 bridges that "
+    "force old∪new component merges. Oracle: recursive-CTE closure "
+    "over the FULL edge set — incremental must equal the from-scratch "
+    "answer; operators/dedup.py connected_components_incremental.",
 )
 def q171_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.dedup import (

@@ -386,6 +386,35 @@ def stream_stream_left_join(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def mg_compress(counts: DataFrame, m: int) -> DataFrame:
+    """One Misra-Gries summary-merge step over a (term, c) counter
+    table: subtract the (m+1)-th largest count from every counter and
+    drop non-positive rows — at most m rows survive, and any term with
+    true mass ≥ total/m provably keeps a positive counter.
+
+    The pivot (the (m+1)-th largest c) is found with a DISTRIBUTED
+    top-(m+1): orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, one tiny final merge), so the input — which
+    is state ∪ the micro-batch's full distinct vocab, NOT m rows —
+    never funnels through a partition-less Window (r03's version did,
+    making each batch's compress a single-task sort of the whole batch
+    vocabulary). Ties need no break: the multiset of the top m+1
+    VALUES is deterministic whatever row order, and only its min is
+    used."""
+    topk = counts.select("c").orderBy(F.col("c").desc()).limit(m + 1)
+    pivot = topk.agg(
+        F.when(F.count(F.lit(1)) == m + 1, F.min("c"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__pv")
+    )
+    return (
+        counts.crossJoin(F.broadcast(pivot))
+        .select("term", (F.col("c") - F.col("__pv")).alias("c"))
+        .filter(F.col("c") > 0)
+    )
+
+
 def stream_heavy_hitters(
     spark: SparkSession,
     docs: DataFrame,
@@ -408,8 +437,6 @@ def stream_heavy_hitters(
 
     Output: (term, cnt) — exact heavy hitters at ``min_frac``.
     """
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
     from tytodb_spark.operators.textual import tokens  # noqa: PLC0415
 
     m = max(8, int(2.0 / min_frac))
@@ -435,26 +462,7 @@ def stream_heavy_hitters(
                 )
             else:
                 combined = batch_counts
-            # MG compress: subtract the (m+1)-th largest count, keep > 0
-            # (state is <= m + |batch vocab| rows — window cost is tiny)
-            ranked = combined.withColumn(
-                "__r",
-                F.row_number().over(W.orderBy(F.col("c").desc(), F.col("term"))),
-            )
-            pivot = ranked.filter(F.col("__r") == m + 1).select(
-                F.col("c").alias("__pv")
-            )
-            compressed = (
-                ranked.crossJoin(
-                    F.broadcast(
-                        pivot.unionByName(
-                            spark.createDataFrame([(0,)], "__pv bigint")
-                        ).agg(F.max("__pv").alias("__pv"))
-                    )
-                )
-                .select("term", (F.col("c") - F.col("__pv")).alias("c"))
-                .filter(F.col("c") > 0)
-            )
+            compressed = mg_compress(combined, m)
             tmp = os.path.join(staging, f"state_tmp_{batch_id}")
             compressed.write.mode("overwrite").parquet(tmp)
             old = os.path.join(staging, f"state_old_{batch_id}")
