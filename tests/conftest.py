@@ -25,3 +25,27 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def oracle_sf_dir():
     return SF_ORACLE
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow",
+        action="store_true",
+        default=False,
+        help="run sf0.1 scale-smoke tests (see tests/test_scale_smoke.py)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: sf0.1 scale smoke (needs --run-slow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow"):
+        return
+    skip = pytest.mark.skip(reason="needs --run-slow (sf0.1 scale smoke)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

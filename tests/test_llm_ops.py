@@ -1657,3 +1657,32 @@ def test_skyline_dominance_and_ties(spark):
     out8 = {r["doc_id"] for r in
             skyline2(df.repartition(8), "doc_id", "quality", "n_toks").collect()}
     assert out8 == out
+
+
+def test_knn_margin_single_candidate_accepts(spark):
+    from tytodb_spark.operators.similarity import knn_margin
+
+    # corpus of exactly one vector after the self-filter: no runner-up
+    # field -> the lone neighbor is accepted with margin_q = its own
+    # ppm score (explicit semantics, not a NULL from 0/0)
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[0.9, 0.1])]
+    )
+    out = knn_margin(
+        df.filter(F.col("vec_id") == 0), df, "vec_id", "embedding", k=4
+    ).collect()
+    # self-filter leaves vec 1 as the only neighbor
+    (r,) = [x for x in out if x["query_id"] == 0]
+    assert r["best_id"] == 1
+    assert r["margin_q"] is not None and r["margin_q"] > 20_000
+    assert r["accepted"]
+
+
+def test_poisson_bootstrap_ci_rank_config_raises(spark):
+    import pytest as _pytest
+
+    from tytodb_spark.operators.sampling import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(0, 1.0)], "event_id long, value double")
+    with _pytest.raises(ValueError, match="rank picks"):
+        poisson_bootstrap_ci(df, "event_id", "value", n_reps=8, hi_rank=31)

@@ -271,10 +271,23 @@ def poisson_bootstrap_ci(
     means — one corpus pass total, n_reps× map-side work, shuffle
     carries n_reps partials. Per-replicate means quantize to
     milli-cents; empty replicates (W=0) are excluded (probability
-    e^{-n} — nil at any real n).
+    e^{-n} — nil at any real n), and if exclusions ever leave fewer
+    than ``hi_rank`` replicates the rank pick RAISES (coalesce →
+    raise_error) instead of returning NULL bounds.
+
+    Interval level: picking ranks ``lo_rank``/``hi_rank`` of ``n_reps``
+    gives roughly the lo_rank/(n_reps+1) and hi_rank/(n_reps+1)
+    percentile bounds — the defaults (2/31 of 32) are an ~88% interval
+    (the 6th..94th percentile band), NOT 95%; widen n_reps or the
+    ranks for tighter levels.
 
     Output: 1 row (n_rows, mean_q, lo_q, hi_q, ci_ok).
     """
+    if not (1 <= lo_rank < hi_rank <= n_reps):
+        raise ValueError(
+            f"rank picks must satisfy 1 <= lo_rank < hi_rank <= n_reps "
+            f"(got lo_rank={lo_rank}, hi_rank={hi_rank}, n_reps={n_reps})"
+        )
     cdf = _poisson1_cdf()
     spark = df.sparkSession
     reps = F.broadcast(spark.range(n_reps).select(F.col("id").alias("__b")))
@@ -309,9 +322,19 @@ def poisson_bootstrap_ci(
     ranked = rep.withColumn(
         "__r", F.row_number().over(W.orderBy(F.col("__m"), F.col("__b")))
     )
+    missing = F.raise_error(
+        F.lit(
+            f"poisson_bootstrap_ci: fewer than hi_rank={hi_rank} "
+            f"non-empty replicates survived the W=0 filter; CI ranks "
+            f"are undefined (shrink hi_rank or raise n_reps)"
+        )
+    ).cast("bigint")
     ci = ranked.agg(
-        F.max(F.when(F.col("__r") == lo_rank, F.col("__m"))).alias("lo_q"),
-        F.max(F.when(F.col("__r") == hi_rank, F.col("__m"))).alias("hi_q"),
+        F.max(F.when(F.col("__r") == lo_rank, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("__m"))).alias("__hi"),
+    ).select(
+        F.coalesce(F.col("__lo"), missing).alias("lo_q"),
+        F.coalesce(F.col("__hi"), missing).alias("hi_q"),
     )
     base = v.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

@@ -793,6 +793,12 @@ def knn_margin(
     the aggregate is order-independent; the single mean division runs
     once per query and the margin floors to ppm.
 
+    Single-candidate semantics: when a query has NO rank>1 neighbors
+    (corpus smaller than 2 after the self-filter), there is no
+    runner-up field to normalize against, so the lone neighbor is
+    ACCEPTED with margin_q = its full ppm score (margin over an empty
+    field) — explicitly, not as a NULL falling out of a 0/0 division.
+
     Output: (query_id, best_id, best_cos, margin_q, accepted).
     """
     top = brute_force_knn(queries_df, corpus_df, id_col, vec_col, k=k)
@@ -804,9 +810,12 @@ def knn_margin(
         F.sum(F.when(F.col("rank") > 1, F.col("__cq"))).alias("__rest_q"),
         F.count(F.when(F.col("rank") > 1, 1)).alias("__nrest"),
     )
-    margin_q = F.floor(
-        F.col("__best_q") - F.col("__rest_q") / F.col("__nrest") + F.lit(0.5)
-    ).cast("bigint")
+    margin_q = F.when(
+        F.col("__nrest") > 0,
+        F.floor(
+            F.col("__best_q") - F.col("__rest_q") / F.col("__nrest") + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.col("__best_q"))
     return agg.select(
         "query_id",
         "best_id",

@@ -5746,9 +5746,12 @@ def q157_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  count(CASE WHEN rank > 1 THEN 1 END) AS nrest
           FROM cq GROUP BY query_id)
     SELECT query_id, best_id, best_cos,
-           cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT) AS margin_q,
-           (cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT) >= 20000)
-             AS accepted
+           CASE WHEN nrest > 0
+                THEN cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT)
+                ELSE best_q END AS margin_q,
+           (CASE WHEN nrest > 0
+                 THEN cast(floor(best_q - rest_q / nrest + 0.5) AS BIGINT)
+                 ELSE best_q END >= 20000) AS accepted
     FROM a
     """,
     doc="Margin-based neighbor acceptance (Artetxe & Schwenk difference "
@@ -5859,11 +5862,16 @@ def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE h IN (SELECT h FROM norm GROUP BY h HAVING count(*) > 1)),
     sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM docs),
     ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
-    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
-              FROM ex a JOIN ex b USING (g)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2 HAVING j >= 0.5),
+    jpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+               FROM ex a JOIN ex b USING (g)
+               WHERE a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING j >= 0.5),
+    epairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS j
+               FROM norm a JOIN norm b
+                 ON a.h = b.h AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b, j FROM jpairs
+              UNION ALL SELECT id_a, id_b, j FROM epairs),
     perdoc AS (SELECT doc_id, max(j) AS mj FROM (
                  SELECT id_a AS doc_id, j FROM pairs
                  UNION ALL SELECT id_b, j FROM pairs) GROUP BY doc_id)
@@ -5884,8 +5892,12 @@ def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates the verified pair set, exact dups flag via the "
     "normalized-token hash, and the tier counts must nest "
     "(exact ⊆ j80 ⊆ j50 — exact dups have j=1), asserted as a "
-    "verdict column. Everything reuses the q40/q41 building blocks; "
-    "the only corpus-scale shuffles are the gram join and two "
+    "verdict column. Exact-dup pairs union into the pair set as j=1 "
+    "BEFORE the census — an exact dup IS a j=1 near-dup even when its "
+    "normalized text is shorter than a shingle (empty shingle sets "
+    "never reach the gram join, which silently broke the nesting for "
+    "sub-3-token dups). Everything reuses the q40/q41 building "
+    "blocks; the only corpus-scale shuffles are the gram join and two "
     "hash aggregates.",
 )
 def q161_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5899,12 +5911,29 @@ def q161_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.join(F.broadcast(dup_h.select("h")), "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_dup"))
     )
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    perdoc = (
-        pairs.select(F.col("id_a").alias("doc_id"), F.col("jaccard").alias("j"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("doc_id"), F.col("jaccard").alias("j"))
+    jpairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    # exact dups are j=1 pairs BY DEFINITION — union them in before the
+    # census so a dup whose normalized text is shorter than a shingle
+    # (empty shingle set, invisible to the gram join) still tiers
+    epairs = (
+        norm.alias("a")
+        .join(
+            norm.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(1.0).alias("j"),
+        )
+    )
+    pairs = jpairs.unionByName(epairs)
+    perdoc = (
+        pairs.select(F.col("id_a").alias("doc_id"), "j")
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "j"))
         .groupBy("doc_id")
         .agg(F.max("j").alias("mj"))
     )
@@ -6074,7 +6103,13 @@ def q163_window_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what value mass) — the discovery pass run BEFORE committing to "
     "q93's typed schema-on-read decode. from_json to map<string,int> + "
     "map explode keeps it one map-side pass + one count shuffle on the "
-    "(tiny) key space; no JSON path is hardcoded.",
+    "(tiny) key space; no JSON path is hardcoded. FIXTURE CONTRACT: "
+    "props is a flat {string: int} object (TESTDATA.md) — on malformed "
+    "JSON or non-int values Spark's from_json nulls the whole map "
+    "while the oracle's per-key json_extract casts per value, and "
+    "dotted/quoted keys would break the oracle's '$.'||k path; a "
+    "mixed-type props column should census via map<string,string> + "
+    "try_cast on both engines instead.",
 )
 def q164_map_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("props")
@@ -6227,8 +6262,9 @@ def _q166_oracle() -> str:
     "the composition exhibit: raw train corpus (benchmark source held "
     "out) → language+quality gates (q46/q47, map-side) → exact dedup "
     "survivorship (q40) → greedy near-dup suppression (drop any doc "
-    "with a smaller-id Jaccard≥0.5 partner — the one-pass non-"
-    "transitive policy, vs q71/q72's cluster-canonical) → benchmark "
+    "with a smaller-id Jaccard≥0.5 partner, pairs found by MinHash-"
+    "LSH — the one-pass non-transitive policy, vs q71/q72's cluster-"
+    "canonical) → benchmark "
     "decontamination (q94's broadcast gram probe) → greedy 512-token "
     "sequence packing (q84's rule, single-shard demo shape). Emits the "
     "per-stage survival funnel a curation run reports. Plan shape: per-"
@@ -6237,10 +6273,9 @@ def _q166_oracle() -> str:
     "evaluations of the tree — not one per stage.",
 )
 def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.operators.dedup import exact_dedup_groups
+    from tytodb_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
     from tytodb_spark.operators.textual import (
         decontaminate,
-        jaccard_pairs,
         lang_id,
         quality_score,
         token_count,
@@ -6263,7 +6298,14 @@ def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
     dup_b = (
-        jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+        # near-dup suppression via MinHash-LSH (q42's path), NOT the
+        # exact AllPairs scan: at r=4/b=16, t=0.5 the verified pair set
+        # coincides with all-pairs (miss prob <= (1-t^r)^b ~ 3e-8 per
+        # qualifying pair — q114 audits the equivalence), and candidate
+        # generation stays band-bucket-bounded instead of O(N^2-ish)
+        # prefix-filter work on the full gated corpus. r03 shipped the
+        # exact stage here and it was the slowest query in the bench.
+        minhash_lsh_pairs(exact, "doc_id", "text", shingle_n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__dup", F.lit(True))
@@ -6784,7 +6826,9 @@ def _q173_oracle(n_reps: int = 32, lo_rank: int = 2, hi_rank: int = 31) -> str:
     "q173_bootstrap_ci",
     _q173_oracle(),
     doc="Distributed POISSON bootstrap — the uncertainty estimate "
-    "(95% CI of the mean event value) without global coordination: "
+    "(a CI for the mean event value; ranks 2/31 of 32 replicates = "
+    "the ~6th..94th percentile band, an ~88% interval) without "
+    "global coordination: "
     "classic with-replacement resampling needs a global multinomial "
     "draw, but giving every row an independent Poisson(1) weight per "
     "replicate converges to the same bootstrap and runs as ONE corpus "
