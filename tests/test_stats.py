@@ -1,0 +1,89 @@
+"""Unit checks for the distributed rank/CDF statistics operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tytodb_spark.operators.stats import (
+    chi_square_independence,
+    ks_test,
+    mann_whitney_u,
+    with_prefix_sums,
+)
+
+
+def test_prefix_sums_exclusive_and_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(v, 1, 2) for v in range(250)], "v long, n1 long, n2 long"
+    )
+    out = {
+        r["v"]: (r["pre_n1"], r["pre_n2"])
+        for r in with_prefix_sums(df, 100, ["n1", "n2"]).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[99] == (99, 198)     # within first bucket
+    assert out[100] == (100, 200)   # first row of second bucket
+    assert out[249] == (249, 498)
+    out8 = {
+        r["v"]: (r["pre_n1"], r["pre_n2"])
+        for r in with_prefix_sums(
+            df.repartition(8), 100, ["n1", "n2"]
+        ).collect()
+    }
+    assert out8 == out
+
+
+def test_ks_identical_vs_shifted(spark):
+    # block parity for the group flag: both groups see the full 0..99
+    # value cycle -> identical empirical distributions, D = 0
+    same = spark.createDataFrame(
+        [(i, i % 100, (i // 100) % 2) for i in range(2000)],
+        "id long, v long, g int",
+    )
+    r = ks_test(same, F.col("v"), F.col("g")).collect()[0]
+    assert r["ks_q"] == 0 and not r["significant"]
+    shifted = spark.createDataFrame(
+        [
+            (i, i % 100 + (100 if (i // 100) % 2 else 0), (i // 100) % 2)
+            for i in range(2000)
+        ],
+        "id long, v long, g int",
+    )
+    r2 = ks_test(shifted, F.col("v"), F.col("g")).collect()[0]
+    # disjoint supports -> D = 1 exactly
+    assert r2["ks_q"] == 1_000_000 and r2["significant"]
+
+
+def test_mann_whitney_known_small_case(spark):
+    # group1 = {1,2,3}, group2 = {4,5,6}: R1 = 6, U1 = 0, 2*U1 = 0
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0)], "v long, g int"
+    )
+    r = mann_whitney_u(df, F.col("v"), F.col("g")).collect()[0]
+    assert (r["n1"], r["n2"], r["u1_x2"]) == (3, 3, 0)
+    # complete separation, n=3+3: z = -1.964 -> borderline significant
+    assert r["z_q"] < -1_900_000
+    # tie-heavy case: all values equal -> z = 0 via midranks, U1 = n1*n2/2
+    ties = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "v long, g int"
+    )
+    rt = mann_whitney_u(ties, F.col("v"), F.col("g")).collect()[0]
+    assert rt["u1_x2"] == 2 * (20 * 20 // 2)
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    # perfectly independent 2x2 with equal margins: chi2 = 0
+    rows = [("a", "x")] * 25 + [("a", "y")] * 25 + [("b", "x")] * 25 + [("b", "y")] * 25
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, F.col("r"), F.col("c")).collect()[0]
+    assert out["n"] == 100 and out["dof"] == 1
+    assert out["chi2_q"] == 0 and out["cramers_v_q"] == 0
+    # perfect association: chi2 = n
+    rows2 = [("a", "x")] * 50 + [("b", "y")] * 50
+    out2 = chi_square_independence(
+        spark.createDataFrame(rows2, "r string, c string"),
+        F.col("r"),
+        F.col("c"),
+    ).collect()[0]
+    assert out2["chi2_q"] == 100 * 1000  # chi2 = n, milli-units
+    assert out2["cramers_v_q"] == 1_000_000

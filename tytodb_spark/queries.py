@@ -6896,6 +6896,158 @@ REGISTRY["q174_skyline"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
+# q175+ — distributed exact rank/CDF statistics (round 4)
+# ---------------------------------------------------------------------------
+
+
+_KS_VALS = """
+    WITH v AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                      cast(floor(value * 100) AS BIGINT) AS vc
+               FROM events WHERE event_type IN ('click', 'view')),
+    c AS (SELECT vc, cast(sum(g) AS BIGINT) AS n1,
+                 cast(sum(1 - g) AS BIGINT) AS n2
+          FROM v GROUP BY vc),
+    t AS (SELECT cast(sum(n1) AS BIGINT) AS N1,
+                 cast(sum(n2) AS BIGINT) AS N2 FROM c)
+"""
+
+
+@query(
+    "q175_ks_test",
+    _KS_VALS
+    + """,
+    cum AS (SELECT vc,
+                   cast(sum(n1) OVER (ORDER BY vc) AS BIGINT) AS c1,
+                   cast(sum(n2) OVER (ORDER BY vc) AS BIGINT) AS c2
+            FROM c),
+    d AS (SELECT cast(max(abs(c1 * N2 - c2 * N1)) AS BIGINT) AS dmax
+          FROM cum CROSS JOIN t)
+    SELECT N1 AS n1, N2 AS n2,
+           cast(floor(dmax::DOUBLE / (N1::DOUBLE * N2::DOUBLE) * 1e6)
+                AS BIGINT) AS ks_q,
+           (dmax::DOUBLE / (N1::DOUBLE * N2::DOUBLE)
+              > 1.358 * sqrt((N1 + N2)::DOUBLE / (N1::DOUBLE * N2::DOUBLE)))
+             AS significant
+    FROM d CROSS JOIN t
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov test (click vs view value "
+    "distributions) — the drift gate a curation pipeline runs on each "
+    "new ingest batch. D = max|F1−F2| computes EXACTLY as the integer "
+    "max of |c1·N2 − c2·N1| over inclusive cumulative counts; the "
+    "global CDF is a BUCKETED two-level prefix sum (per-value hash "
+    "agg → per-bucket subtotals → metadata-sized offset window → "
+    "within-bucket partitioned window), so no corpus-scale stage is "
+    "ever a partition-less Window; operators/stats.py ks_test.",
+)
+def q175_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import ks_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return ks_test(
+        ev,
+        F.floor(F.col("value") * 100).cast("bigint"),
+        (F.col("event_type") == "click").cast("int"),
+    )
+
+
+@query(
+    "q176_mann_whitney",
+    _KS_VALS
+    + """,
+    cum AS (SELECT vc, n1, n2,
+                   cast(coalesce(sum(n1 + n2) OVER (ORDER BY vc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS pre
+            FROM c),
+    agg AS (SELECT cast(sum(n1 * (2 * pre + n1 + n2 + 1)) AS BIGINT) AS r1x2,
+                   cast(sum((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2))
+                        AS BIGINT) AS T
+            FROM cum),
+    s AS (SELECT N1, N2, r1x2 - N1 * (N1 + 1) AS u1x2, T,
+                 (N1 + N2)::DOUBLE AS nd
+          FROM agg CROSS JOIN t),
+    z AS (SELECT N1, N2, u1x2,
+                 (u1x2::DOUBLE / 2.0 - N1::DOUBLE * N2::DOUBLE / 2.0)
+                   / sqrt(N1::DOUBLE * N2::DOUBLE / 12.0
+                          * ((nd + 1) - T::DOUBLE / (nd * (nd - 1)))) AS zv
+          FROM s)
+    SELECT N1 AS n1, N2 AS n2, u1x2 AS u1_x2,
+           cast(floor(zv * 1e6 + 0.5) AS BIGINT) AS z_q,
+           (abs(zv) >= 1.96) AS significant
+    FROM z
+    """,
+    doc="Exact Mann-Whitney U (Wilcoxon rank-sum) with midrank ties — "
+    "the nonparametric A/B comparison when heavy tails make the mean "
+    "lie. Rank sums stay exact by DOUBLING (midrank of a tied block = "
+    "pre + (t+1)/2, so 2·R1 = Σ n1(v)·(2·pre+t+1) is pure bigint on "
+    "the per-value count table — no per-row ranking pass); the "
+    "tie-corrected normal z quantizes to ppm. Same bucketed "
+    "distributed-prefix machinery as q175; operators/stats.py "
+    "mann_whitney_u.",
+)
+def q176_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return mann_whitney_u(
+        ev,
+        F.floor(F.col("value") * 100).cast("bigint"),
+        (F.col("event_type") == "click").cast("int"),
+    )
+
+
+@query(
+    "q177_chi_square",
+    """
+    WITH cells AS (SELECT source AS r, lang AS c,
+                          cast(count(*) AS BIGINT) AS o
+                   FROM documents GROUP BY source, lang),
+    rt AS (SELECT r, cast(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, cast(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (SELECT cast(sum(o) AS BIGINT) AS N,
+                   cast(count(DISTINCT r) AS BIGINT) AS nr,
+                   cast(count(DISTINCT c) AS BIGINT) AS nc
+            FROM cells),
+    contrib AS (SELECT N, nr, nc,
+                       cast(floor((o * N - rt * ct)::DOUBLE
+                                  * (o * N - rt * ct)::DOUBLE
+                                  / (N::DOUBLE * rt::DOUBLE * ct::DOUBLE)
+                                  * 1e3) AS BIGINT) AS cq
+                FROM (SELECT rt.r, ct.c, rt.rt, ct.ct,
+                             coalesce(cells.o, 0) AS o
+                      FROM rt CROSS JOIN ct
+                      LEFT JOIN cells USING (r, c))
+                CROSS JOIN tot),
+    agg AS (SELECT N, nr, nc, cast(sum(cq) AS BIGINT) AS chi2_m
+            FROM contrib GROUP BY N, nr, nc)
+    SELECT N AS n, (nr - 1) * (nc - 1) AS dof, chi2_m AS chi2_q,
+           cast(floor(sqrt(chi2_m::DOUBLE / 1e3
+                           / (N::DOUBLE * least(nr - 1, nc - 1)::DOUBLE))
+                      * 1e6) AS BIGINT) AS cramers_v_q
+    FROM agg
+    """,
+    doc="Chi-square independence audit over the source × lang "
+    "contingency — is corpus composition uniform across sources, or "
+    "does one source skew the language mix? Cells/margins/N are exact "
+    "bigints; each cell's (o·N − rt·ct)²/(N·rt·ct) evaluates in a "
+    "fixed sequence of correctly-rounded double ops and quantizes to "
+    "milli-units BEFORE the final sum (order-independent bigint "
+    "total); Cramér's V normalizes for table size. Two metadata-sized "
+    "broadcast joins; one corpus-scale aggregate; operators/stats.py "
+    "chi_square_independence.",
+)
+def q177_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, F.col("source"), F.col("lang"))
+
+
+# ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
 # The round driver's CORRECTNESS artifact covers a PREFIX of the registry
