@@ -314,3 +314,18 @@ def test_mg_compress_no_global_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert P.has_take_ordered(out), plan
     assert out.count() <= 16
+
+
+def test_skipgram_pairs_distributed_topk(spark, sf_dir):
+    # pairs materialize map-side from array slices; one count exchange;
+    # global top-100 is TakeOrderedAndProject, never a full sort
+    df = _df(spark, sf_dir, "q181_skipgram_pairs")
+    assert P.has_take_ordered(df)
+    assert P.num_shuffles(df) == 1
+
+
+def test_negative_sampling_broadcasts_intervals(spark, sf_dir):
+    # the draw spine joins the cumulative-weight intervals via
+    # broadcast — draws never hash-exchange
+    df = _df(spark, sf_dir, "q182_negative_sampling")
+    assert P.num_broadcast_joins(df) >= 2  # totals + interval table

@@ -374,6 +374,81 @@ def jaccard_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: C = |A∩B| / min(|A|,|B|) ≥ t —
+    the sub-document inclusion detector Jaccard structurally misses
+    (a tweet quoted inside an article has J ≈ |tweet|/|article| ≈ 0 but
+    containment 1; quote-inclusion and boilerplate-wrapping dups are
+    exactly this shape, cf. Lee et al.'s motivation for span dedup).
+
+    Candidate pruning is the AllPairs prefix filter applied to the
+    SMALLER side only: containment ≥ t forces overlap ≥ ⌈t·|S|⌉ for
+    the smaller set S, so S's ⌈|S|−t·|S|⌉+1 lowest-df shingles must
+    hit the other doc (pigeonhole) — but since the partner's size is
+    unknown at probe time, every doc's prefix probes the FULL posting
+    list (no size bound and no partner-prefix bound apply to
+    containment; that asymmetry is the price of catching small⊂big).
+    df-ascending prefix order still keeps stop-shingles out of the
+    probe side. Exact verification over the cached shingle arrays.
+
+    Output: (id_a, id_b, containment) with id_a < id_b, round(·, 6).
+    """
+    shingled = shingle_table(df, id_col, text_col, n)
+    posts = shingled.select("__id", "__n", F.explode("__sh").alias("__s"))
+    dfreq = F.broadcast(posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")))
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = (
+        posts.join(dfreq, "__s")
+        .withColumn(
+            "__rk",
+            F.row_number().over(W.partitionBy("__id").orderBy("__df", "__s")),
+        )
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col("__id").alias("__p"), "__s")
+    )
+    candidates = (
+        prefix.join(posts.select(F.col("__id").alias("__f"), "__s"), "__s")
+        .filter(F.col("__p") != F.col("__f"))
+        .select(
+            F.least("__p", "__f").alias("id_a"),
+            F.greatest("__p", "__f").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = shingled.select("__id", "__sh", "__n")
+    return (
+        candidates.join(
+            sh.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sh").alias("sh_a"),
+                F.col("__n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sh").alias("sh_b"),
+                F.col("__n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("__c", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.round(F.col("__c") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination & repetition filtering
 # ---------------------------------------------------------------------------

@@ -7047,6 +7047,306 @@ def q177_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(docs, F.col("source"), F.col("lang"))
 
 
+@query(
+    "q178_containment_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / least(any_value(a.n), any_value(b.n)), 6)
+             AS containment
+    FROM ex a JOIN ex b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(count(*) / least(any_value(a.n), any_value(b.n)), 6) >= 0.8
+    """,
+    doc="Asymmetric CONTAINMENT dedup (C = |A∩B|/min(|A|,|B|) ≥ 0.8) — "
+    "the sub-document inclusion detector Jaccard structurally misses: "
+    "a short doc quoted inside a long one has J ≈ small/large ≈ 0 but "
+    "containment 1 (quote-inclusion and boilerplate-wrapped dups). "
+    "AllPairs prefix filter on the smaller side probing FULL postings "
+    "(no size bound applies to containment — that asymmetry is the "
+    "price of catching small⊂big), exact verify over cached shingle "
+    "arrays. Oracle: exhaustive gram-join containment; operators/"
+    "textual.py containment_pairs.",
+)
+def q178_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@query(
+    "q179_edit_distance_verify",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_NGRAMS(3)}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*))
+                       >= 0.5),
+    nt AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents),
+    lev AS (SELECT id_a, id_b,
+                   cast(levenshtein(a.nrm, b.nrm) AS BIGINT) AS lev,
+                   greatest(length(a.nrm), length(b.nrm)) AS ml
+            FROM pairs JOIN nt a ON a.doc_id = id_a
+                       JOIN nt b ON b.doc_id = id_b)
+    SELECT id_a, id_b, lev,
+           cast(floor((1.0 - lev::DOUBLE / ml::DOUBLE) * 1e6) AS BIGINT)
+             AS sim_q
+    FROM lev
+    """,
+    doc="Edit-distance verification of near-dup candidates — the "
+    "character-level second opinion on the shingle-level match "
+    "(catches token-preserving shuffles that fool set Jaccard, and "
+    "grades HOW similar surviving pairs are). Levenshtein is O(l1·l2) "
+    "per pair, so it runs ONLY on the LSH-bounded candidate set, "
+    "never corpus×corpus; sim = 1 − lev/max(len), ppm-quantized. "
+    "Oracle: exact-Jaccard candidates (the q42-audited equivalence) + "
+    "DuckDB levenshtein (same unit-cost DP).",
+)
+def q179_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    nt = docs.select(
+        F.col("doc_id"), normalize_text(F.col("text")).alias("nrm")
+    )
+    j = (
+        pairs.join(
+            nt.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            nt.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").cast("bigint").alias("lev"),
+            F.greatest(F.length("na"), F.length("nb")).alias("__ml"),
+        )
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "lev",
+        F.floor(
+            (F.lit(1.0) - F.col("lev").cast("double") / F.col("__ml").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("sim_q"),
+    )
+
+
+@query(
+    "q180_dedup_lineage",
+    rf"""
+    WITH norm AS (SELECT doc_id,
+                         md5(array_to_string(({_TOKS})[1:8], ' '))
+                           AS content_key
+                  FROM documents),
+    g AS (SELECT content_key, list_sort(list(doc_id)) AS ids,
+                 cast(count(*) AS BIGINT) AS n
+          FROM norm GROUP BY content_key)
+    SELECT content_key, ids[1] AS keep_id, n - 1 AS n_dropped,
+           array_to_string(list_transform(ids[2:], x -> x::VARCHAR), ',')
+             AS dropped_ids
+    FROM g WHERE n > 1
+    """,
+    doc="Dedup survivorship LINEAGE — not just who survives (q40) "
+    "but the auditable keep→dropped mapping a takedown or "
+    "reproducibility request needs ('which documents did this one "
+    "absorb?'). Keyed on the leading-passage fingerprint (first 8 "
+    "normalized tokens — q104's passage-dedup granularity; whole-text "
+    "hashing is the degenerate key=md5(text) case). One content-hash "
+    "aggregate; per-group id lists are duplicate-cluster-sized "
+    "(bounded), sorted for determinism, and serialized as a comma-"
+    "joined string (portable across engines and the driver's "
+    "value-hash).",
+)
+def q180_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.md5(
+                F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ")
+            ).alias("content_key"),
+            F.col("doc_id"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    return g.select(
+        "content_key",
+        F.element_at("ids", 1).alias("keep_id"),
+        (F.col("n") - 1).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.slice(F.col("ids"), 2, F.size("ids") - 1),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("dropped_ids"),
+    )
+
+
+@query(
+    "q181_skipgram_pairs",
+    f"""
+    WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+    p1 AS (SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+           FROM tok CROSS JOIN unnest(range(1, len(t))) AS r(i)),
+    p2 AS (SELECT list_extract(t, i) AS w1, list_extract(t, i + 2) AS w2
+           FROM tok CROSS JOIN unnest(range(1, len(t) - 1)) AS r(i)),
+    pairs AS (SELECT w1, w2 FROM p1 UNION ALL SELECT w1, w2 FROM p2)
+    SELECT w1, w2, cast(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 100
+    """,
+    doc="Skip-gram context-pair extraction (window ±2, directional) — "
+    "the training-pair generator for word2vec-style embedding runs. "
+    "Pairs materialize MAP-SIDE from array slices (zip_with over "
+    "offset slices — no per-doc self-join, no position explode "
+    "before pairing), so the only shuffle is the (w1,w2) count and "
+    "the global top-100 is TakeOrderedAndProject over per-partition "
+    "top-k's, never a full sort of the pair vocabulary.",
+)
+def q181_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("__t"))
+    pairs = t.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), "
+                    "slice(__t, 2, greatest(size(__t)-1, 0)), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                ),
+                F.expr(
+                    "zip_with(slice(__t, 1, greatest(size(__t)-2, 0)), "
+                    "slice(__t, 3, greatest(size(__t)-2, 0)), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "q182_negative_sampling",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    v AS (SELECT term, cast(count(*) AS BIGINT) AS c FROM tok
+          GROUP BY term ORDER BY c DESC, term LIMIT 1000),
+    w AS (SELECT term,
+                 cast(floor(sqrt(c::DOUBLE) * sqrt(sqrt(c::DOUBLE)) * 1e6)
+                      AS BIGINT) AS wq
+          FROM v),
+    cum AS (SELECT term, wq,
+                   cast(coalesce(sum(wq) OVER (ORDER BY wq DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS lo
+            FROM w),
+    tot AS (SELECT cast(sum(wq) AS BIGINT) AS tw FROM w),
+    draws AS (SELECT cast(floor(
+                 ((('0x' || substr(md5('neg:' || j::VARCHAR), 1, 13))::BIGINT
+                   + 0.5) / 4503599627370496.0) * tw::DOUBLE) AS BIGINT) AS tgt
+              FROM range(0, 10000) AS r(j) CROSS JOIN tot),
+    hit AS (SELECT term FROM draws JOIN cum
+            ON tgt >= lo AND tgt < lo + wq)
+    SELECT term, cast(count(*) AS BIGINT) AS n_draws
+    FROM hit GROUP BY term
+    """,
+    doc="Deterministic NEGATIVE-SAMPLING table (unigram^0.75, the "
+    "word2vec noise distribution): vocab top-1000 by frequency, "
+    "weights c^0.75 computed as sqrt(c)·sqrt(sqrt(c)) (two correctly-"
+    "rounded IEEE ops — no libm pow divergence) and quantized; 10k "
+    "md5-seeded uniform draws map to tokens through a broadcast "
+    "range-join on the cumulative weight intervals. The cumulative "
+    "window runs over the 1000-row vocab (metadata-sized by "
+    "construction); draws never shuffle — the interval table "
+    "broadcasts. Same draw j → same token in any engine, at any "
+    "parallelism.",
+)
+def q182_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import md5_uniform52
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(1000)
+    )
+    w = v.select(
+        "term",
+        F.floor(
+            F.sqrt(F.col("c").cast("double"))
+            * F.sqrt(F.sqrt(F.col("c").cast("double")))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    cum_w = W.orderBy(F.col("wq").desc(), "term").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = w.select(
+        "term",
+        "wq",
+        F.coalesce(F.sum("wq").over(cum_w), F.lit(0)).cast("bigint").alias("lo"),
+    )
+    tot = w.agg(F.sum("wq").cast("bigint").alias("tw"))
+    draws = (
+        spark.range(10_000)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                md5_uniform52(F.concat(F.lit("neg:"), F.col("id").cast("string")))
+                * F.col("tw").cast("double")
+            )
+            .cast("bigint")
+            .alias("tgt")
+        )
+    )
+    hit = draws.join(
+        F.broadcast(cum),
+        (F.col("tgt") >= F.col("lo")) & (F.col("tgt") < F.col("lo") + F.col("wq")),
+    )
+    return hit.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_draws")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
