@@ -329,3 +329,12 @@ def test_negative_sampling_broadcasts_intervals(spark, sf_dir):
     # broadcast — draws never hash-exchange
     df = _df(spark, sf_dir, "q182_negative_sampling")
     assert P.num_broadcast_joins(df) >= 2  # totals + interval table
+
+
+def test_bloom_semi_join_probe_is_broadcast(spark, sf_dir):
+    # the fact scan must meet only broadcast sides (two bloom word
+    # joins + the exact membership join) — no hash exchange of lineitem
+    df = _df(spark, sf_dir, "q185_bloom_semi_join")
+    assert P.num_broadcast_joins(df) >= 3
+    plan = P.physical_plan(df)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan

@@ -7347,6 +7347,497 @@ def q182_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q183_moment_sketch",
+    """
+    WITH v AS (SELECT event_type,
+                      cast(floor(value * 100) AS BIGINT) AS vc
+               FROM events),
+    s AS (SELECT event_type, cast(count(*) AS BIGINT) AS n,
+                 cast(sum(vc) AS BIGINT) AS s1,
+                 cast(sum(vc * vc) AS BIGINT) AS s2,
+                 sum(cast(vc * vc * vc AS DECIMAL(38,0))) AS s3,
+                 sum(cast(vc * vc AS DECIMAL(38,0))
+                     * cast(vc * vc AS DECIMAL(38,0))) AS s4
+          FROM v GROUP BY event_type),
+    e AS (SELECT event_type, n,
+                 s1::DOUBLE / n::DOUBLE AS mean,
+                 s2::DOUBLE / n::DOUBLE AS e2,
+                 s3::DOUBLE / n::DOUBLE AS e3,
+                 s4::DOUBLE / n::DOUBLE AS e4
+          FROM s),
+    m AS (SELECT event_type, n, mean,
+                 e2 - mean * mean AS m2,
+                 e3 - 3 * mean * e2 + 2 * mean * mean * mean AS m3,
+                 e4 - 4 * mean * e3 + 6 * mean * mean * e2
+                    - 3 * mean * mean * mean * mean AS m4
+          FROM e)
+    SELECT event_type, n,
+           cast(floor(mean * 1e3 + 0.5) AS BIGINT) AS mean_q,
+           cast(floor(m2 * 1e3 + 0.5) AS BIGINT) AS m2_q,
+           CASE WHEN m2 > 0
+                THEN cast(floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) AS BIGINT)
+                ELSE 0 END AS skew_q,
+           CASE WHEN m2 > 0
+                THEN cast(floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) AS BIGINT)
+                ELSE 0 END AS kurt_q
+    FROM m
+    """,
+    doc="Mergeable MOMENTS sketch (power sums S0..S4 per group) — the "
+    "one-pass distributed distribution profile: partial sums combine "
+    "map-side and MERGE across batches/shards by plain addition (the "
+    "re-aggregatability contract CMS/Bloom/HLL satisfy for counts/"
+    "membership/cardinality, here for shape). Values quantize to "
+    "integer cents; S1/S2 stay bigint, S3/S4 sum as DECIMAL(38,0) "
+    "(vc⁴ overflows int64 at corpus row counts) and only cast to "
+    "double once for the moment algebra — mean/variance/skewness/"
+    "kurtosis come out of fixed-order IEEE ops, published quantized.",
+)
+def q183_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    vc = F.col("vc")
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s1"),
+        F.sum(vc * vc).cast("bigint").alias("s2"),
+        F.sum((vc * vc * vc).cast("decimal(38,0)")).alias("s3"),
+        F.sum(
+            (vc * vc).cast("decimal(38,0)") * (vc * vc).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    e2 = F.col("s2").cast("double") / nd
+    e3 = F.col("s3").cast("double") / nd
+    e4 = F.col("s4").cast("double") / nd
+    m = s.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        (e2 - mean * mean).alias("m2"),
+        (e3 - 3 * mean * e2 + 2 * mean * mean * mean).alias("m3"),
+        (
+            e4
+            - 4 * mean * e3
+            + 6 * mean * mean * e2
+            - 3 * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(F.col("mean") * 1e3 + F.lit(0.5)).cast("bigint").alias("mean_q"),
+        F.floor(m2 * 1e3 + F.lit(0.5)).cast("bigint").alias("m2_q"),
+        F.when(
+            m2 > 0,
+            F.floor(
+                F.col("m3") / (m2 * F.sqrt(m2)) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("skew_q"),
+        F.when(
+            m2 > 0,
+            F.floor(
+                (F.col("m4") / (m2 * m2) - 3) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("kurt_q"),
+    )
+
+
+@query(
+    "q184_hll_intersection",
+    """
+    WITH 
+    a_r0 AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT
+                          AS ridx,
+                        substr(md5(user_id::VARCHAR), 3, 13) AS w
+                 FROM events WHERE event_type = 'click'),
+    a_r1 AS (SELECT ridx,
+                        CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
+                             ELSE (length(w) - length(ltrim(w, '0'))) * 4
+                                  + 3 - cast(substr('011222233333333',
+                                        strpos('0123456789abcdef',
+                                               substr(ltrim(w, '0'), 1, 1)) - 1,
+                                        1) AS INT)
+                                  + 1 END AS rho
+                 FROM a_r0),
+    a_regs AS (SELECT ridx, max(rho) AS rho FROM a_r1 GROUP BY ridx),
+    
+    b_r0 AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT
+                          AS ridx,
+                        substr(md5(user_id::VARCHAR), 3, 13) AS w
+                 FROM events WHERE event_type = 'view'),
+    b_r1 AS (SELECT ridx,
+                        CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
+                             ELSE (length(w) - length(ltrim(w, '0'))) * 4
+                                  + 3 - cast(substr('011222233333333',
+                                        strpos('0123456789abcdef',
+                                               substr(ltrim(w, '0'), 1, 1)) - 1,
+                                        1) AS INT)
+                                  + 1 END AS rho
+                 FROM b_r0),
+    b_regs AS (SELECT ridx, max(rho) AS rho FROM b_r1 GROUP BY ridx),
+    u_regs AS (SELECT ridx, max(rho) AS rho FROM
+                 (SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs)
+               GROUP BY ridx),
+    
+    a_agg AS (SELECT cast(count(*) AS BIGINT) AS nset,
+                         cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                           AS hsum
+                  FROM a_regs),
+    a_est AS (SELECT cast(floor(
+                    CASE WHEN (256 - nset) > 0
+                              AND 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                                  * 9007199254740992.0
+                                  / cast(hsum + (256 - nset)
+                                         * (1::BIGINT << 53) AS DOUBLE)
+                                  <= 2.5 * 256
+                         THEN 256.0 * ln(256.0 / (256 - nset))
+                         ELSE 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                              * 9007199254740992.0
+                              / cast(hsum + (256 - nset)
+                                     * (1::BIGINT << 53) AS DOUBLE) END
+                    * 1000 + 0.5) AS BIGINT) AS q
+                  FROM a_agg),
+    
+    b_agg AS (SELECT cast(count(*) AS BIGINT) AS nset,
+                         cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                           AS hsum
+                  FROM b_regs),
+    b_est AS (SELECT cast(floor(
+                    CASE WHEN (256 - nset) > 0
+                              AND 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                                  * 9007199254740992.0
+                                  / cast(hsum + (256 - nset)
+                                         * (1::BIGINT << 53) AS DOUBLE)
+                                  <= 2.5 * 256
+                         THEN 256.0 * ln(256.0 / (256 - nset))
+                         ELSE 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                              * 9007199254740992.0
+                              / cast(hsum + (256 - nset)
+                                     * (1::BIGINT << 53) AS DOUBLE) END
+                    * 1000 + 0.5) AS BIGINT) AS q
+                  FROM b_agg),
+    
+    u_agg AS (SELECT cast(count(*) AS BIGINT) AS nset,
+                         cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                           AS hsum
+                  FROM u_regs),
+    u_est AS (SELECT cast(floor(
+                    CASE WHEN (256 - nset) > 0
+                              AND 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                                  * 9007199254740992.0
+                                  / cast(hsum + (256 - nset)
+                                         * (1::BIGINT << 53) AS DOUBLE)
+                                  <= 2.5 * 256
+                         THEN 256.0 * ln(256.0 / (256 - nset))
+                         ELSE 0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                              * 9007199254740992.0
+                              / cast(hsum + (256 - nset)
+                                     * (1::BIGINT << 53) AS DOUBLE) END
+                    * 1000 + 0.5) AS BIGINT) AS q
+                  FROM u_agg),
+    ex AS (SELECT
+             cast(count(DISTINCT CASE WHEN event_type = 'click'
+                                      THEN user_id END) AS BIGINT) AS xa,
+             cast(count(DISTINCT CASE WHEN event_type = 'view'
+                                      THEN user_id END) AS BIGINT) AS xb,
+             cast(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                      THEN user_id END) AS BIGINT) AS xu
+           FROM events),
+    xi AS (SELECT xa, xb, xu, xa + xb - xu AS xinter FROM ex)
+    SELECT a_est.q AS est_click_q, b_est.q AS est_view_q,
+           u_est.q AS est_union_q,
+           a_est.q + b_est.q - u_est.q AS est_inter_q,
+           xi.xinter AS exact_inter,
+           (abs((a_est.q + b_est.q - u_est.q) / 1000.0 - xi.xinter)
+              <= 0.2 * xi.xu) AS err_ok
+    FROM a_est CROSS JOIN b_est CROSS JOIN u_est CROSS JOIN xi
+    """,
+    doc="HLL set-INTERSECTION estimate by inclusion-exclusion "
+    "(est(A)+est(B)−est(A∪B), union sketch = register-wise MAX) — the "
+    "audience-overlap / cross-source-user question answered from "
+    "metadata-sized sketches instead of a distinct-join of two corpus "
+    "scans. Builds on q165's portable register tables (md5 family, "
+    "exact-integer harmonic sums); the estimates subtract as exact "
+    "quantized integers. Inclusion-exclusion compounds the per-sketch "
+    "6.5% error, so the verdict bounds the estimate against the exact "
+    "overlap at 20% of the UNION size (the standard error scale for "
+    "sketch differences); operators/sketches.py hll_build/hll_estimate.",
+)
+def q184_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    a = hll_build(ev.filter(F.col("event_type") == "click"), "user_id")
+    b = hll_build(ev.filter(F.col("event_type") == "view"), "user_id")
+    u = (
+        a.unionByName(b)
+        .groupBy("ridx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    ea = hll_estimate(a).select(F.col("hll_est_q").alias("est_click_q"))
+    eb = hll_estimate(b).select(F.col("hll_est_q").alias("est_view_q"))
+    eu = hll_estimate(u).select(F.col("hll_est_q").alias("est_union_q"))
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("xa"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("xb"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("user_id")
+            )
+        )
+        .cast("bigint")
+        .alias("xu"),
+    )
+    j = ea.crossJoin(eb).crossJoin(eu).crossJoin(F.broadcast(ex))
+    inter = F.col("est_click_q") + F.col("est_view_q") - F.col("est_union_q")
+    return j.select(
+        "est_click_q",
+        "est_view_q",
+        "est_union_q",
+        inter.alias("est_inter_q"),
+        (F.col("xa") + F.col("xb") - F.col("xu")).alias("exact_inter"),
+        (
+            F.abs(
+                inter / F.lit(1000.0)
+                - (F.col("xa") + F.col("xb") - F.col("xu"))
+            )
+            <= F.lit(0.2) * F.col("xu")
+        ).alias("err_ok"),
+    )
+
+
+@query(
+    "q185_bloom_semi_join",
+    """
+    WITH hi AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                WHERE o_totalprice > 200000),
+    pos AS (SELECT key,
+                   unnest([('0x'||substr(md5(key::VARCHAR),1,8))::BIGINT % 65536,
+                           ('0x'||substr(md5(key::VARCHAR),9,8))::BIGINT % 65536])
+                     AS p
+            FROM hi),
+    words AS (SELECT p // 32 AS widx,
+                     bit_or(1::BIGINT << cast(p % 32 AS INT)) AS word
+              FROM pos GROUP BY 1),
+    probe AS (
+      SELECT l_orderkey, cast(floor(l_quantity * 100) AS BIGINT) AS qc,
+             ('0x'||substr(md5(l_orderkey::VARCHAR),1,8))::BIGINT % 65536 AS p1,
+             ('0x'||substr(md5(l_orderkey::VARCHAR),9,8))::BIGINT % 65536 AS p2
+      FROM lineitem),
+    hit AS (
+      SELECT l_orderkey, qc,
+             ((coalesce(w1.word, 0) & (1::BIGINT << cast(p1 % 32 AS INT))) <> 0
+              AND (coalesce(w2.word, 0)
+                   & (1::BIGINT << cast(p2 % 32 AS INT))) <> 0) AS bloom_hit,
+             (hi.key IS NOT NULL) AS is_member
+      FROM probe LEFT JOIN words w1 ON w1.widx = p1 // 32
+                 LEFT JOIN words w2 ON w2.widx = p2 // 32
+                 LEFT JOIN hi ON hi.key = probe.l_orderkey)
+    SELECT cast(count(*) AS BIGINT) AS n_lineitem,
+           cast(sum(bloom_hit::INT) AS BIGINT) AS n_bloom_pass,
+           cast(sum(is_member::INT) AS BIGINT) AS n_matched,
+           cast(sum((bloom_hit AND NOT is_member)::INT) AS BIGINT)
+             AS n_false_pos,
+           cast(sum(CASE WHEN is_member THEN qc END) AS BIGINT) AS sum_qty_c,
+           bool_and(bloom_hit OR NOT is_member) AS no_false_negatives
+    FROM hit
+    """,
+    doc="BLOOM-PREFILTERED semi join — the 100 TB join-pushdown "
+    "pattern: instead of shuffling the fact table against the key set, "
+    "a 2 KB mergeable word-table Bloom filter (q151's sketch) over the "
+    "high-value order keys broadcasts to the lineitem scan, bloom "
+    "hits alone proceed to the exact semi join (false positives get "
+    "killed there — output stays EXACT, the filter only sheds shuffle "
+    "volume), and the audit row reports pass/match/false-positive "
+    "counts plus the no-false-negatives guarantee. At real scale the "
+    "probe is a map-side filter ahead of the only shuffle.",
+)
+def q185_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = bloom_build(hi, "key")
+    probed = bloom_probe(
+        li.select(
+            "l_orderkey",
+            F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        ),
+        "l_orderkey",
+        bloom,
+    )
+    flagged = probed.join(
+        F.broadcast(hi.withColumn("__m", F.lit(True))),
+        probed.l_orderkey == F.col("key"),
+        "left",
+    ).select(
+        "qc",
+        "bloom_hit",
+        F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitem"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_matched"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member"), F.col("qc")))
+        .cast("bigint")
+        .alias("sum_qty_c"),
+        F.bool_and(F.col("bloom_hit") | ~F.col("is_member")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+@query(
+    "q186_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS dst
+      FROM events),
+    pairs AS (SELECT src, dst, cast(count(*) AS BIGINT) AS n
+              FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, cast(sum(n) AS BIGINT) AS t FROM pairs GROUP BY src)
+    SELECT src, dst, n, cast((n * 1000000) // t AS BIGINT) AS p_q
+    FROM pairs JOIN tot USING (src)
+    """,
+    doc="Per-user event-type TRANSITION matrix (first-order Markov "
+    "estimate) — the session-behavior profile behind funnel and "
+    "next-action models. One user_id window (the only corpus-scale "
+    "shuffle; q64's ordering convention), then a |types|² aggregate; "
+    "probabilities publish as exact integer-division ppm so no float "
+    "division can disagree between engines.",
+)
+def q186_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").cast("bigint").alias("t"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.expr("(n * 1000000) div t").cast("bigint").alias("p_q"),
+    )
+
+
+@query(
+    "q187_zipf_slope",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    v AS (SELECT term, cast(count(*) AS BIGINT) AS c FROM tok
+          GROUP BY term ORDER BY c DESC, term LIMIT 200),
+    r AS (SELECT row_number() OVER (ORDER BY c DESC, term) AS rk, c FROM v),
+    q AS (SELECT cast(floor(ln(rk::DOUBLE) * 1e6) AS BIGINT) AS xq,
+                 cast(floor(ln(c::DOUBLE) * 1e6) AS BIGINT) AS yq
+          FROM r),
+    s AS (SELECT cast(count(*) AS BIGINT) AS np,
+                 cast(sum(xq) AS BIGINT) AS sx,
+                 cast(sum(yq) AS BIGINT) AS sy,
+                 cast(sum(xq * yq) AS BIGINT) AS sxy,
+                 cast(sum(xq * xq) AS BIGINT) AS sxx,
+                 cast(sum(yq * yq) AS BIGINT) AS syy
+          FROM q),
+    f AS (SELECT np,
+                 (np * sxy - sx * sy)::DOUBLE
+                   / (np * sxx - sx * sx)::DOUBLE AS slope,
+                 (np * sxy - sx * sy)::DOUBLE * (np * sxy - sx * sy)::DOUBLE
+                   / ((np * sxx - sx * sx)::DOUBLE
+                      * (np * syy - sy * sy)::DOUBLE) AS r2
+          FROM s)
+    SELECT np AS n_points,
+           cast(floor(slope * 1e6 + 0.5) AS BIGINT) AS slope_q,
+           cast(floor(r2 * 1e6 + 0.5) AS BIGINT) AS r2_q
+    FROM f
+    """,
+    doc="Zipf rank-frequency SLOPE (log-log OLS over the top-200 "
+    "vocabulary) — the one-number corpus-health signal (natural text "
+    "sits near −1; template spam and boilerplate bend it). Per-term "
+    "ln() values quantize to exact 1e6 integers BEFORE the OLS sums, "
+    "so every aggregate is order-independent bigint arithmetic (the "
+    "q148 discipline) and the slope/R² divisions are single "
+    "fixed-order double ops. The rank window runs over 200 rows — "
+    "metadata by construction; the corpus-scale work is one token "
+    "count + TakeOrdered top-200.",
+)
+def q187_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(200)
+    )
+    r = v.select(
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), "term"))
+        .alias("rk"),
+        "c",
+    )
+    q = r.select(
+        F.floor(F.log(F.col("rk").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.floor(num / denx * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("slope_q"),
+        F.floor(num * num / (denx * deny) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("r2_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
