@@ -29,6 +29,8 @@ SCALE_SENSITIVE = [
     "q139_bpe_apply",
     "q166_pipeline_funnel",
     "q172_stream_heavy_hitters",
+    "q192_cluster_stats",
+    "q193_stream_dedup",
 ]
 
 

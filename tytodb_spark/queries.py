@@ -7838,6 +7838,346 @@ def q187_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q188_compaction_plan",
+    """
+    WITH manifest AS (
+      SELECT cast(date_trunc('month', l_shipdate) AS TIMESTAMP) AS file_id,
+             cast(count(*) AS BIGINT) * 128 AS bytes
+      FROM lineitem GROUP BY 1),
+    pre AS (SELECT file_id, bytes,
+                   cast(coalesce(sum(bytes) OVER (ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS pre_bytes
+            FROM manifest),
+    grp AS (SELECT pre_bytes // 4194304 AS group_id, file_id, bytes FROM pre)
+    SELECT cast(group_id AS BIGINT) AS group_id,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(bytes) AS BIGINT) AS group_bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file
+    FROM grp GROUP BY group_id
+    """,
+    doc="Small-file COMPACTION planner — the table-maintenance pass "
+    "every long-lived 100 TB table needs (streaming ingest leaves "
+    "thousands of KB-sized files; scan cost is per-file, so they must "
+    "re-bin into ~target-sized outputs). Sort-based packing: manifest "
+    "ordered by file id, exclusive prefix sum of bytes, group = "
+    "prefix div target (4 MiB here; the real knob is "
+    "maxPartitionBytes-scaled) — each group lands within one file of "
+    "target, preserves ordering (so downstream zone maps stay tight), "
+    "and the plan itself is pure metadata work: the manifest is "
+    "|files| rows, the window metadata-sized. Fixture manifest: one "
+    "'file' per ship-month at 128 B/row.",
+)
+def q188_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    manifest = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("file_id")
+    ).agg((F.count(F.lit(1)) * 128).cast("bigint").alias("bytes"))
+    pw = W.orderBy("file_id").rowsBetween(W.unboundedPreceding, -1)
+    pre = manifest.select(
+        "file_id",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(pw), F.lit(0))
+        .cast("bigint")
+        .alias("pre_bytes"),
+    )
+    return (
+        pre.select(
+            F.expr("pre_bytes div 4194304").cast("bigint").alias("group_id"),
+            "file_id",
+            "bytes",
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+@query(
+    "q189_partition_checksums",
+    """
+    SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 4))::BIGINT % 16
+             AS bucket,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(sum(('0x' || substr(md5(
+                 cast(l_orderkey AS VARCHAR) || '|' ||
+                 cast(l_linenumber AS VARCHAR) || '|' ||
+                 cast(cast(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                   || '|' || l_returnflag
+               ), 1, 8))::BIGINT) AS BIGINT) AS checksum
+    FROM lineitem GROUP BY 1
+    """,
+    doc="PER-PARTITION checksum table — the anti-entropy index that "
+    "makes q143/q144 actionable at 100 TB: replicas exchange this "
+    "16-row (per-bucket) vector, and only buckets whose checksums "
+    "differ re-sync or diff row-level — terabytes of comparison "
+    "collapse to a metadata exchange. Bucket assignment uses the "
+    "portable md5 family (engine-independent, unlike hash()/xxhash "
+    "builtins), rows hash exactly as in q143, and the per-bucket sums "
+    "merge by addition (shard-parallel build, one combine).",
+)
+def q189_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint"),
+        F.lit(16),
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_quantity").cast(DEC).cast("string"),
+                    F.col("l_returnflag"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(row_hash).cast("bigint").alias("checksum"),
+    )
+
+
+@query(
+    "q190_dp_count",
+    """
+    WITH c AS (SELECT event_type, cast(count(*) AS BIGINT) AS n_true
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n_true,
+                 (('0x' || substr(md5('dp:' || event_type), 1, 13))::BIGINT
+                  + 0.5) / 4503599627370496.0 AS uu
+          FROM c),
+    z AS (SELECT event_type, n_true,
+                 cast(round(-1.0 * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                            * ln(1.0 - 2.0 * abs(uu - 0.5))) AS BIGINT)
+                   AS noise
+          FROM u)
+    SELECT event_type, n_true, n_true + noise AS n_noisy
+    FROM z
+    """,
+    doc="Differentially-private COUNT release (Laplace mechanism, "
+    "ε = 1): per-group noise = round(Lap(1/ε)) drawn by inverse CDF "
+    "from the md5-seeded uniform — deterministic, engine-portable "
+    "(u is an exact dyadic, so 1−2|u−½| is exact and the single ln/"
+    "round pipeline is fixed-order), and crucially SEEDED PER RELEASE "
+    "KEY, the property a distributed pipeline needs so retries and "
+    "speculative tasks can't burn privacy budget by re-drawing. "
+    "Demo emits n_true alongside for the differential check; a "
+    "production release publishes only n_noisy (and composes ε "
+    "across queries).",
+)
+def q190_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import md5_uniform52
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    u = md5_uniform52(F.concat(F.lit("dp:"), F.col("event_type")))
+    noise = F.round(
+        F.lit(-1.0)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    ).cast("bigint")
+    return c.select(
+        "event_type", "n_true", (F.col("n_true") + noise).alias("n_noisy")
+    )
+
+
+@query(
+    "q191_code_detect",
+    r"""
+    WITH f AS (
+      SELECT source,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[;{}()=<>\[\]]', '',
+                                                  'g')) AS nsym
+      FROM documents WHERE length(text) > 0)
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(CASE WHEN (nsym * 1000000) // nc >= 20000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_codey,
+           cast(sum(nsym) * 1000000 // sum(nc) AS BIGINT) AS sym_ppm
+    FROM f GROUP BY source
+    """,
+    doc="CODE-likeness census per source — the code-vs-prose "
+    "composition dial an LLM data mix needs (code is valuable but "
+    "must be budgeted, and html/markup noise masquerades as it). "
+    "Heuristic: structural-symbol density (;{}()=<>[] per char) — "
+    "map-side regexp count, thresholds compared as exact integer-"
+    "division ppm so no float boundary can flip a census cell; one "
+    "|sources|-keyed aggregate. The n-gram LM (q105) and quality "
+    "gates (q47) compose with this for the full mix report.",
+)
+def q191_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    f = docs.select(
+        "source",
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[;{}()=<>\[\]]", ""))
+        ).alias("nsym"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.expr("(nsym * 1000000) div nc") >= 20000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_codey"),
+        F.expr("(sum(nsym) * 1000000) div sum(nc)")
+        .cast("bigint")
+        .alias("sym_ppm"),
+    )
+
+
+def _q192_oracle() -> str:
+    closure = _q71_oracle()
+    return f"""
+    WITH comp AS ({closure}),
+    sizes AS (SELECT cluster_id, cast(count(*) AS BIGINT) AS sz
+              FROM comp GROUP BY cluster_id)
+    SELECT sz AS cluster_size,
+           cast(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    """
+
+
+@query(
+    "q192_cluster_stats",
+    None,  # composed below from the q71 closure
+    doc="Near-dup CLUSTER-SIZE histogram — the dedup monitoring panel "
+    "(a fat tail here means template families / bot content; the "
+    "1-count of each size drives the survivors-after-dedup forecast). "
+    "Reuses the full LSH→CC pipeline (auto label→star escalation) "
+    "and adds only cluster-keyed aggregates; oracle composes the "
+    "recursive-closure CC oracle with the same histogram.",
+)
+def q192_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.dedup import near_dup_clusters
+
+    comp = near_dup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+
+
+REGISTRY["q192_cluster_stats"] = QueryDef(
+    fn=REGISTRY["q192_cluster_stats"].fn,
+    oracle=_q192_oracle(),
+    doc=REGISTRY["q192_cluster_stats"].doc,
+)
+
+
+@query(
+    "q193_stream_dedup",
+    f"""
+    SELECT md5(array_to_string(({_TOKS})[1:8], ' ')) AS content_key,
+           cast(min(doc_id) AS BIGINT) AS keep_id,
+           cast(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="STREAMING exact-dedup maintenance — q40's survivor table kept "
+    "fresh as document batches arrive: per micro-batch the batch "
+    "collapses to its (key, min id, count) partial and merges into "
+    "snapshot-swap state by min/sum — the same mergeable-partial "
+    "shape as the rollup (q136) and heavy-hitter (q172) state "
+    "machines, so per-batch work is batch + state, never history. "
+    "(min, sum) merging is associative-commutative, so the final "
+    "state provably equals the cold one-pass aggregate — the oracle; "
+    "streaming/pipeline.py stream_exact_dedup. Keyed on the q180 "
+    "leading-passage fingerprint.",
+)
+def q193_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+    from tytodb_spark.streaming.pipeline import stream_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(F.slice(tokens(F.col("text")), 1, 8), " "))
+    return stream_exact_dedup(spark, docs, "doc_id", key)
+
+
+@query(
+    "q194_psi_drift",
+    """
+    WITH mx AS (SELECT max(event_id) AS mid FROM events),
+    v AS (SELECT (event_id <= mid // 2) AS old_half,
+                 cast(floor(value * 100) AS BIGINT) // 1000 AS bin
+          FROM events CROSS JOIN mx),
+    c AS (SELECT bin,
+                 cast(sum(old_half::INT) AS BIGINT) + 1 AS c1,
+                 cast(sum((NOT old_half)::INT) AS BIGINT) + 1 AS c2
+          FROM v GROUP BY bin),
+    t AS (SELECT cast(sum(c1) AS BIGINT) AS t1,
+                 cast(sum(c2) AS BIGINT) AS t2 FROM c),
+    terms AS (SELECT cast(floor(
+                 (c1::DOUBLE / t1::DOUBLE - c2::DOUBLE / t2::DOUBLE)
+                 * ln((c1::DOUBLE / t1::DOUBLE) / (c2::DOUBLE / t2::DOUBLE))
+                 * 1e9) AS BIGINT) AS tq
+              FROM c CROSS JOIN t)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM c) AS n_bins,
+           cast(sum(tq) AS BIGINT) AS psi_gq,
+           (sum(tq) > 200000000) AS drifted
+    FROM terms
+    """,
+    doc="Population Stability Index DRIFT monitor between the first "
+    "and second half of the event stream (the deployed-model health "
+    "check: PSI > 0.2 = the feature distribution moved). Fixed-width "
+    "value bins (deterministic — no quantile estimation inside the "
+    "monitor), +1 smoothing so empty bins stay defined, per-bin "
+    "(p−q)·ln(p/q) terms quantized to exact nano-units BEFORE the "
+    "sum (order-independent bigint total); one corpus aggregate on "
+    "the bin key.",
+)
+def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").alias("mid"))
+    v = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("event_id") <= F.expr("mid div 2")).alias("old_half"),
+        F.expr("floor(value * 100) div 1000").cast("bigint").alias("bin"),
+    )
+    c = v.groupBy("bin").agg(
+        (F.sum(F.col("old_half").cast("int")) + 1).cast("bigint").alias("c1"),
+        (F.sum((~F.col("old_half")).cast("int")) + 1).cast("bigint").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+    )
+    p = F.col("c1").cast("double") / F.col("t1").cast("double")
+    q = F.col("c2").cast("double") / F.col("t2").cast("double")
+    terms = c.crossJoin(F.broadcast(t)).select(
+        F.floor((p - q) * F.log(p / q) * F.lit(1e9)).cast("bigint").alias("tq")
+    )
+    nb = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"))
+    return (
+        terms.agg(F.sum("tq").cast("bigint").alias("psi_gq"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_bins", "psi_gq", (F.col("psi_gq") > 200000000).alias("drifted")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------

@@ -386,6 +386,86 @@ def stream_stream_left_join(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    key_expr,
+    n_files: int = 6,
+) -> DataFrame:
+    """Streaming EXACT-DEDUP maintenance: the survivor table
+    (content_key → keep_id, n_copies) kept fresh as document batches
+    arrive — q40's batch answer as persistent stream state, the
+    third snapshot-swap state machine next to the rollup (q136) and
+    heavy-hitter (q172) ones.
+
+    Per micro-batch: the batch collapses to its (key, min id, count)
+    partial — the SAME mergeable shape as the state, so the merge is
+    min/sum per key and per-batch work is batch-scan + state-sized
+    merge, never a rescan of history. Because (min, sum) is a
+    commutative-idempotent-free merge over associative partials, the
+    FINAL state is independent of how rows landed in batches — it
+    equals the cold one-pass aggregate, which is what the oracle
+    asserts (the q136 determinism contract).
+
+    Output: (content_key, keep_id, n_copies) — the full survivor map.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_sdedup_")
+    try:
+        src = docs.select(
+            F.col(id_col).alias("__id"), key_expr.alias("content_key")
+        )
+        src_dir = os.path.join(staging, "src")
+        src.repartition(n_files).write.parquet(src_dir)
+        state_dir = os.path.join(staging, "state")
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_state = batch_df.groupBy("content_key").agg(
+                F.min("__id").alias("keep_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            )
+            if os.path.exists(state_dir):
+                prev = spark.read.parquet(state_dir)
+                merged = (
+                    prev.unionByName(batch_state)
+                    .groupBy("content_key")
+                    .agg(
+                        F.min("keep_id").alias("keep_id"),
+                        F.sum("n_copies").cast("bigint").alias("n_copies"),
+                    )
+                )
+            else:
+                merged = batch_state
+            tmp = os.path.join(staging, f"state_tmp_{batch_id}")
+            merged.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(staging, f"state_old_{batch_id}")
+            if os.path.exists(state_dir):
+                os.rename(state_dir, old)
+            os.rename(tmp, state_dir)  # snapshot swap: atomic dir rename
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(staging, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize executor-side (localCheckpoint, NOT a driver
+        # collect — the survivor map is corpus-keyed) so staging can be
+        # reclaimed; at warehouse scale the state dir IS the output
+        # table and stays on storage instead
+        return spark.read.parquet(state_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def mg_compress(counts: DataFrame, m: int) -> DataFrame:
     """One Misra-Gries summary-merge step over a (term, c) counter
     table: subtract the (m+1)-th largest count from every counter and
