@@ -437,6 +437,74 @@ def main() -> None:
         "k× docs; ≤k_vocab presence rows/doc; constant pair key space",
     )
 
+    # exact KS: k× events — per-value counts grow k deep, the distinct
+    # value domain (and so every bucketed-prefix stage) stays constant
+    from tytodb_spark.operators.stats import ks_test
+
+    ev_ks = replicate(t["events"], k, ["event_id"])
+    ops["ks_test"] = (
+        ks_test(
+            ev_ks.filter(F.col("event_type").isin("click", "view")),
+            F.floor(F.col("value") * 100).cast("bigint"),
+            (F.col("event_type") == "click").cast("int"),
+        ),
+        "k-deep value counts; constant value domain → constant CDF stages",
+    )
+
+    # skip-gram pairs: k× docs, constant pair vocabulary — map-side
+    # pairing, one combinable count, TakeOrdered top-k
+    from tytodb_spark.operators.textual import tokens as _tk
+
+    sg = spread(docs, "doc_id").select(_tk("text").alias("__t"))
+    sg_pairs = sg.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), "
+                "slice(__t, 2, greatest(size(__t)-1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    ops["skipgram"] = (
+        sg_pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(100),
+        "k× pair stream collapses map-side to constant pair vocab",
+    )
+
+    # moments sketch: k× events, constant group count — pure partial-
+    # aggregation; the shuffle carries |groups| power-sum rows
+    ops["moment_sketch"] = (
+        ev_ks.select(
+            "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("s1"),
+            F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+            F.sum((F.col("vc") * F.col("vc") * F.col("vc")).cast("decimal(38,0)")).alias("s3"),
+        ),
+        "k× rows combine map-side; shuffle = |groups| sum rows",
+    )
+
+    # bloom-prefiltered semi join: k× fact side, 1× key set — probe is
+    # map-side against broadcast words; exact join broadcast too
+    ops["bloom_semi_join"] = (
+        bloom_probe(
+            li.select("l_orderkey"),
+            "l_orderkey",
+            bloom_build(
+                t["orders"].filter(F.col("o_totalprice") > 200000).select(
+                    F.col("o_orderkey").alias("key")
+                ),
+                "key",
+            ),
+        ).filter(F.col("bloom_hit")).select("l_orderkey"),
+        "k× fact map-probes a broadcast word table; no fact shuffle",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
