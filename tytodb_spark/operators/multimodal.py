@@ -241,3 +241,48 @@ def alignment_scores(media: DataFrame, text_df: DataFrame, id_col: str, text_col
         "doc_id",
     )
     return joined.mapInPandas(score, ALIGN_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("energy_x100", T.LongType()),
+    ]
+)
+
+
+def energy_windows(
+    media: DataFrame, window_bytes: int = 64, max_segments: int = 4
+) -> DataFrame:
+    """Audio-style energy segmentation (the VAD / silence-trim front of
+    a speech-data pipeline), stubbed deterministically: "energy" of a
+    fixed-stride byte window is mean byte value ×100 as an exact
+    integer (a real implementation decodes PCM and computes RMS over
+    sample windows behind the SAME Arrow batch signature — the explode
+    shape, schema, and per-partition locality are what's tested here).
+
+    Plan shape at 100 TB: payloads never leave their scan partition;
+    only (id, seg, int) rows flow out of the Python stage, so the
+    downstream voiced-segment filter/join is JVM-side on metadata-
+    sized rows.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_e = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = min(max_segments, max(1, len(raw) // window_bytes))
+                for i in range(n):
+                    w = raw[i * window_bytes : (i + 1) * window_bytes]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    # exact integer mean ×100 — floor division, engine-
+                    # and float-free
+                    out_e.append((sum(w) * 100) // len(w))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "seg_idx": out_idx, "energy_x100": out_e}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, ENERGY_SCHEMA)

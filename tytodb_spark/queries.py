@@ -5892,7 +5892,8 @@ def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates the verified pair set, exact dups flag via the "
     "normalized-token hash, and the tier counts must nest "
     "(exact ⊆ j80 ⊆ j50 — exact dups have j=1), asserted as a "
-    "verdict column. Exact-dup pairs union into the pair set as j=1 "
+    "verdict column. Pairs come from MinHash-LSH (q42's path, the "
+    "q114-audited exact equivalence at these parameters). Exact-dup pairs union into the pair set as j=1 "
     "BEFORE the census — an exact dup IS a j=1 near-dup even when its "
     "normalized text is shorter than a shingle (empty shingle sets "
     "never reach the gram join, which silently broke the nesting for "
@@ -5901,8 +5902,7 @@ def q160_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash aggregates.",
 )
 def q161_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.operators.dedup import normalize_text
-    from tytodb_spark.operators.textual import jaccard_pairs
+    from tytodb_spark.operators.dedup import minhash_lsh_pairs, normalize_text
 
     docs = _t(spark, sf_dir, "documents")
     norm = docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("h"))
@@ -5911,9 +5911,13 @@ def q161_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.join(F.broadcast(dup_h.select("h")), "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_dup"))
     )
-    jpairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
-        "id_a", "id_b", F.col("jaccard").alias("j")
-    )
+    # pairs via MinHash-LSH (q42's path; verified set coincides with
+    # exact all-pairs at these parameters — the q114-audited
+    # equivalence, same swap q166's funnel made): band-bucket-bounded
+    # candidate generation instead of the AllPairs prefix-filter scan
+    jpairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b", F.col("jaccard").alias("j"))
     # exact dups are j=1 pairs BY DEFINITION — union them in before the
     # census so a dup whose normalized text is shorter than a shingle
     # (empty shingle set, invisible to the gram join) still tiers
@@ -8175,6 +8179,89 @@ def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_bins", "psi_gq", (F.col("psi_gq") > 200000000).alias("drifted")
         )
+    )
+
+
+@query(
+    "q195_frame_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             sha256(substr(text, i * 64 + 1, 64)) AS h
+      FROM documents
+      CROSS JOIN unnest(range(0, least(4, greatest(1,
+                   octet_length(encode(text)) // 64)))) AS r(i))
+    SELECT h AS frame_sha256,
+           cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           cast(count(*) AS BIGINT) AS n_occurrences
+    FROM f GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Cross-video duplicate-FRAME detection — the multimodal twin "
+    "of passage dedup (stock footage, shared intros, watermark "
+    "templates duplicate frames across otherwise-distinct videos): "
+    "frame-sample every payload (q131's stubbed keyframe stride — a "
+    "real pipeline swaps in the ffmpeg decode behind the same Arrow "
+    "batch signature), hash frames content-wise, and one hash-keyed "
+    "aggregate finds frames shared by ≥2 documents. Payload bytes "
+    "never leave their scan partition; only (id, hash) rows shuffle; "
+    "operators/multimodal.py sample_frames.",
+)
+def q195_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import sample_frames, to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text", mime="video/fake")
+    frames = sample_frames(media)
+    return (
+        frames.groupBy("frame_sha256")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q196_energy_segments",
+    """
+    WITH w AS (
+      SELECT doc_id, i,
+             substr(text, i * 64 + 1, 64) AS win
+      FROM documents
+      CROSS JOIN unnest(range(0, least(4, greatest(1,
+                   octet_length(encode(text)) // 64)))) AS r(i)),
+    e AS (
+      SELECT doc_id, cast(i AS INT) AS seg_idx,
+             cast((list_sum(list_transform(range(1, length(win) + 1),
+                    j -> ord(substr(win, j, 1)))) * 100) // length(win)
+                  AS BIGINT) AS energy_x100
+      FROM w WHERE length(win) > 0)
+    SELECT doc_id, seg_idx, energy_x100,
+           (energy_x100 >= 9000) AS voiced
+    FROM e
+    """,
+    doc="Audio ENERGY segmentation (the VAD / silence-trim front of a "
+    "speech-data pipeline): fixed-stride payload windows score an "
+    "exact integer mean-byte energy inside Arrow-batched mapInPandas "
+    "(the real RMS-over-PCM decode swaps in behind the same batch "
+    "signature — container has no audio libs), and the voiced gate "
+    "thresholds JVM-side on the metadata-sized (id, seg, int) rows. "
+    "All integer floor arithmetic — no float boundary exists anywhere; "
+    "operators/multimodal.py energy_windows.",
+)
+def q196_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import energy_windows, to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text", mime="audio/fake")
+    segs = energy_windows(media)
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        "energy_x100",
+        (F.col("energy_x100") >= 9000).alias("voiced"),
     )
 
 
