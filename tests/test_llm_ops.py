@@ -1686,3 +1686,59 @@ def test_poisson_bootstrap_ci_rank_config_raises(spark):
     df = spark.createDataFrame([(0, 1.0)], "event_id long, value double")
     with _pytest.raises(ValueError, match="rank picks"):
         poisson_bootstrap_ci(df, "event_id", "value", n_reps=8, hi_rank=31)
+
+
+def test_energy_windows_empty_and_short_payloads(spark):
+    from tytodb_spark.operators.multimodal import energy_windows, to_media_table
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "A"), (2, "A" * 200)], "doc_id long, text string"
+    )
+    out = energy_windows(to_media_table(df, "doc_id", "text")).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc                      # empty payload: no segments
+    assert len(by_doc[1]) == 1                  # sub-window payload: 1 segment
+    assert by_doc[1][0]["energy_x100"] == 65 * 100  # ord('A') = 65, exact
+    assert len(by_doc[2]) == 3                  # 200 // 64 = 3 full windows
+    assert all(r["energy_x100"] == 6500 for r in by_doc[2])
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    from tytodb_spark.operators.textual import containment_pairs, jaccard_pairs
+
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cont} == {(1, 2)}
+    assert cont[0]["containment"] == 1.0  # small fully inside big
+    # Jaccard misses the same pair at any usable threshold
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+
+def test_stream_exact_dedup_equals_cold_aggregate(spark):
+    from pyspark.sql import functions as F
+    from tytodb_spark.streaming.pipeline import stream_exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(100)], "doc_id long, text string"
+    )
+    out = {
+        r["content_key"]: (r["keep_id"], r["n_copies"])
+        for r in stream_exact_dedup(
+            spark, df, "doc_id", F.col("text"), n_files=4
+        ).collect()
+    }
+    cold = {
+        r["text"]: (r["k"], r["n"])
+        for r in df.groupBy("text")
+        .agg(F.min("doc_id").alias("k"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == cold

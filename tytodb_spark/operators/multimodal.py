@@ -273,6 +273,8 @@ def energy_windows(
             out_id, out_idx, out_e = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                if not raw:  # empty payload: no segments (mirrors the
+                    continue  # oracle's length(win) > 0 guard)
                 n = min(max_segments, max(1, len(raw) // window_bytes))
                 for i in range(n):
                     w = raw[i * window_bytes : (i + 1) * window_bytes]
