@@ -87,3 +87,41 @@ def test_chi_square_independent_uniform_is_zero(spark):
     ).collect()[0]
     assert out2["chi2_q"] == 100 * 1000  # chi2 = n, milli-units
     assert out2["cramers_v_q"] == 1_000_000
+
+
+def test_ks_and_mw_match_numpy_reference_on_random_data(spark):
+    """Exact-arithmetic cross-check against an independent pure-numpy
+    implementation on seeded random datasets (ties included)."""
+    import numpy as np
+
+    for seed in (7, 42, 1234):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 60, size=400)           # heavy ties
+        b = rng.integers(10, 70, size=300)
+        rows = [(int(v), 1) for v in a] + [(int(v), 0) for v in b]
+        df = spark.createDataFrame(rows, "v long, g int")
+
+        # numpy KS: D = max |F1 - F2| over the pooled support
+        vals = np.unique(np.concatenate([a, b]))
+        f1 = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        f2 = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        d_ref = np.abs(f1 - f2).max()
+        r = ks_test(df, F.col("v"), F.col("g"), bucket_width=16).collect()[0]
+        assert r["ks_q"] == int(np.floor(d_ref * 1e6 + 1e-9)), (seed, d_ref)
+
+        # numpy Mann-Whitney with midranks: U1 = R1 - n1(n1+1)/2
+        pooled = np.concatenate([a, b])
+        order = np.argsort(pooled, kind="mergesort")
+        ranks = np.empty(len(pooled))
+        sorted_vals = pooled[order]
+        i = 0
+        while i < len(sorted_vals):
+            j = i
+            while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # midrank, 1-based avg
+            i = j
+        r1 = ranks[: len(a)].sum()
+        u1x2_ref = int(round(2 * r1)) - len(a) * (len(a) + 1)
+        m = mann_whitney_u(df, F.col("v"), F.col("g"), bucket_width=16).collect()[0]
+        assert m["u1_x2"] == u1x2_ref, (seed, m["u1_x2"], u1x2_ref)
