@@ -282,7 +282,10 @@ def stream_incremental_rollup(
             else:
                 new_state = batch_state
             tmp = os.path.join(staging, f"state_tmp_{batch_id}")
-            new_state.write.mode("overwrite").parquet(tmp)
+            # state is |groups| rows — one file per snapshot, not 32
+            # near-empty shuffle-partition files (file-open cost
+            # dominates metadata-sized state reads)
+            new_state.coalesce(1).write.mode("overwrite").parquet(tmp)
             old = os.path.join(staging, f"state_old_{batch_id}")
             if os.path.exists(state_dir):
                 os.rename(state_dir, old)
@@ -392,6 +395,7 @@ def stream_exact_dedup(
     id_col: str,
     key_expr,
     n_files: int = 6,
+    state_files: int | None = 4,
 ) -> DataFrame:
     """Streaming EXACT-DEDUP maintenance: the survivor table
     (content_key → keep_id, n_copies) kept fresh as document batches
@@ -437,7 +441,14 @@ def stream_exact_dedup(
             else:
                 merged = batch_state
             tmp = os.path.join(staging, f"state_tmp_{batch_id}")
-            merged.write.mode("overwrite").parquet(tmp)
+            # survivor map is corpus-keyed: bound the snapshot file
+            # count at test scale (32 near-empty files/batch otherwise);
+            # a warehouse-scale run passes state_files=None to keep the
+            # key partitioning (the state dir IS the output table there)
+            out_state = (
+                merged if state_files is None else merged.coalesce(state_files)
+            )
+            out_state.write.mode("overwrite").parquet(tmp)
             old = os.path.join(staging, f"state_old_{batch_id}")
             if os.path.exists(state_dir):
                 os.rename(state_dir, old)
@@ -544,7 +555,8 @@ def stream_heavy_hitters(
                 combined = batch_counts
             compressed = mg_compress(combined, m)
             tmp = os.path.join(staging, f"state_tmp_{batch_id}")
-            compressed.write.mode("overwrite").parquet(tmp)
+            # MG state is <= m rows — a single snapshot file
+            compressed.coalesce(1).write.mode("overwrite").parquet(tmp)
             old = os.path.join(staging, f"state_old_{batch_id}")
             if os.path.exists(state_dir):
                 os.rename(state_dir, old)
