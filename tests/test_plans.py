@@ -338,3 +338,25 @@ def test_bloom_semi_join_probe_is_broadcast(spark, sf_dir):
     assert P.num_broadcast_joins(df) >= 3
     plan = P.physical_plan(df)
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
+    """The distributed-CDF primitive behind q175/q176: the window over
+    the per-VALUE count table (corpus-scale) must be PARTITIONED by
+    bucket; only the per-bucket subtotal table (metadata-sized) may use
+    a partition-less window."""
+    import re
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    df = spark.createDataFrame(
+        [(v, 1, 2) for v in range(250)], "v long, n1 long, n2 long"
+    )
+    plan = P.physical_plan(with_prefix_sums(df, 100, ["n1", "n2"]))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    value_windows = [s for s in specs if re.search(r"\bv#\d+L ASC", s)]
+    assert value_windows, plan
+    # every value-ordered window carries the bucket column as its
+    # partition spec (it precedes the ordering clause)
+    assert all(re.match(r"__bkt#\d+L, v#", s) for s in value_windows), specs
