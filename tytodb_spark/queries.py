@@ -6338,6 +6338,10 @@ def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_nd"),
             F.col("__clean").isNotNull().alias("s_clean"),
         )
+        # both output branches (the funnel counts and the packing
+        # aggregate) consume this frame — materialize it once instead
+        # of re-running the gate/dedup/decontaminate joins per branch
+        .localCheckpoint(eager=False)
     )
     counts = labels.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_raw"),
