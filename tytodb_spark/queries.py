@@ -7293,7 +7293,7 @@ def q181_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hit GROUP BY term
     """,
     doc="Deterministic NEGATIVE-SAMPLING table (unigram^0.75, the "
-    "word2vec noise distribution): vocab top-1000 by frequency, "
+    "word2vec noise distribution; Mikolov et al. 2013): vocab top-1000 by frequency, "
     "weights c^0.75 computed as sqrt(c)·sqrt(sqrt(c)) (two correctly-"
     "rounded IEEE ops — no libm pow divergence) and quantized; 10k "
     "md5-seeded uniform draws map to tokens through a broadcast "
@@ -7466,7 +7466,7 @@ def q183_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_r0 AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT
                           AS ridx,
                         substr(md5(user_id::VARCHAR), 3, 13) AS w
-                 FROM events WHERE event_type = 'click'),
+                 FROM events WHERE event_type = 'click' AND user_id % 3 <> 0),
     a_r1 AS (SELECT ridx,
                         CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
                              ELSE (length(w) - length(ltrim(w, '0'))) * 4
@@ -7481,7 +7481,7 @@ def q183_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_r0 AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT
                           AS ridx,
                         substr(md5(user_id::VARCHAR), 3, 13) AS w
-                 FROM events WHERE event_type = 'view'),
+                 FROM events WHERE event_type = 'view' AND user_id % 2 = 0),
     b_r1 AS (SELECT ridx,
                         CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
                              ELSE (length(w) - length(ltrim(w, '0'))) * 4
@@ -7554,10 +7554,15 @@ def q183_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM u_agg),
     ex AS (SELECT
              cast(count(DISTINCT CASE WHEN event_type = 'click'
+                                       AND user_id % 3 <> 0
                                       THEN user_id END) AS BIGINT) AS xa,
              cast(count(DISTINCT CASE WHEN event_type = 'view'
+                                       AND user_id % 2 = 0
                                       THEN user_id END) AS BIGINT) AS xb,
-             cast(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+             cast(count(DISTINCT CASE WHEN (event_type = 'click'
+                                            AND user_id % 3 <> 0)
+                                        OR (event_type = 'view'
+                                            AND user_id % 2 = 0)
                                       THEN user_id END) AS BIGINT) AS xu
            FROM events),
     xi AS (SELECT xa, xb, xu, xa + xb - xu AS xinter FROM ex)
@@ -7573,7 +7578,10 @@ def q183_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(est(A)+est(B)−est(A∪B), union sketch = register-wise MAX) — the "
     "audience-overlap / cross-source-user question answered from "
     "metadata-sized sketches instead of a distinct-join of two corpus "
-    "scans. Builds on q165's portable register tables (md5 family, "
+    "scans. Populations are user_id-sliced (≈2/3 clickers, ≈1/2 "
+    "viewers) so the overlap is PARTIAL — every fixture user fires "
+    "every event type, and unsliced audiences would coincide, "
+    "degenerating the demo to est(A)=est(U). Builds on q165's portable register tables (md5 family, "
     "exact-integer harmonic sums); the estimates subtract as exact "
     "quantized integers. Inclusion-exclusion compounds the per-sketch "
     "6.5% error, so the verdict bounds the estimate against the exact "
@@ -7584,8 +7592,13 @@ def q184_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.sketches import hll_build, hll_estimate
 
     ev = _t(spark, sf_dir, "events")
-    a = hll_build(ev.filter(F.col("event_type") == "click"), "user_id")
-    b = hll_build(ev.filter(F.col("event_type") == "view"), "user_id")
+    # partial-overlap populations (≈2/3 and 1/2 of users): every user
+    # fires every event type in this fixture, so unfiltered click/view
+    # audiences would coincide and the intersection demo degenerates
+    in_a = (F.col("event_type") == "click") & (F.col("user_id") % 3 != 0)
+    in_b = (F.col("event_type") == "view") & (F.col("user_id") % 2 == 0)
+    a = hll_build(ev.filter(in_a), "user_id")
+    b = hll_build(ev.filter(in_b), "user_id")
     u = (
         a.unionByName(b)
         .groupBy("ridx")
@@ -7595,21 +7608,13 @@ def q184_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = hll_estimate(b).select(F.col("hll_est_q").alias("est_view_q"))
     eu = hll_estimate(u).select(F.col("hll_est_q").alias("est_union_q"))
     ex = ev.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        )
+        F.countDistinct(F.when(in_a, F.col("user_id")))
         .cast("bigint")
         .alias("xa"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
-        )
+        F.countDistinct(F.when(in_b, F.col("user_id")))
         .cast("bigint")
         .alias("xb"),
-        F.countDistinct(
-            F.when(
-                F.col("event_type").isin("click", "view"), F.col("user_id")
-            )
-        )
+        F.countDistinct(F.when(in_a | in_b, F.col("user_id")))
         .cast("bigint")
         .alias("xu"),
     )
@@ -7977,7 +7982,7 @@ def q189_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM z
     """,
     doc="Differentially-private COUNT release (Laplace mechanism, "
-    "ε = 1): per-group noise = round(Lap(1/ε)) drawn by inverse CDF "
+    "Dwork et al. 2006; ε = 1): per-group noise = round(Lap(1/ε)) drawn by inverse CDF "
     "from the md5-seeded uniform — deterministic, engine-portable "
     "(u is an exact dyadic, so 1−2|u−½| is exact and the single ln/"
     "round pipeline is fixed-order), and crucially SEEDED PER RELEASE "
