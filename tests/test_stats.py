@@ -125,3 +125,13 @@ def test_ks_and_mw_match_numpy_reference_on_random_data(spark):
         u1x2_ref = int(round(2 * r1)) - len(a) * (len(a) + 1)
         m = mann_whitney_u(df, F.col("v"), F.col("g"), bucket_width=16).collect()[0]
         assert m["u1_x2"] == u1x2_ref, (seed, m["u1_x2"], u1x2_ref)
+
+
+def test_ks_empty_input_one_null_row(spark):
+    # operator/oracle row-shape parity on empty input: the SQL oracle's
+    # global max emits one row of NULLs; the operator must match, not
+    # return zero rows
+    df = spark.createDataFrame([], "v long, g int")
+    rows = ks_test(df, F.col("v"), F.col("g")).collect()
+    assert len(rows) == 1
+    assert rows[0]["ks_q"] is None and rows[0]["n1"] is None

@@ -749,10 +749,13 @@ def near_dup_clusters(
         from tytodb_spark.operators.textual import jaccard_pairs
 
         pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    if cc not in ("auto", "label", "star"):
+        raise ValueError(f"cc must be 'auto', 'label' or 'star' (got {cc!r})")
     cc_fn = {
         "star": connected_components_star,
         "label": connected_components,
-    }.get(cc, connected_components_auto)
+        "auto": connected_components_auto,
+    }[cc]
     comp = cc_fn(pairs, "id_a", "id_b")
     return comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")

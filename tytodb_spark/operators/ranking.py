@@ -131,6 +131,8 @@ def skyline2(
         q = s[max_col].to_numpy()
         t = s[min_col].to_numpy()
         n = len(s)
+        if n == 0:  # defensive: the parts filter above makes this
+            return  # unreachable, but the kernel must not index [0]
         # rows sort (q desc, t asc); group = run of equal q. A row
         # survives iff t == its group's min t (the group's first row,
         # since t ascends within the group) AND t < min t over all

@@ -110,19 +110,20 @@ def ks_test(
         F.sum("n1").cast("bigint").alias("t1"),
         F.sum("n2").cast("bigint").alias("t2"),
     )
-    d = (
+    # global aggregate (no grouping keys): ALWAYS emits one row, so an
+    # empty input yields NULL statistics — the same 1-row-of-NULLs
+    # shape the SQL oracle's global max produces, not 0 rows
+    dmax = (
         pre.crossJoin(F.broadcast(tot))
         .select(
-            "t1",
-            "t2",
             F.abs(
                 (F.col("pre_n1") + F.col("n1")) * F.col("t2")
                 - (F.col("pre_n2") + F.col("n2")) * F.col("t1")
-            ).alias("__d"),
+            ).alias("__d")
         )
-        .groupBy("t1", "t2")
         .agg(F.max("__d").cast("bigint").alias("__dmax"))
     )
+    d = dmax.crossJoin(F.broadcast(tot))
     ks = F.col("__dmax").cast("double") / (
         F.col("t1").cast("double") * F.col("t2").cast("double")
     )

@@ -380,6 +380,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_dfreq: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC containment pairs: C = |A∩B| / min(|A|,|B|) ≥ t —
     the sub-document inclusion detector Jaccard structurally misses
@@ -401,7 +402,13 @@ def containment_pairs(
     """
     shingled = shingle_table(df, id_col, text_col, n)
     posts = shingled.select("__id", "__n", F.explode("__sh").alias("__s"))
-    dfreq = F.broadcast(posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")))
+    # broadcast_dfreq: same escape hatch as jaccard_pairs — the df
+    # table is vocabulary-sized; pass False when the shingle vocab
+    # itself outgrows a broadcast (web-scale char-ngrams) and the plan
+    # degrades to shuffle joins, which still scale
+    dfreq = posts.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if broadcast_dfreq:
+        dfreq = F.broadcast(dfreq)
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = (
         posts.join(dfreq, "__s")

@@ -6977,9 +6977,12 @@ def q175_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (N1 + N2)::DOUBLE AS nd
           FROM agg CROSS JOIN t),
     z AS (SELECT N1, N2, u1x2,
-                 (u1x2::DOUBLE / 2.0 - N1::DOUBLE * N2::DOUBLE / 2.0)
-                   / sqrt(N1::DOUBLE * N2::DOUBLE / 12.0
-                          * ((nd + 1) - T::DOUBLE / (nd * (nd - 1)))) AS zv
+                 CASE WHEN N1::DOUBLE * N2::DOUBLE / 12.0
+                           * ((nd + 1) - T::DOUBLE / (nd * (nd - 1))) > 0
+                      THEN (u1x2::DOUBLE / 2.0 - N1::DOUBLE * N2::DOUBLE / 2.0)
+                           / sqrt(N1::DOUBLE * N2::DOUBLE / 12.0
+                                  * ((nd + 1) - T::DOUBLE / (nd * (nd - 1))))
+                      ELSE 0.0 END AS zv
           FROM s)
     SELECT N1 AS n1, N2 AS n2, u1x2 AS u1_x2,
            cast(floor(zv * 1e6 + 0.5) AS BIGINT) AS z_q,
@@ -8257,7 +8260,10 @@ def q195_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the real RMS-over-PCM decode swaps in behind the same batch "
     "signature — container has no audio libs), and the voiced gate "
     "thresholds JVM-side on the metadata-sized (id, seg, int) rows. "
-    "All integer floor arithmetic — no float boundary exists anywhere; "
+    "All integer floor arithmetic — no float boundary exists anywhere. "
+    "FIXTURE CONTRACT: oracle ord()-sums characters, operator sums "
+    "payload bytes — identical only for ASCII fixtures (real audio "
+    "is binary with no char view); "
     "operators/multimodal.py energy_windows.",
 )
 def q196_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
