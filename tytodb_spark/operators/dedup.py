@@ -937,7 +937,16 @@ def connected_components_auto(
     large-star/small-star, whose O(log² n) round count is
     diameter-independent. Removes the caller-side judgment call that
     let r03's q171 crash: diameter assumptions fail silently until
-    the data grows, so the fallback has to be in the operator."""
+    the data grows, so the fallback has to be in the operator.
+
+    Cost tradeoff: escalation restarts from the original edges, so a
+    graph with diameter just past ``label_iters`` pays the wasted
+    label rounds plus the full star run (~1.5-2× either regime
+    alone). ``label_iters`` is deliberately LOW (10, vs label-prop's
+    standalone 20-round default): near-dup graphs converge in 2-5
+    rounds, so anything still moving after 10 is chain-shaped and
+    escalating early wastes less than probing longer. Callers who
+    KNOW the regime should force ``cc='label'`` / ``cc='star'``."""
     try:
         return connected_components(
             pairs_df, src_col, dst_col, max_iters=label_iters
