@@ -1742,3 +1742,67 @@ def test_stream_exact_dedup_equals_cold_aggregate(spark):
         .collect()
     }
     assert out == cold
+
+
+def test_skyline_matches_bruteforce_on_random_data(spark):
+    from tytodb_spark.operators.ranking import skyline2
+
+    import numpy as np
+
+    for seed in (3, 99):
+        rng = np.random.default_rng(seed)
+        # coarse grids force heavy ties on both axes
+        rows = [
+            (i, float(rng.integers(0, 12)) / 10.0, int(rng.integers(0, 15)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, q double, t long")
+        got = {
+            (r["id"], r["q"], r["t"])
+            for r in skyline2(df.repartition(7), "id", "q", "t").collect()
+        }
+        # O(n^2) reference: dominated iff someone is >= on q, <= on t,
+        # strict on at least one
+        ref = {
+            (i, q, t)
+            for (i, q, t) in rows
+            if not any(
+                (q2 >= q and t2 <= t and (q2 > q or t2 < t))
+                for (_, q2, t2) in rows
+            )
+        }
+        assert got == ref, (seed, len(got), len(ref))
+
+
+def test_containment_pairs_match_bruteforce_on_random_docs(spark):
+    from tytodb_spark.operators.textual import containment_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(4, 25))
+        docs.append((i, " ".join(rng.choice(vocab, size=n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        containment_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ref = set()
+    sh = {i: shingles(t) for i, t in docs}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if round(c, 6) >= 0.8:
+                ref.add((a, b))
+    assert got == ref
