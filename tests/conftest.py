@@ -8,7 +8,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tytodb_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# override to run the full differential gate at another scale factor
+# (e.g. SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.001 catches
+# fixture-coupled bugs the default sf0.01 gate can't see)
+SF_ORACLE = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 @pytest.fixture(scope="session")
