@@ -8347,14 +8347,17 @@ def q196_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_differential.py, which has no prefix cap.
 
 
-def _driver_green_rounds() -> dict[str, int]:
+def _driver_green_rounds(root: str | None = None) -> dict[str, int]:
     """name -> latest round with a fully-green driver row, from the
-    committed CORRECTNESS_r*.json artifacts at the repo root."""
+    committed CORRECTNESS_r*.json artifacts at ``root`` (defaults to the
+    repo root). The ``root`` override exists so tests can exercise the
+    rotation on synthetic artifacts instead of the live repo's."""
     import glob
     import json
     import re as _re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = _re.search(r"_r(\d+)\.json$", path)
@@ -8382,8 +8385,11 @@ def _driver_green_rounds() -> dict[str, int]:
     return latest
 
 
-def _check_order(names_in: list[str]) -> list[str]:
-    green = _driver_green_rounds()
+def _check_order(
+    names_in: list[str], green: dict[str, int] | None = None
+) -> list[str]:
+    if green is None:
+        green = _driver_green_rounds()
     pos = {n: i for i, n in enumerate(names_in)}
     return sorted(names_in, key=lambda n: (green.get(n, -1), pos[n]))
 
