@@ -316,6 +316,21 @@ def test_mg_compress_no_global_window(spark, sf_dir):
     assert out.count() <= 16
 
 
+def test_funnel_packing_has_no_global_window(spark, sf_dir):
+    """q166's packing stage must shard (q84's pattern) — the funnel is
+    the flagship composition exhibit, so its plan may contain NO
+    partition-less corpus-scale Window (r04 verdict finding #2). The
+    only SinglePartition exchanges allowed are the scalar-output
+    aggregates."""
+    df = _df(spark, sf_dir, "q166_pipeline_funnel")
+    assert P.global_windows(df) == []
+
+
+def test_packing_window_is_sharded(spark, sf_dir):
+    df = _df(spark, sf_dir, "q84_sequence_packing")
+    assert P.global_windows(df) == []
+
+
 def test_skipgram_pairs_distributed_topk(spark, sf_dir):
     # pairs materialize map-side from array slices; one count exchange;
     # global top-100 is TakeOrderedAndProject, never a full sort

@@ -60,6 +60,22 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec — the single-task funnel
+    anti-pattern at corpus scale. A partitioned Window renders as
+    ``Window [funcs], [partCols], [sortOrder]`` (three bracket groups);
+    a global one as ``Window [funcs], [sortOrder]`` (two). Returns the
+    offending lines so the assert message shows the node."""
+    bad = []
+    for line in physical_plan(df).splitlines():
+        stripped = re.sub(r"^[\s:+*()-]*", "", line)
+        if not stripped.startswith("Window "):
+            continue
+        if len(re.split(r"\], \[", stripped)) < 3:
+            bad.append(stripped[:200])
+    return bad
+
+
 def codegen_stages(df: DataFrame) -> int:
     """Whole-stage-codegen spans — wider is better (fewer interpreted
     gaps). Read from `EXPLAIN CODEGEN`. NOTE: an AdaptiveSparkPlan

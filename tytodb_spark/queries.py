@@ -6284,9 +6284,11 @@ def _q166_oracle() -> str:
     bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g)),
     clean AS (SELECT doc_id, text FROM nd
               WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-    tok AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM clean),
-    packed AS (SELECT doc_id,
-                      floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    tok AS (SELECT doc_id, cast(doc_id % 8 AS BIGINT) AS part,
+                   len({_TOKS}) AS n_tok FROM clean),
+    packed AS (SELECT part,
+                      floor(coalesce(sum(n_tok) OVER (PARTITION BY part
+                            ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) / 512) AS seq
                FROM tok)
@@ -6297,7 +6299,8 @@ def _q166_oracle() -> str:
            (SELECT cast(count(*) AS BIGINT) FROM clean) AS n_clean,
            (SELECT cast(coalesce(sum(n_tok), 0) AS BIGINT) FROM tok)
              AS n_tokens,
-           (SELECT cast(count(DISTINCT seq) AS BIGINT) FROM packed)
+           (SELECT cast(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT part, seq FROM packed))
              AS n_sequences
     """
 
@@ -6313,7 +6316,8 @@ def _q166_oracle() -> str:
     "LSH — the one-pass non-transitive policy, vs q71/q72's cluster-"
     "canonical) → benchmark "
     "decontamination (q94's broadcast gram probe) → greedy 512-token "
-    "sequence packing (q84's rule, single-shard demo shape). Emits the "
+    "sequence packing (q84's sharded rule: bucket by doc_id % 8, pack "
+    "per shard — no global ordering). Emits the "
     "per-stage survival funnel a curation run reports. Plan shape: per-"
     "doc stage flags accumulate in one label frame (left joins of the "
     "keep/dup/clean id sets), so the whole funnel aggregates in two "
@@ -6396,16 +6400,33 @@ def q166_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    pw = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    # Packing is sharded exactly like q84: bucket by a deterministic
+    # key, pack each shard under its OWN running-sum window. One shuffle
+    # on the shard key, full parallelism — never a partition-less
+    # corpus-scale Window (the single-task funnel the r04 verdict
+    # flagged). doc_id % 8 keeps the key engine-portable; a real
+    # pipeline uses pmod(hash(id), num_shards).
+    pw = (
+        W.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     seqs = (
         labels.filter("s_clean")
         .select(
             "doc_id",
+            (F.col("doc_id") % 8).cast("bigint").alias("part"),
+            "n_tok",
+        )
+        .select(
+            "part",
             F.floor(
                 F.coalesce(F.sum("n_tok").over(pw), F.lit(0)) / 512
             ).alias("seq"),
         )
-        .agg(F.countDistinct("seq").cast("bigint").alias("n_sequences"))
+        .agg(
+            F.countDistinct("part", "seq").cast("bigint").alias("n_sequences")
+        )
     )
     return counts.crossJoin(seqs)
 
