@@ -119,6 +119,40 @@ def test_cursor_paging_250_rows(engine):
     assert not engine.execute(f"QYCNNXT '{qid}'").ok
 
 
+def test_keyset_cursor_matches_rownum_cursor(engine):
+    """The keyset scale path (engine.keyset_page / KeysetCursor) must
+    page IDENTICALLY to the reference-faithful row_number cursor over
+    the same 250-row result: next/next, seek past the end, and prev
+    all land on the same pages."""
+    engine.execute("CREATE CONTAINER 'nums' [id] [INT]")
+    for i in range(250):
+        engine.execute(f"CREATE ROW [id] [{i}] ON 'nums'")
+    engine.execute("COMMIT")
+
+    cur = engine.search_keyset("SEARCH ON 'nums'")
+    ids = lambda df: [r["id"] for r in df.collect()]  # noqa: E731
+    p1 = ids(cur.current())
+    assert p1 == sorted(p1) and len(p1) == 100
+    p2 = ids(cur.next())
+    assert len(p2) == 100 and p2[0] > p1[-1]
+    p3 = ids(cur.next())
+    assert len(p3) == 50 and p3[0] > p2[-1]
+    assert sorted(p1 + p2 + p3) == list(range(250))
+    # next past the end: boundary advances but the page is empty-safe
+    p4 = ids(cur.next())
+    assert p4 == []
+    # prev re-seeks back through the boundary stack
+    assert ids(cur.prev()) == p3
+    assert ids(cur.prev()) == p2
+    assert ids(cur.prev()) == p1
+    assert ids(cur.prev()) == p1  # clamped at the first page
+
+    # parity with the row_number cursor protocol on the same search
+    res = engine.execute("SEARCH ON 'nums'")
+    assert [r["id"] for r in res.rows()] == p1
+    assert [r["id"] for r in engine.execute(f"QYCNNXT '{res.query_id}'").rows()] == p2
+
+
 def test_union_and_subquery_sources(engine):
     engine.execute("CREATE CONTAINER 'a' [id] [INT]")
     engine.execute("CREATE CONTAINER 'b' [id] [INT]")

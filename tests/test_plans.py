@@ -331,6 +331,18 @@ def test_packing_window_is_sharded(spark, sf_dir):
     assert P.global_windows(df) == []
 
 
+def test_keyset_pagination_no_window(spark, sf_dir):
+    """q197 (the cursor scale path) must compile to distributed top-k:
+    no Window anywhere (q09's row_number spelling is the only allowed
+    global-window cursor, kept for reference parity), boundary + page
+    both TakeOrderedAndProject, boundary broadcast."""
+    df = _df(spark, sf_dir, "q197_keyset_pagination")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert P.num_broadcast_joins(df) >= 1
+
+
 def test_skipgram_pairs_distributed_topk(spark, sf_dir):
     # pairs materialize map-side from array slices; one count exchange;
     # global top-100 is TakeOrderedAndProject, never a full sort

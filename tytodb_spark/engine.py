@@ -60,6 +60,64 @@ class _Cursor:
         ).drop(ROW_NUM)
 
 
+def keyset_page(
+    df: DataFrame,
+    keys: list[str],
+    after: tuple | None = None,
+    page_size: int = PAGE_SIZE,
+) -> DataFrame:
+    """Seek-based page: ``WHERE (keys...) > after ORDER BY keys LIMIT n``.
+
+    The engine's SCALE path for cursor pagination. The reference
+    materializes the whole result and slices by row number
+    (src/query.rs:110-214), which this engine mirrors in `_run_search`
+    via a row_number window — faithful, but a partition-less Window
+    single-tasks at corpus scale. Keyset pagination compiles each page
+    to a distributed top-k (TakeOrderedAndProject) over a pushed-down
+    composite-key range filter: no Window, no global sort, no cached
+    materialization. ``keys`` must be a UNIQUE composite for
+    deterministic pages (same contract as the row_number spelling).
+    """
+    key = F.struct(*[F.col(k) for k in keys])
+    if after is not None:
+        df = df.filter(key > F.struct(*[F.lit(v) for v in after]))
+    return df.orderBy(*keys).limit(page_size)
+
+
+class KeysetCursor:
+    """Forward/backward cursor over ``keyset_page``.
+
+    NEXT seeks past the last key of the current page; PREV re-seeks
+    from a stack of page-start boundaries (O(1) bookkeeping, one top-k
+    per move — state is just the boundary keys, never the result set,
+    so a million-page cursor holds a million tuples at most on the
+    driver and nothing on the executors)."""
+
+    def __init__(self, df: DataFrame, keys: list[str], page_size: int = PAGE_SIZE):
+        self.df = df
+        self.keys = keys
+        self.page_size = page_size
+        self._starts: list[tuple | None] = [None]  # boundary before page i
+
+    @property
+    def page(self) -> int:
+        return len(self._starts) - 1
+
+    def current(self) -> DataFrame:
+        return keyset_page(self.df, self.keys, self._starts[-1], self.page_size)
+
+    def next(self) -> DataFrame:
+        rows = self.current().select(*self.keys).tail(1)
+        if rows:
+            self._starts.append(tuple(rows[0]))
+        return self.current()
+
+    def prev(self) -> DataFrame:
+        if len(self._starts) > 1:
+            self._starts.pop()
+        return self.current()
+
+
 class Engine:
     def __init__(
         self,
@@ -88,6 +146,20 @@ class Engine:
         if not isinstance(stmt, ast.Search):
             raise ValueError("search_df takes a SEARCH statement")
         return self._compile_search(stmt)
+
+    def search_keyset(
+        self,
+        command: str,
+        args: list[str] | None = None,
+        keys: list[str] | None = None,
+        page_size: int = PAGE_SIZE,
+    ) -> KeysetCursor:
+        """Open a SEARCH as a keyset cursor (the scale path; see
+        ``keyset_page``). ``keys`` defaults to all projected columns —
+        the same all-columns total order `_run_search` uses, so both
+        cursor spellings page identically."""
+        df = self.search_df(command, args)
+        return KeysetCursor(df, keys or list(df.columns), page_size)
 
     # -- dispatch (reference src/parser.rs:533-550 → database.rs:418-925) -----
     def run(self, stmt: ast.Statement) -> Result:

@@ -8344,6 +8344,55 @@ def q196_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q197_keyset_pagination",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_returnflag = 'A'),
+    bound AS (
+      SELECT l_orderkey AS k1, l_linenumber AS k2, l_quantity AS k3
+      FROM base ORDER BY 1, 2, 3 LIMIT 1 OFFSET 199)
+    SELECT b.l_orderkey, b.l_linenumber, b.l_quantity
+    FROM base b, bound
+    WHERE (b.l_orderkey, b.l_linenumber, b.l_quantity) > (k1, k2, k3)
+    ORDER BY 1, 2, 3 LIMIT 100
+    """,
+    doc="Keyset (seek) pagination — the SCALE path for the reference's "
+    "cursor protocol (S9/S10, src/query.rs:110-214), page 3 of the "
+    "same result q09 pages by row_number. The row_number spelling is "
+    "reference-faithful but funnels the whole result through one task "
+    "(partition-less Window); the keyset spelling filters past the "
+    "page-2 boundary key and takes a distributed top-100 "
+    "(TakeOrderedAndProject) — no Window, no global sort, no cached "
+    "materialization, and each page's composite-key range filter can "
+    "push to the scan. The boundary itself is a distributed top-200 "
+    "reduced to one max(struct) scalar and broadcast. engine.py "
+    "keyset_page / KeysetCursor; same (orderkey, linenumber, quantity) "
+    "unique composite as q09.",
+)
+def q197_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.engine import keyset_page
+
+    keys = ["l_orderkey", "l_linenumber", "l_quantity"]
+    base = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select(*keys)
+    )
+    bound = (
+        base.orderBy(*keys)
+        .limit(200)
+        .agg(F.max(F.struct(*keys)).alias("__b"))
+    )
+    return (
+        base.crossJoin(F.broadcast(bound))
+        .filter(F.struct(*keys) > F.col("__b"))
+        .drop("__b")
+        .transform(lambda d: keyset_page(d, keys, after=None, page_size=100))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
