@@ -354,7 +354,12 @@ def test_sample_frames_deterministic(spark, docs):
     frames = sorted(frames, key=lambda f: f["frame_idx"])
     assert [f["frame_idx"] for f in frames] == [0, 1, 2]
     raw = "the quick brown fox jumps over the lazy dog".encode()
-    assert frames[0]["frame_sha256"] == hashlib.sha256(raw[0:8]).hexdigest()
+    # fingerprint domain is uppercase-hex of the frame bytes (injective;
+    # DuckDB-recomputable — see sample_frames docstring)
+    assert (
+        frames[0]["frame_sha256"]
+        == hashlib.sha256(raw[0:8].hex().upper().encode()).hexdigest()
+    )
 
 
 def test_decode_image_is_gated():
@@ -1806,3 +1811,76 @@ def test_containment_pairs_match_bruteforce_on_random_docs(spark):
             if round(c, 6) >= 0.8:
                 ref.add((a, b))
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# mixed-type / non-ASCII fixture differentials (r04 verdict item #5):
+# the q164/q195/q196 oracles must agree with Spark OFF the happy-path
+# fixture shape — malformed JSON, mixed value types, non-ASCII and
+# empty payloads.
+# ---------------------------------------------------------------------------
+
+
+def _write_parquet(spark, rows, schema, path):
+    # single parquet FILE (like the real testdata), via Arrow — both
+    # spark.read.parquet and DuckDB read_parquet take it directly
+    import pyarrow.parquet as pq
+
+    tbl = spark.createDataFrame(rows, schema).toArrow()
+    pq.write_table(tbl, path)
+
+
+@pytest.fixture(scope="module")
+def mixed_sf_dir(spark, tmp_path_factory):
+    """A synthetic sf-dir whose events.props is deliberately mixed-type
+    and whose documents.text is non-ASCII / empty / short."""
+    d = str(tmp_path_factory.mktemp("mixed_sf"))
+    _write_parquet(
+        spark,
+        [
+            (0, '{"a": 1, "b": 2}'),
+            (1, '{"a": "5", "c": 3.5}'),
+            (2, '{"a": true, "d.e": 7, "nest": {"x": 1}}'),
+            (3, "not json at all"),
+            (4, None),
+            (5, '{"a": null}'),
+            (6, '{"b": -12, "q\\"k": 9}'),
+        ],
+        "event_id long, props string",
+        f"{d}/events.parquet",
+    )
+    _write_parquet(
+        spark,
+        [
+            (0, "héllo wörld — ünïcode päyload " * 12),  # multi-byte chars
+            (1, "ascii only payload " * 20),
+            (2, ""),  # empty payload
+            (3, "短"),  # shorter than one window, 3 UTF-8 bytes
+            (4, "héllo wörld — ünïcode päyload " * 12),  # dup of 0
+            (5, "ÿ" * 100),  # bytes >= 0xC3 pairs
+        ],
+        "doc_id long, text string",
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "qname", ["q164_map_key_census", "q195_frame_dedup", "q196_energy_segments"]
+)
+def test_mixed_fixture_oracle_parity(spark, mixed_sf_dir, qname):
+    import duckdb
+
+    from tests.oracle_compare import compare
+    from tytodb_spark import queries as Q
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{mixed_sf_dir}/{t}.parquet')"
+        )
+    qd = Q.REGISTRY[qname]
+    res = compare(qd.fn(spark, mixed_sf_dir), con, qd.oracle)
+    con.close()
+    assert res["ok"], f"{qname}: {res}"

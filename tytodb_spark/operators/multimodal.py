@@ -163,7 +163,17 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
     """Video-style frame sampling, stubbed deterministically: "frames"
     are fixed-stride byte windows of the payload (a real implementation
     replaces the window slice with an ffmpeg keyframe decode; the
-    explode shape, schema, and partition behavior are what's tested)."""
+    explode shape, schema, and partition behavior are what's tested).
+
+    Fingerprint domain: sha256 over the UPPERCASE-HEX encoding of the
+    frame bytes, not the raw bytes. Hex is injective, so dedup/grouping
+    semantics are byte-exact for ANY payload (no ASCII fixture contract)
+    — and the differential oracle can recompute it, because DuckDB 1.0
+    can slice and sha256 strings but not BLOBs
+    (sha256(substr(hex(encode(text)), i*128+1, 128)) is the oracle
+    spelling). A production decode swaps raw-byte sha256 behind the
+    same column contract; only the fingerprint VALUES change, never the
+    dedup semantics."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -175,7 +185,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
                     window = raw[i * every_n_bytes : (i + 1) * every_n_bytes]
                     out_id.append(doc_id)
                     out_idx.append(i)
-                    out_hash.append(hashlib.sha256(window).hexdigest())
+                    out_hash.append(
+                        hashlib.sha256(window.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {"doc_id": out_id, "frame_idx": out_idx, "frame_sha256": out_hash}
             )

@@ -6136,36 +6136,43 @@ def q163_window_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q164_map_key_census",
     """
-    WITH kv AS (
-      SELECT event_id, unnest(json_keys(props)) AS k FROM events
-    )
+    WITH ev AS (SELECT props::JSON AS j FROM events
+                WHERE props IS NOT NULL AND json_valid(props)),
+    m AS (SELECT cast(j AS MAP(VARCHAR, JSON)) AS mm FROM ev),
+    kv AS (SELECT unnest(map_keys(mm)) AS k,
+                  json_extract_string(unnest(map_values(mm)), '$') AS v
+           FROM m)
     SELECT k, cast(count(*) AS BIGINT) AS n,
-           cast(sum(cast(json_extract(props, '$.' || k) AS INT)) AS BIGINT)
-             AS sum_v
-    FROM kv JOIN events USING (event_id)
-    GROUP BY k
+           cast(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+                         THEN cast(v AS BIGINT) END) AS BIGINT) AS sum_v
+    FROM kv GROUP BY k
     """,
     doc="Schema-less JSON profiling: explode every event's props object "
     "into a MAP and census the keys (which keys exist, how often, with "
     "what value mass) — the discovery pass run BEFORE committing to "
-    "q93's typed schema-on-read decode. from_json to map<string,int> + "
-    "map explode keeps it one map-side pass + one count shuffle on the "
-    "(tiny) key space; no JSON path is hardcoded. FIXTURE CONTRACT: "
-    "props is a flat {string: int} object (TESTDATA.md) — on malformed "
-    "JSON or non-int values Spark's from_json nulls the whole map "
-    "while the oracle's per-key json_extract casts per value, and "
-    "dotted/quoted keys would break the oracle's '$.'||k path; a "
-    "mixed-type props column should census via map<string,string> + "
-    "try_cast on both engines instead.",
+    "q93's typed schema-on-read decode. from_json to map<string,string> "
+    "+ map explode keeps it one map-side pass + one count shuffle on "
+    "the (tiny) key space; no JSON path is hardcoded, so dotted / "
+    "quoted / arbitrary keys work. Values census per-VALUE: an "
+    "explicit integer-regex gate before the bigint cast makes the two "
+    "engines' coercion identical on mixed-type values (DuckDB rounds "
+    "'5.5'→6 where Spark nulls it — the gate nulls both), malformed "
+    "JSON drops the row on both sides (from_json null map ↔ "
+    "json_valid), and null-valued keys still count toward n. "
+    "tests/test_llm_ops.py runs this on a deliberately-mixed fixture.",
 )
 def q164_map_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("props")
     kv = ev.select(
-        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v")
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
     )
     return kv.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v").cast("bigint").alias("sum_v"),
+        F.sum(
+            F.when(F.col("v").rlike("^-?[0-9]+$"), F.col("v").cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("sum_v"),
     )
 
 
@@ -8261,12 +8268,13 @@ def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q195_frame_dedup",
     """
-    WITH f AS (
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (
       SELECT doc_id,
-             sha256(substr(text, i * 64 + 1, 64)) AS h
-      FROM documents
+             sha256(substr(hx, i * 128 + 1, 128)) AS h
+      FROM h
       CROSS JOIN unnest(range(0, least(4, greatest(1,
-                   octet_length(encode(text)) // 64)))) AS r(i))
+                   length(hx) // 128)))) AS r(i))
     SELECT h AS frame_sha256,
            cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            cast(count(*) AS BIGINT) AS n_occurrences
@@ -8280,7 +8288,10 @@ def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real pipeline swaps in the ffmpeg decode behind the same Arrow "
     "batch signature), hash frames content-wise, and one hash-keyed "
     "aggregate finds frames shared by ≥2 documents. Payload bytes "
-    "never leave their scan partition; only (id, hash) rows shuffle; "
+    "never leave their scan partition; only (id, hash) rows shuffle. "
+    "Fingerprints live in the uppercase-hex domain (sha256 of the "
+    "frame bytes' hex encoding — injective, byte-exact for ANY "
+    "payload, and DuckDB-recomputable; no ASCII fixture contract); "
     "operators/multimodal.py sample_frames.",
 )
 def q195_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8302,16 +8313,18 @@ def q195_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q196_energy_segments",
     """
-    WITH w AS (
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    w AS (
       SELECT doc_id, i,
-             substr(text, i * 64 + 1, 64) AS win
-      FROM documents
+             substr(hx, i * 128 + 1, 128) AS win
+      FROM h
       CROSS JOIN unnest(range(0, least(4, greatest(1,
-                   octet_length(encode(text)) // 64)))) AS r(i)),
+                   length(hx) // 128)))) AS r(i)),
     e AS (
       SELECT doc_id, cast(i AS INT) AS seg_idx,
-             cast((list_sum(list_transform(range(1, length(win) + 1),
-                    j -> ord(substr(win, j, 1)))) * 100) // length(win)
+             cast((list_sum(list_transform(range(1, length(win) // 2 + 1),
+                    j -> ('0x' || substr(win, 2 * j - 1, 2))::BIGINT)) * 100)
+                  // (length(win) // 2)
                   AS BIGINT) AS energy_x100
       FROM w WHERE length(win) > 0)
     SELECT doc_id, seg_idx, energy_x100,
@@ -8325,9 +8338,9 @@ def q195_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signature — container has no audio libs), and the voiced gate "
     "thresholds JVM-side on the metadata-sized (id, seg, int) rows. "
     "All integer floor arithmetic — no float boundary exists anywhere. "
-    "FIXTURE CONTRACT: oracle ord()-sums characters, operator sums "
-    "payload bytes — identical only for ASCII fixtures (real audio "
-    "is binary with no char view); "
+    "The oracle scores the SAME bytes (hex-pair decode of the payload "
+    "windows), not characters — byte-exact parity for any UTF-8 text, "
+    "no ASCII fixture contract; "
     "operators/multimodal.py energy_windows.",
 )
 def q196_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
