@@ -1,0 +1,112 @@
+"""Parallelism-independence sweep: run a family of declared queries at
+sf0.1 under spark.sql.shuffle.partitions in {8, 32, 128} and assert the
+RESULTS are bit-identical across settings.
+
+Every scale claim in this repo ultimately rests on the plans being
+correct under ANY parallelism — a 1000-executor cluster picks partition
+counts this laptop never sees. Two disciplines make that true and this
+sweep tests both empirically:
+
+- determinism: md5-family hashes, exact-integer/decimal aggregation,
+  quantized doubles, unique-key window orders. If any operator leaked
+  float-accumulation order or partition-dependent randomness, its
+  canonical row-hash would differ between 8 and 128 shuffle partitions.
+- plan shape: per-setting wall time should move smoothly (more
+  partitions = more scheduling overhead at this data size, more
+  parallelism at cluster size), never change the answer.
+
+The family deliberately spans the operator zoo: relational agg, shuffle
++ broadcast joins, partitioned window, exact + LSH dedup, sketches,
+distributed CDF stats, ANN recall gate, sharded packing, keyset
+pagination, and the full-table checksum (the most canonicalization-
+sensitive query in the registry).
+
+Usage: python tools/partition_sweep.py [sf_dir]
+Prints one JSON line per setting + a final summary line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.oracle_compare import _canon  # canonical row normalization
+
+QUERIES = [
+    "q20_pricing_summary",
+    "q21_broadcast_join",
+    "q22_multiway_join",
+    "q163_window_position",
+    "q40_exact_dedup",
+    "q42_minhash_lsh",
+    "q151_bloom_filter",
+    "q175_ks_test",
+    "q48_knn_brute",
+    "q84_sequence_packing",
+    "q197_keyset_pagination",
+    "q143_table_checksum",
+]
+
+SETTINGS = [8, 32, 128]
+
+
+def result_hash(df) -> tuple[str, int]:
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    canon = _canon(rows)
+    h = hashlib.md5(repr(canon).encode()).hexdigest()
+    return h, len(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from tytodb_spark.session import get_spark
+    from tytodb_spark import queries as Q
+
+    spark = get_spark()
+    available = [q for q in QUERIES if q in Q.REGISTRY]
+    # warm the Python worker pool + parquet footer cache so the first
+    # setting isn't charged for process spin-up
+    spark.conf.set("spark.sql.shuffle.partitions", str(SETTINGS[0]))
+    Q.REGISTRY[available[0]].fn(spark, sf_dir).collect()
+
+    results: dict[str, dict[int, tuple[str, int, float]]] = {q: {} for q in available}
+    for parts in SETTINGS:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        times = {}
+        for q in available:
+            t0 = time.time()
+            h, n = result_hash(Q.REGISTRY[q].fn(spark, sf_dir))
+            dt = time.time() - t0
+            results[q][parts] = (h, n, dt)
+            times[q] = round(dt, 2)
+        print(json.dumps({"shuffle_partitions": parts, "sec": times}), flush=True)
+
+    bad = []
+    for q, per in results.items():
+        hashes = {h for h, _, _ in per.values()}
+        if len(hashes) != 1:
+            bad.append(q)
+    summary = {
+        "invariant": not bad,
+        "violations": bad,
+        "queries": {
+            q: {
+                "rows": per[SETTINGS[0]][1],
+                "sec": {p: round(per[p][2], 2) for p in SETTINGS},
+            }
+            for q, per in results.items()
+        },
+    }
+    print(json.dumps(summary), flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
