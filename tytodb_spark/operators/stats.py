@@ -265,3 +265,109 @@ def chi_square_independence(
         .cast("bigint")
         .alias("cramers_v_q"),
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Exact ROC-AUC with midrank tie handling — the threshold-free
+    quality-classifier eval (does the score actually separate positives
+    from negatives?). AUC is the probability a random positive outranks
+    a random negative, which is exactly the Mann-Whitney statistic:
+    AUC = U1 / (n+·n−), so the doubled rank-sum identity from
+    ``mann_whitney_u`` gives 2·U1 as pure bigint arithmetic on the
+    per-value count table — no per-row ranking pass, no partition-less
+    window (same bucketed distributed-prefix machinery).
+
+    Output: 1 row (n_pos, n_neg, auc_q ppm, gini_q ppm)."""
+    counts = grouped_value_counts(df, score_col, label_col)
+    pre = with_prefix_sums(counts, bucket_width, ["n1", "n2"])
+    t = F.col("n1") + F.col("n2")
+    agg = pre.select(
+        "n1",
+        (
+            F.col("n1") * (2 * (F.col("pre_n1") + F.col("pre_n2")) + t + 1)
+        ).alias("__r1x2"),
+        "n2",
+    ).agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+        F.sum("__r1x2").cast("bigint").alias("R1x2"),
+    )
+    u1x2 = F.col("R1x2") - F.col("t1") * (F.col("t1") + 1)  # 2·U1, exact
+    auc = u1x2.cast("double") / (
+        F.lit(2.0) * F.col("t1").cast("double") * F.col("t2").cast("double")
+    )
+    return agg.select(
+        F.col("t1").alias("n_pos"),
+        F.col("t2").alias("n_neg"),
+        F.floor(auc * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("auc_q"),
+        F.floor((F.lit(2.0) * auc - F.lit(1.0)) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("gini_q"),
+    )
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key_col: Column,
+    order_cols: list[Column],
+    value_int: Column,
+    slack_num: int = 1,
+    slack_den: int = 2,
+    threshold: int = 0,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detection over an ordered integer
+    series (did this user's / sensor's level shift upward mid-stream?).
+
+    The textbook recursion S_i = max(0, S_{i-1} + d_i) is not a prefix
+    sum — but it equals C_i − min(0, min_{j≤i} C_j) for the plain
+    cumulative C of the drift terms, so the whole detector is two
+    partitioned windows (running sum + running min) over each key's own
+    series: distributed across keys, deterministic because everything
+    is exact integer arithmetic over a unique total order.
+
+    Drift term: d_i = v_i − (1 + slack_num/slack_den)·mean_k, with
+    mean_k the key's own mean (self-normalizing, no global parameter).
+    To stay integral the whole series is scaled by den·n_k:
+    d_i·den·n = den·n·v_i − (den+num)·S_k, and the final maximum
+    rescales by integer division — NO floating-point op exists
+    anywhere, so results are bit-identical at any parallelism and in
+    any engine. Bound: |terms| ≤ den·n·max(v); with n ≤ 1e6 rows/key
+    and v quantized to ≤ 1e9 this stays far inside int64 after the
+    per-key prefix sum (document per-key series bounds at ingest).
+
+    Output: one row per key (k, n, max_cusum, detected), max_cusum in
+    v units."""
+    base = df.select(key_col.alias("k"), value_int.alias("v"), *order_cols)
+    oc = [c for c in base.columns if c not in ("k", "v")]
+    stats = base.groupBy("k").agg(
+        F.sum("v").cast("bigint").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    run = W.partitionBy("k").orderBy(*oc).rowsBetween(W.unboundedPreceding, 0)
+    j = base.join(stats, "k").withColumn(
+        "__d",
+        F.lit(slack_den) * F.col("n") * F.col("v")
+        - F.lit(slack_den + slack_num) * F.col("__s"),
+    )
+    c = j.withColumn("__c", F.sum("__d").over(run)).withColumn(
+        "__cusum", F.col("__c") - F.least(F.min("__c").over(run), F.lit(0))
+    )
+    return (
+        c.groupBy("k", "n")
+        .agg(F.max("__cusum").cast("bigint").alias("__mx"))
+        .select(
+            "k",
+            "n",
+            F.expr(f"__mx div ({slack_den} * n)")
+            .cast("bigint")
+            .alias("max_cusum"),
+            (
+                F.expr(f"__mx div ({slack_den} * n)") > F.lit(threshold)
+            ).alias("detected"),
+        )
+    )

@@ -8407,6 +8407,237 @@ def q197_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q198+ — round 5: privacy / eval / drift / robust-stats operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_k_anonymity",
+    """
+    WITH q AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      cast(floor(value * 10) AS BIGINT) AS vb
+               FROM events),
+    cls AS (SELECT event_type, day, vb, cast(count(*) AS BIGINT) AS sz
+            FROM q GROUP BY 1, 2, 3)
+    SELECT cast(count(*) AS BIGINT) AS n_classes,
+           cast(min(sz) AS BIGINT) AS min_class_size,
+           cast(sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_2,
+           cast(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_5,
+           cast(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_10,
+           cast(sum(sz) AS BIGINT) AS n_rows
+    FROM cls
+    """,
+    doc="k-anonymity audit — the privacy gate run before releasing a "
+    "derived dataset: rows group into equivalence classes on their "
+    "quasi-identifiers (event type, day, coarse value bucket) and the "
+    "release criterion is the minimum class size (a class of 1 row "
+    "re-identifies its subject). Emits the anonymity census: class "
+    "count, min class size, and how many classes violate k ∈ {2,5,10}. "
+    "One hash aggregate on the QID tuple + one scalar reduce — "
+    "map-side-combinable, no skew risk (QID classes are the OUTPUT "
+    "cardinality), SF-portable because the output is the summary, not "
+    "the (fixture-dependent) violating-class list.",
+)
+def q198_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("vb"),
+    )
+    cls = ev.groupBy("event_type", "day", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum((F.col("sz") < 2).cast("int")).cast("bigint").alias("n_below_2"),
+        F.sum((F.col("sz") < 5).cast("int")).cast("bigint").alias("n_below_5"),
+        F.sum((F.col("sz") < 10).cast("int"))
+        .cast("bigint")
+        .alias("n_below_10"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
+
+
+def _q199_oracle() -> str:
+    return f"""
+    WITH qual AS ({_q47_oracle()}),
+    v AS (SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS g,
+                 cast(floor(q.quality * 1e6 + 0.5) AS BIGINT) AS vc
+          FROM qual q JOIN documents d USING (doc_id)),
+    c AS (SELECT vc, cast(sum(g) AS BIGINT) AS n1,
+                 cast(sum(1 - g) AS BIGINT) AS n2
+          FROM v GROUP BY vc),
+    t AS (SELECT cast(sum(n1) AS BIGINT) AS N1,
+                 cast(sum(n2) AS BIGINT) AS N2 FROM c),
+    cum AS (SELECT vc, n1, n2,
+                   cast(coalesce(sum(n1 + n2) OVER (ORDER BY vc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS pre
+            FROM c),
+    agg AS (SELECT cast(sum(n1 * (2 * pre + n1 + n2 + 1)) AS BIGINT) AS r1x2
+            FROM cum),
+    s AS (SELECT N1, N2, r1x2 - N1 * (N1 + 1) AS u1x2
+          FROM agg CROSS JOIN t),
+    a AS (SELECT N1, N2, u1x2,
+                 u1x2::DOUBLE / (2.0 * N1::DOUBLE * N2::DOUBLE) AS auc
+          FROM s)
+    SELECT N1 AS n_pos, N2 AS n_neg,
+           cast(floor(auc * 1e6 + 0.5) AS BIGINT) AS auc_q,
+           cast(floor((2.0 * auc - 1.0) * 1e6 + 0.5) AS BIGINT) AS gini_q
+    FROM a
+    """
+
+
+@query(
+    "q199_auc_roc",
+    None,  # composed below from the q47 CTE
+    doc="Exact ROC-AUC of the quality score as an English-document "
+    "classifier — the threshold-free eval a curation team runs before "
+    "trusting a scorer's ranking. AUC = P(random positive outranks "
+    "random negative) = U1/(n+·n−), so the midrank-tie Mann-Whitney "
+    "identity gives 2·U1 as pure bigint arithmetic over the per-value "
+    "count table (operators/stats.py auc_exact): per-score hash agg → "
+    "bucketed two-level distributed prefix sum → one scalar reduce. "
+    "No per-row ranking pass, no partition-less window, and the only "
+    "float ops are one division + affine quantize in fixed order.",
+)
+def q199_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import auc_exact
+    from tytodb_spark.operators.textual import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return auc_exact(
+        docs,
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+        (F.col("lang") == "en").cast("int"),
+        bucket_width=10_000,
+    )
+
+
+REGISTRY["q199_auc_roc"] = QueryDef(
+    fn=REGISTRY["q199_auc_roc"].fn,
+    oracle=_q199_oracle(),
+    doc=REGISTRY["q199_auc_roc"].doc,
+)
+
+
+@query(
+    "q200_segment_merge",
+    """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    w AS (
+      SELECT doc_id, i,
+             substr(hx, i * 128 + 1, 128) AS win
+      FROM h
+      CROSS JOIN unnest(range(0, least(4, greatest(1,
+                   length(hx) // 128)))) AS r(i)),
+    e AS (
+      SELECT doc_id, cast(i AS INT) AS seg_idx,
+             cast((list_sum(list_transform(range(1, length(win) // 2 + 1),
+                    j -> ('0x' || substr(win, 2 * j - 1, 2))::BIGINT)) * 100)
+                  // (length(win) // 2)
+                  AS BIGINT) AS energy_x100
+      FROM w WHERE length(win) > 0),
+    isl AS (
+      SELECT doc_id, seg_idx,
+             seg_idx - cast(row_number() OVER (
+               PARTITION BY doc_id ORDER BY seg_idx) AS INT) AS grp
+      FROM e WHERE energy_x100 >= 9000)
+    SELECT doc_id, cast(min(seg_idx) AS INT) AS start_seg,
+           cast(max(seg_idx) AS INT) AS end_seg,
+           cast(count(*) AS BIGINT) AS n_segs
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc="Voiced-segment COALESCING (gaps-and-islands): q196's per-window "
+    "VAD decisions merge into maximal runs of consecutive voiced "
+    "segments — the step that turns frame-level speech detection into "
+    "utterance spans a clip pipeline can cut on. Classic distributed "
+    "islands: island id = seg_idx − row_number over each doc's own "
+    "(tiny, ≤4-row) partition, then one aggregate per island. Both "
+    "windows partition BY DOC — no corpus-scale ordering exists; "
+    "payload bytes stay in the Arrow stage (q196), only (id, seg, "
+    "energy) rows reach the windows.",
+)
+def q200_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import energy_windows, to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    segs = energy_windows(to_media_table(docs, "doc_id", "text", mime="audio/fake"))
+    voiced = segs.filter(F.col("energy_x100") >= 9000)
+    w = W.partitionBy("doc_id").orderBy("seg_idx")
+    isl = voiced.withColumn(
+        "grp", F.col("seg_idx") - F.row_number().over(w).cast("int")
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("seg_idx").cast("int").alias("start_seg"),
+            F.max("seg_idx").cast("int").alias("end_seg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
+    "q201_cusum_drift",
+    """
+    WITH b AS (SELECT user_id, event_id, ts,
+                      cast(floor(value * 1e6) AS BIGINT) AS v
+               FROM events),
+    s AS (SELECT user_id, cast(sum(v) AS BIGINT) AS sv,
+                 cast(count(*) AS BIGINT) AS n
+          FROM b GROUP BY user_id),
+    d AS (SELECT b.user_id, n, ts, event_id,
+                 2 * n * v - 3 * sv AS dd
+          FROM b JOIN s USING (user_id)),
+    c AS (SELECT user_id, n, ts, event_id,
+                 sum(dd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          FROM d),
+    cu AS (SELECT user_id, n,
+                  cc - least(min(cc) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                    AS cusum
+          FROM c)
+    SELECT user_id, n,
+           cast(max(cusum) // (2 * n) AS BIGINT) AS max_cusum,
+           (max(cusum) // (2 * n) > 500000) AS detected
+    FROM cu GROUP BY user_id, n
+    """,
+    doc="Per-user one-sided CUSUM drift detection — did a user's value "
+    "level shift upward mid-stream? The max(0, S+d) recursion is not a "
+    "prefix sum, but equals C − min(0, running-min C) of the plain "
+    "cumulative drift series, so the detector is two windows "
+    "PARTITIONED BY USER over a unique (ts, event_id) order. Slack is "
+    "self-normalizing (0.5× the user's own mean) and the whole series "
+    "is scaled by 2n so EVERYTHING is exact int64 — zero float ops, "
+    "bit-identical at any parallelism; operators/stats.py "
+    "cusum_per_key. Threshold 0.5 in value units (×1e6 quantized).",
+)
+def q201_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import cusum_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_per_key(
+        ev,
+        F.col("user_id"),
+        [F.col("ts"), F.col("event_id")],
+        F.floor(F.col("value") * 1e6).cast("bigint"),
+        slack_num=1,
+        slack_den=2,
+        threshold=500_000,
+    ).select(
+        F.col("k").alias("user_id"), "n", "max_cusum", "detected"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
 # The round driver's CORRECTNESS artifact covers a PREFIX of the registry
