@@ -40,7 +40,10 @@ def grouped_value_counts(
 
 
 def with_prefix_sums(
-    counts: DataFrame, bucket_width: int, cols: list[str]
+    counts: DataFrame,
+    bucket_width: int,
+    cols: list[str],
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append exact EXCLUSIVE prefix sums ``pre_<c>`` (totals over all
     strictly-smaller v) for each count column, distributed:
@@ -48,18 +51,30 @@ def with_prefix_sums(
     1. bucket = floor(v / bucket_width) — fixed-width, deterministic;
     2. per-bucket subtotals aggregate (|buckets| rows — metadata);
     3. bucket offsets = exclusive prefix over the subtotal table (a
-       single-task window over metadata-sized input, by design);
+       window over metadata-sized input, by design — partitioned per
+       group when ``group_cols`` is given);
     4. offsets broadcast-join back; within-bucket exclusive prefix is
        a window PARTITIONED by bucket.
 
+    With ``group_cols`` every step keys by (group, …) as well, giving
+    an independent CDF per group (grouped quantiles / trimmed stats)
+    at the same cost shape: the offset table is |groups|×|buckets|
+    rows — still metadata.
+
     No corpus-scale stage is single-task; results are independent of
     parallelism because every step is keyed arithmetic."""
+    g = list(group_cols or [])
     c = counts.withColumn("__bkt", F.floor(F.col("v") / F.lit(bucket_width)))
-    sub = c.groupBy("__bkt").agg(
+    sub = c.groupBy(*g, "__bkt").agg(
         *[F.sum(col).cast("bigint").alias(f"__s_{col}") for col in cols]
     )
-    off_w = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    off_w = (
+        (W.partitionBy(*g) if g else W)
+        .orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = sub.select(
+        *g,
         "__bkt",
         *[
             F.coalesce(F.sum(f"__s_{col}").over(off_w), F.lit(0))
@@ -69,11 +84,11 @@ def with_prefix_sums(
         ],
     )
     in_w = (
-        W.partitionBy("__bkt")
+        W.partitionBy(*g, "__bkt")
         .orderBy("v")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    out = c.join(F.broadcast(offsets), "__bkt")
+    out = c.join(F.broadcast(offsets), [*g, "__bkt"])
     for col in cols:
         out = out.withColumn(
             f"pre_{col}",
@@ -369,5 +384,70 @@ def cusum_per_key(
             (
                 F.expr(f"__mx div ({slack_den} * n)") > F.lit(threshold)
             ).alias("detected"),
+        )
+    )
+
+
+def trimmed_mean_by(
+    df: DataFrame,
+    group_col: Column,
+    value_int: Column,
+    trim_num: int = 10,
+    trim_den: int = 100,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Exact per-group trimmed mean over an integer value domain — the
+    robust center a reporting pipeline uses when tails are junk
+    (corrupt sensor spikes, test accounts). Trims floor(n·num/den)
+    observations from EACH tail per group, exactly.
+
+    NOT a per-row ranking: the group's CDF comes from the grouped
+    bucketed prefix-sum machinery (``with_prefix_sums`` with
+    group_cols), and each distinct value contributes
+    kept = clamp(min(pre+cnt, n−lo) − max(pre, lo)) observations —
+    pure count arithmetic on the (group, value, count) table. Handles
+    ties across the trim boundary correctly (partial counts), uses no
+    partition-less window, no float op anywhere (mean reported as an
+    exact integer floor division in value units).
+
+    Output: one row per group (grp, n, n_kept, trimmed_mean, raw_mean).
+    """
+    counts = (
+        df.select(group_col.alias("grp"), value_int.alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pre = with_prefix_sums(counts, bucket_width, ["cnt"], group_cols=["grp"])
+    tot = counts.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("sv"),
+    )
+    j = pre.join(tot, "grp").withColumn(
+        "__lo", F.expr(f"n * {trim_num} div {trim_den}")
+    )
+    kept = F.greatest(
+        F.least(F.col("pre_cnt") + F.col("cnt"), F.col("n") - F.col("__lo"))
+        - F.greatest(F.col("pre_cnt"), F.col("__lo")),
+        F.lit(0),
+    )
+    return (
+        j.select(
+            "grp",
+            "n",
+            "sv",
+            kept.cast("bigint").alias("__k"),
+            (F.col("v") * kept).cast("bigint").alias("__vk"),
+        )
+        .groupBy("grp", "n", "sv")
+        .agg(
+            F.sum("__k").cast("bigint").alias("n_kept"),
+            F.sum("__vk").cast("bigint").alias("__sum_kept"),
+        )
+        .select(
+            "grp",
+            "n",
+            "n_kept",
+            F.expr("__sum_kept div n_kept").cast("bigint").alias("trimmed_mean"),
+            F.expr("sv div n").cast("bigint").alias("raw_mean"),
         )
     )

@@ -8637,6 +8637,238 @@ def q201_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q202_trimmed_mean",
+    """
+    WITH b AS (SELECT c_mktsegment AS grp,
+                      cast(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+               FROM customer),
+    c AS (SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY grp, v),
+    t AS (SELECT grp, cast(sum(cnt) AS BIGINT) AS n,
+                 cast(sum(v * cnt) AS BIGINT) AS sv
+          FROM c GROUP BY grp),
+    p AS (SELECT grp, v, cnt,
+                 cast(coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS pre
+          FROM c),
+    k AS (SELECT p.grp, n, sv, v,
+                 greatest(least(pre + cnt, n - (n * 10 // 100))
+                          - greatest(pre, n * 10 // 100), 0) AS kept
+          FROM p JOIN t USING (grp))
+    SELECT grp, n,
+           cast(sum(kept) AS BIGINT) AS n_kept,
+           cast(sum(v * kept) // sum(kept) AS BIGINT) AS trimmed_mean,
+           cast(sv // n AS BIGINT) AS raw_mean
+    FROM k GROUP BY grp, n, sv
+    """,
+    doc="Exact 10%%-per-tail trimmed mean of account balance per market "
+    "segment — the robust center when tails are junk (test accounts, "
+    "corrupt spikes). NOT a per-row ranking: each group's CDF comes "
+    "from the grouped bucketed prefix-sum machinery (stats.py "
+    "with_prefix_sums + group_cols), and each distinct value "
+    "contributes clamp(min(pre+cnt, n−lo) − max(pre, lo)) kept "
+    "observations — pure count arithmetic, correct under ties at the "
+    "trim boundary (partial counts), zero float ops (means are exact "
+    "integer floor divisions in cents). Per-group windows touch only "
+    "the |values-per-group| count table, partitioned by (group, "
+    "bucket); operators/stats.py trimmed_mean_by.",
+)
+def q202_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import trimmed_mean_by
+
+    cust = _t(spark, sf_dir, "customer")
+    return trimmed_mean_by(
+        cust,
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"),
+        trim_num=10,
+        trim_den=100,
+        bucket_width=10_000,
+    )
+
+
+@query(
+    "q203_jsd_divergence",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS term
+                  FROM documents WHERE source IN ('src1', 'src2')),
+    c AS (SELECT term,
+                 cast(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 cast(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM toks GROUP BY term),
+    t AS (SELECT cast(sum(ca) AS BIGINT) AS ta,
+                 cast(sum(cb) AS BIGINT) AS tb FROM c),
+    terms AS (SELECT ta, tb,
+        CASE WHEN ca > 0 THEN
+          0.5 * (ca::DOUBLE / ta::DOUBLE)
+              * log2(2.0 * (ca::DOUBLE / ta::DOUBLE)
+                     / ((ca::DOUBLE / ta::DOUBLE) + (cb::DOUBLE / tb::DOUBLE)))
+        ELSE 0.0 END
+      + CASE WHEN cb > 0 THEN
+          0.5 * (cb::DOUBLE / tb::DOUBLE)
+              * log2(2.0 * (cb::DOUBLE / tb::DOUBLE)
+                     / ((ca::DOUBLE / ta::DOUBLE) + (cb::DOUBLE / tb::DOUBLE)))
+        ELSE 0.0 END AS tj
+      FROM c CROSS JOIN t)
+    SELECT cast(count(*) AS BIGINT) AS n_terms, ta, tb,
+           cast(sum(cast(floor(tj * 1e9) AS BIGINT)) AS BIGINT) AS jsd_q
+    FROM terms GROUP BY ta, tb
+    """,
+    doc="Jensen-Shannon divergence between two sources' token "
+    "distributions — the bounded, symmetric drift metric (0..1 bit) "
+    "for corpus-composition monitoring, complementing q194's PSI. "
+    "Each term's contribution evaluates in a FIXED double expression "
+    "order on exact integer counts, quantizes to nano-bits per term "
+    "(q194's discipline), then integer-sums — order-independent, "
+    "engine-portable, parallelism-independent. One token hash agg + "
+    "a vocab-sized reduce; the scalar totals broadcast in-plan.",
+)
+def q203_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src1", "src2")
+    )
+    toks = spread(docs.select("source", "text"), "source").select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    c = toks.groupBy("term").agg(
+        F.sum((F.col("source") == "src1").cast("int"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((F.col("source") == "src2").cast("int"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+    )
+    p = F.col("ca").cast("double") / F.col("ta").cast("double")
+    q_ = F.col("cb").cast("double") / F.col("tb").cast("double")
+    tj = F.when(
+        F.col("ca") > 0,
+        F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q_)),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb") > 0,
+        F.lit(0.5) * q_ * F.log2(F.lit(2.0) * q_ / (p + q_)),
+    ).otherwise(F.lit(0.0))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "ta",
+            "tb",
+            F.floor(tj * F.lit(1e9)).cast("bigint").alias("__tj_q"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("__tj_q").cast("bigint").alias("jsd_q"),
+        )
+        .select("n_terms", "ta", "tb", "jsd_q")
+    )
+
+
+@query(
+    "q204_reservoir_sample",
+    """
+    WITH h AS (SELECT source, doc_id,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                        AS hv
+               FROM documents),
+    r AS (SELECT source, doc_id, hv,
+                 cast(row_number() OVER (PARTITION BY source
+                      ORDER BY hv, doc_id) AS INT) AS rank
+          FROM h)
+    SELECT source, doc_id, hv, rank FROM r WHERE rank <= 10
+    """,
+    doc="Deterministic per-source k-reservoir (k=10): rank every doc "
+    "by a portable md5 hash of its id and keep each source's k "
+    "smallest — a uniform-without-replacement sample that is stable "
+    "across runs, engines, partitionings AND INGEST ORDER (re-running "
+    "on a grown corpus re-draws the same sample semantics — the "
+    "property loops/retries need that rand()-based sampling lacks). "
+    "Scale path: topk_per_key's two-phase top-k (per-partition prune "
+    "to k, then per-source k over ≤ k·partitions survivors) — the "
+    "full corpus never sorts, no partition-less window; "
+    "operators/similarity.py topk_per_key.",
+)
+def q204_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.similarity import topk_per_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    return topk_per_key(
+        docs, "source", [F.col("hv"), F.col("doc_id")], 10
+    ).select("source", "doc_id", "hv", F.col("rank").cast("int").alias("rank"))
+
+
+def _q205_oracle() -> str:
+    return f"""
+    WITH qual AS ({_q47_oracle()}),
+    v AS (SELECT cast(floor(q.quality * 1e6 + 0.5) AS BIGINT) AS qv,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM qual q JOIN documents d USING (doc_id)),
+    b AS (SELECT least(qv // 100000, 9) AS bin, qv, y FROM v)
+    SELECT cast(bin AS BIGINT) AS bin,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(qv) // count(*) AS BIGINT) AS mean_q_micro,
+           cast(sum(y) * 1000000 // count(*) AS BIGINT) AS frac_pos_ppm
+    FROM b GROUP BY bin
+    """
+
+
+@query(
+    "q205_calibration_bins",
+    None,  # composed below from the q47 CTE
+    doc="Calibration (reliability) table for the quality score against "
+    "the is-English label: decile bins of the score vs the observed "
+    "positive rate per bin — the eval that says whether 0.8 'means' "
+    "80%%. One hash aggregate on the bin key over quantized-integer "
+    "score micro-units; bin means and positive fractions are exact "
+    "integer floor divisions (ppm), no float op anywhere after the "
+    "score itself. 10-row output at any SF.",
+)
+def q205_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    b = v.select(
+        F.least(F.expr("qv div 100000"), F.lit(9)).cast("bigint").alias("bin"),
+        "qv",
+        "y",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(qv) div count(1)").cast("bigint").alias("mean_q_micro"),
+        F.expr("sum(y) * 1000000 div count(1)")
+        .cast("bigint")
+        .alias("frac_pos_ppm"),
+    )
+
+
+REGISTRY["q205_calibration_bins"] = QueryDef(
+    fn=REGISTRY["q205_calibration_bins"].fn,
+    oracle=_q205_oracle(),
+    doc=REGISTRY["q205_calibration_bins"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
