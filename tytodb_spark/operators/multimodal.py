@@ -300,3 +300,101 @@ def energy_windows(
             )
 
     return media.select("doc_id", "payload").mapInPandas(batches, ENERGY_SCHEMA)
+
+
+def ahash48(df: DataFrame, id_col: str, payload_text_col: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the first 48
+    payload bytes — the classic image near-dup primitive (bit i set iff
+    sample i exceeds the payload's mean), stubbed over raw bytes the
+    same way sample_frames stubs frame decode: a real pipeline resizes
+    to an 8×8 grayscale grid and hashes pixel means behind the SAME
+    (id, ahash bigint) contract.
+
+    Entirely JVM-side built-in expressions (no Python stage): bytes
+    come from hex-pair slices of the payload's hex encoding, the mean
+    is an exact integer floor division, and the hash accumulates via a
+    higher-order ``aggregate`` lambda — deterministic, engine-portable
+    (the DuckDB oracle mirrors it with list_transform/list_sum), and
+    whole-stage-codegen friendly. 48 bits (not 64) keeps every shifted
+    term far from int64 sign territory in BOTH engines.
+
+    Output: (id, ahash bigint, n_bytes) for non-empty payloads."""
+    hx = F.upper(F.hex(F.encode(F.col(payload_text_col), "UTF-8")))
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.substring(hx, 1, 96).alias("__hx"),
+        )
+        .withColumn("__n", F.expr("length(__hx) div 2").cast("int"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__m",
+            F.expr(
+                "aggregate(sequence(0, __n - 1), cast(0 as bigint), "
+                "(acc, i) -> acc + cast(conv(substr(__hx, 2*i+1, 2), 16, 10) "
+                "as bigint)) div __n"
+            ),
+        )
+        .withColumn(
+            "ahash",
+            F.expr(
+                "aggregate(sequence(0, __n - 1), cast(0 as bigint), "
+                "(acc, i) -> acc + IF(cast(conv(substr(__hx, 2*i+1, 2), 16, "
+                "10) as bigint) > __m, shiftleft(cast(1 as bigint), i), "
+                "cast(0 as bigint)))"
+            ),
+        )
+    )
+    return out.select("id", "ahash", F.col("__n").cast("int").alias("n_bytes"))
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 12,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Band-bucketed Hamming near-dup candidates over perceptual
+    hashes: split each hash into bands, bucket-join on (band index,
+    band value) — any pair within max_hamming collides on ≥1 band when
+    bits-per-band > max_hamming/n_bands by pigeonhole — then verify
+    the exact Hamming distance with one xor+popcount. Candidate
+    generation is bucket-bounded (never all-pairs), the same LSH shape
+    as MinHash banding but for Hamming space.
+
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming."""
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        "id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"shiftright(ahash, {band_bits * j}) & {mask}")
+                        .cast("bigint")
+                        .alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "ahash", F.col("b.j").alias("j"), F.col("b.bv").alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["j", "bv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

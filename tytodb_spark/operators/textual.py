@@ -1544,3 +1544,103 @@ def trigram_index_search(
         .select(id_col)
     )
     return verified.crossJoin(F.broadcast(n_cand))
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int = 10,
+    threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """Rare-term-blocked exact TF-IDF cosine pair mining — the sparse-
+    vector cousin of MinHash-LSH: find document pairs whose TF-IDF
+    cosine ≥ threshold WITHOUT the all-pairs scan.
+
+    Blocking (the scale lever, same spirit as AllPairs/PPJoin prefix
+    filtering): candidate pairs must share at least one RARE term
+    (min_df ≤ df ≤ max_df). Rare terms have bounded posting lists, so
+    candidate generation is Σ df² over rare terms — never O(N²) — and
+    high-cosine pairs in heavy-tailed text virtually always share a
+    rare term (common-term-only overlap is what the threshold
+    rejects). The exact dot product then runs only over candidates.
+
+    Determinism discipline: weights are INTEGER milli-idf × tf
+    (w = tf · floor(ln(N/df)·1e3)), so dots and norms are exact int64
+    sums (order-free at any parallelism); the only float expression is
+    the final dot/(√na·√nb) in a fixed op order, quantized to ppm.
+    Bound: w ≤ tf·18e3 — with tf < 6e4 per doc-term everything stays
+    inside int64 through the norm sums.
+
+    Output: (id_a, id_b, dot, cos_q) for pairs with cos_q ≥ threshold.
+    """
+    toks = spread(
+        docs.select(F.col(id_col).alias("__id"), text_col), "__id"
+    ).select("__id", F.explode(tokens(text_col)).alias("__t"))
+    tf = toks.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    w = (
+        tf.join(dfq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__t",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
+                    * F.lit(1e3)
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    rare = w.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "__t")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("__ia"), F.col("b.__id").alias("__ib")
+        )
+        .distinct()
+    )
+    dots = (
+        cand.join(w.select(F.col("__id").alias("__ia"), "__t",
+                           F.col("w").alias("wa")), "__ia")
+        .join(
+            w.select(F.col("__id").alias("__ib"), "__t", F.col("w").alias("wb")),
+            ["__ib", "__t"],
+        )
+        .groupBy("__ia", "__ib")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("__id").alias("__ia"),
+                               F.col("n2").alias("na2")), "__ia")
+        .join(norms.select(F.col("__id").alias("__ib"),
+                           F.col("n2").alias("nb2")), "__ib")
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            "dot",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+    )
+    return scored.filter(F.col("cos_q") >= F.lit(threshold_ppm))

@@ -8869,6 +8869,177 @@ REGISTRY["q205_calibration_bins"] = QueryDef(
 )
 
 
+@query(
+    "q206_sparse_cosine_pairs",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, cast(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT t, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT cast(count(*) AS BIGINT) AS n FROM documents),
+    w AS (SELECT doc_id, t, df,
+                 tf * cast(floor(ln(n::DOUBLE / df::DOUBLE) * 1e3) AS BIGINT)
+                   AS w
+          FROM tf JOIN dfq USING (t) CROSS JOIN nd),
+    norms AS (SELECT doc_id, cast(sum(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    rare AS (SELECT doc_id, t FROM w WHERE df BETWEEN 2 AND 10),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM rare a JOIN rare b USING (t) WHERE a.doc_id < b.doc_id),
+    dots AS (SELECT ia, ib, cast(sum(wa.w * wb.w) AS BIGINT) AS dot
+             FROM cand
+             JOIN w wa ON wa.doc_id = ia
+             JOIN w wb ON wb.doc_id = ib AND wb.t = wa.t
+             GROUP BY ia, ib),
+    s AS (SELECT ia AS id_a, ib AS id_b, dot,
+                 cast(floor(dot::DOUBLE
+                      / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) * 1e6)
+                      AS BIGINT) AS cos_q
+          FROM dots
+          JOIN norms na ON na.doc_id = ia
+          JOIN norms nb ON nb.doc_id = ib)
+    SELECT id_a, id_b, dot, cos_q FROM s WHERE cos_q >= 300000
+    """,
+    doc="Rare-term-blocked exact TF-IDF cosine pair mining — the "
+    "sparse-vector near-dup detector (MinHash finds set overlap; this "
+    "finds WEIGHTED similarity, which catches docs sharing rare "
+    "vocabulary even when token sets diverge). Blocking = AllPairs/"
+    "PPJoin prefix-filter spirit: candidates must share a term with "
+    "df ∈ [2,10], so generation is Σdf² over rare terms — bounded "
+    "posting lists, never O(N²); the exact dot then runs only over "
+    "candidates. Weights are integer milli-idf × tf, so dots and "
+    "norms are exact int64 sums (order-free at any parallelism); the "
+    "one float expression (dot/(√na·√nb)) has fixed op order and "
+    "quantizes to ppm. operators/textual.py sparse_cosine_pairs.",
+)
+def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", min_df=2, max_df=10, threshold_ppm=300_000
+    )
+
+
+@query(
+    "q207_phash_near_dups",
+    """
+    WITH h AS (SELECT doc_id, substr(hex(encode(text)), 1, 96) AS hx
+               FROM documents),
+    n0 AS (SELECT doc_id, hx, cast(length(hx) // 2 AS INT) AS n
+           FROM h WHERE length(hx) >= 2),
+    m AS (SELECT doc_id, hx, n,
+                 cast(list_sum(list_transform(range(0, n),
+                      i -> ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT))
+                      AS BIGINT) // n AS mb
+          FROM n0),
+    a AS (SELECT doc_id AS id,
+                 cast(list_sum(list_transform(range(0, n),
+                      i -> CASE WHEN ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT
+                                     > mb
+                                THEN (1::BIGINT << i) ELSE 0 END))
+                      AS BIGINT) AS ahash
+          FROM m),
+    bands AS (SELECT id, ahash, j, (ahash >> (12 * j)) & 4095 AS bv
+              FROM a CROSS JOIN unnest(range(0, 4)) AS r(j)),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                    x.ahash AS ha, y.ahash AS hb
+             FROM bands x JOIN bands y
+               ON x.j = y.j AND x.bv = y.bv AND x.id < y.id)
+    SELECT id_a, id_b, cast(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+    doc="Perceptual-hash near-duplicate detection in HAMMING space: "
+    "aHash fingerprints (operators/multimodal.py ahash48 — bit i set "
+    "iff byte i beats the payload mean; a real pipeline hashes 8×8 "
+    "grayscale pixel means behind the same bigint contract) are split "
+    "into 4×12-bit bands and bucket-joined — any pair within Hamming "
+    "8 collides on ≥1 band by pigeonhole (⌈8/4⌉ < 12 guarantees a "
+    "clean band for distance ≤ 8... strictly: ≤ 3 corrupted bands), "
+    "then one xor+popcount verifies exactly. Same LSH shape as "
+    "MinHash banding but for bit-vector space; all integer, "
+    "entirely JVM-side built-in expressions, no Python stage.",
+)
+def q207_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import ahash48, hamming_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = ahash48(docs, "doc_id", "text").select("id", "ahash")
+    return hamming_near_dups(hashes, n_bands=4, band_bits=12, max_hamming=8)
+
+
+@query(
+    "q208_contamination_depth",
+    rf"""
+    WITH train AS (SELECT doc_id, text FROM documents
+                   WHERE source <> 'src0'),
+    bench AS (SELECT text FROM documents WHERE source = 'src0'),
+    b4 AS (SELECT DISTINCT unnest({_NGRAMS(4)}) AS g FROM bench),
+    b8 AS (SELECT DISTINCT unnest({_NGRAMS(8)}) AS g FROM bench),
+    b16 AS (SELECT DISTINCT unnest({_NGRAMS(16)}) AS g FROM bench),
+    t4 AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest({_NGRAMS(4)}) AS g FROM train) x
+           JOIN b4 USING (g)),
+    t8 AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest({_NGRAMS(8)}) AS g FROM train) x
+           JOIN b8 USING (g)),
+    t16 AS (SELECT DISTINCT doc_id FROM
+            (SELECT doc_id, unnest({_NGRAMS(16)}) AS g FROM train) x
+            JOIN b16 USING (g)),
+    hits AS (SELECT doc_id, 4 AS d FROM t4
+             UNION ALL SELECT doc_id, 8 FROM t8
+             UNION ALL SELECT doc_id, 16 FROM t16),
+    mx AS (SELECT doc_id, max(d) AS depth FROM hits GROUP BY doc_id),
+    alld AS (SELECT t.doc_id, coalesce(mx.depth, 0) AS depth
+             FROM train t LEFT JOIN mx USING (doc_id))
+    SELECT cast(depth AS INT) AS depth, cast(count(*) AS BIGINT) AS n_docs
+    FROM alld GROUP BY depth
+    """,
+    doc="Contamination DEPTH profiling — q94 answers 'is this doc "
+    "contaminated at n=5?'; this measures HOW DEEP the benchmark "
+    "overlap runs per training doc (max n ∈ {{4, 8, 16}} with a shared "
+    "n-gram) and emits the corpus depth histogram, the triage report "
+    "that separates incidental phrase collisions (depth 4) from "
+    "verbatim leakage (depth 16). Each probe is q94's broadcast "
+    "shape: benchmark gram sets build distinct-then-broadcast (eval "
+    "suites are KBs-to-MBs vs the 100 TB train side), the train scan "
+    "probes map-side with hashed grams (no gram strings materialize; "
+    "textual.py hashed_word_ngrams), and only doc-id hit lists "
+    "shuffle. Three probes share one tokenization via the spread "
+    "fan-out.",
+)
+def q208_contamination_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import hashed_word_ngrams, spread
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src0").select("text")
+    tr = spread(train, "doc_id")
+    hits = None
+    for n in (4, 8, 16):
+        bg = bench.select(
+            F.explode(hashed_word_ngrams("text", n)).alias("__g")
+        ).distinct()
+        tg = tr.select(
+            "doc_id", F.explode(hashed_word_ngrams("text", n)).alias("__g")
+        )
+        h = (
+            tg.join(F.broadcast(bg), "__g")
+            .select("doc_id")
+            .distinct()
+            .withColumn("d", F.lit(n))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    mx = hits.groupBy("doc_id").agg(F.max("d").alias("depth"))
+    return (
+        train.select("doc_id")
+        .join(mx, "doc_id", "left")
+        .select(F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
