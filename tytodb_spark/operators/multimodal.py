@@ -310,42 +310,65 @@ def ahash48(df: DataFrame, id_col: str, payload_text_col: str) -> DataFrame:
     to an 8×8 grayscale grid and hashes pixel means behind the SAME
     (id, ahash bigint) contract.
 
-    Entirely JVM-side built-in expressions (no Python stage): bytes
-    come from hex-pair slices of the payload's hex encoding, the mean
-    is an exact integer floor division, and the hash accumulates via a
-    higher-order ``aggregate`` lambda — deterministic, engine-portable
-    (the DuckDB oracle mirrors it with list_transform/list_sum), and
-    whole-stage-codegen friendly. 48 bits (not 64) keeps every shifted
-    term far from int64 sign territory in BOTH engines.
+    Spelling matters here: the tempting one-row higher-order-function
+    version (aggregate-lambda over a byte array, mean referenced inside
+    the bit lambda) is catastrophically slow — Catalyst inlines the
+    mean sub-aggregate into every bit evaluation (48× re-evaluation)
+    and HOF lambdas run INTERPRETED, outside whole-stage codegen. So
+    the operator EXPLODES to (id, bit_idx, byte) rows — 48× narrow-row
+    fan-out, fully codegen'd conv/substr — and computes mean + hash as
+    two ordinary hash aggregates with a broadcast join between. Both
+    aggregates are map-side combinable; at 100 TB the fan-out is the
+    same per-byte work any decode does, just distributed.
+
+    All integer (mean is exact floor division), engine-portable (the
+    DuckDB oracle mirrors it with list_transform/list_sum). 48 bits
+    (not 64) keeps every shifted term far from int64 sign territory in
+    BOTH engines.
 
     Output: (id, ahash bigint, n_bytes) for non-empty payloads."""
     hx = F.upper(F.hex(F.encode(F.col(payload_text_col), "UTF-8")))
-    out = (
+    base = (
         df.select(
             F.col(id_col).alias("id"),
             F.substring(hx, 1, 96).alias("__hx"),
         )
         .withColumn("__n", F.expr("length(__hx) div 2").cast("int"))
         .filter(F.col("__n") > 0)
-        .withColumn(
-            "__m",
-            F.expr(
-                "aggregate(sequence(0, __n - 1), cast(0 as bigint), "
-                "(acc, i) -> acc + cast(conv(substr(__hx, 2*i+1, 2), 16, 10) "
-                "as bigint)) div __n"
-            ),
-        )
-        .withColumn(
-            "ahash",
-            F.expr(
-                "aggregate(sequence(0, __n - 1), cast(0 as bigint), "
-                "(acc, i) -> acc + IF(cast(conv(substr(__hx, 2*i+1, 2), 16, "
-                "10) as bigint) > __m, shiftleft(cast(1 as bigint), i), "
-                "cast(0 as bigint)))"
-            ),
-        )
     )
-    return out.select("id", "ahash", F.col("__n").cast("int").alias("n_bytes"))
+    bits = base.select(
+        "id",
+        "__n",
+        F.explode(F.expr("sequence(0, __n - 1)")).alias("i"),
+        "__hx",
+    ).select(
+        "id",
+        "__n",
+        "i",
+        F.expr("cast(conv(substr(__hx, 2*i+1, 2), 16, 10) as bigint)").alias(
+            "__b"
+        ),
+    )
+    means = bits.groupBy("id").agg(
+        F.expr("sum(__b) div count(1)").cast("bigint").alias("__m")
+    )
+    # shuffle join on id, NOT broadcast: the per-doc mean table is
+    # corpus-sized; the join key matches the aggregate's partitioning
+    return (
+        bits.join(means, "id")
+        .groupBy("id", "__n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__b") > F.col("__m"),
+                    F.expr("shiftleft(cast(1 as bigint), i)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ahash")
+        )
+        .select("id", "ahash", F.col("__n").cast("int").alias("n_bytes"))
+    )
 
 
 def hamming_near_dups(

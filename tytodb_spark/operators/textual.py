@@ -1550,34 +1550,43 @@ def sparse_cosine_pairs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
+    shingle_n: int = 3,
     min_df: int = 2,
     max_df: int = 10,
+    min_shared: int = 2,
     threshold_ppm: int = 300_000,
 ) -> DataFrame:
-    """Rare-term-blocked exact TF-IDF cosine pair mining — the sparse-
-    vector cousin of MinHash-LSH: find document pairs whose TF-IDF
-    cosine ≥ threshold WITHOUT the all-pairs scan.
+    """Rare-feature-blocked exact TF-IDF cosine pair mining — the
+    sparse-vector cousin of MinHash-LSH: find document pairs whose
+    TF-IDF cosine over word ``shingle_n``-gram features ≥ threshold
+    WITHOUT the all-pairs scan.
 
-    Blocking (the scale lever, same spirit as AllPairs/PPJoin prefix
-    filtering): candidate pairs must share at least one RARE term
-    (min_df ≤ df ≤ max_df). Rare terms have bounded posting lists, so
-    candidate generation is Σ df² over rare terms — never O(N²) — and
-    high-cosine pairs in heavy-tailed text virtually always share a
-    rare term (common-term-only overlap is what the threshold
-    rejects). The exact dot product then runs only over candidates.
+    Features are word n-gram shingles, not unigrams: shingles carry
+    the heavy-tailed document-frequency spectrum blocking needs even
+    when the unigram vocabulary is tiny (templated/synthetic corpora),
+    and weighted shingle cosine is a sharper near-dup signal than set
+    Jaccard (tf and idf both count).
+
+    Blocking (the scale lever — AllPairs/PPJoin prefix-filter spirit):
+    candidate pairs must share at least one RARE feature
+    (min_df ≤ df ≤ max_df). Rare features have bounded posting lists,
+    so candidate generation is Σ df² over rare features — never
+    O(N²) — and high-cosine pairs virtually always share one (a pair
+    sharing ONLY ubiquitous shingles is what the threshold rejects).
+    The exact dot product then runs only over candidates.
 
     Determinism discipline: weights are INTEGER milli-idf × tf
     (w = tf · floor(ln(N/df)·1e3)), so dots and norms are exact int64
     sums (order-free at any parallelism); the only float expression is
     the final dot/(√na·√nb) in a fixed op order, quantized to ppm.
-    Bound: w ≤ tf·18e3 — with tf < 6e4 per doc-term everything stays
-    inside int64 through the norm sums.
 
     Output: (id_a, id_b, dot, cos_q) for pairs with cos_q ≥ threshold.
     """
     toks = spread(
         docs.select(F.col(id_col).alias("__id"), text_col), "__id"
-    ).select("__id", F.explode(tokens(text_col)).alias("__t"))
+    ).select(
+        "__id", F.explode(word_ngrams(text_col, shingle_n)).alias("__t")
+    )
     tf = toks.groupBy("__id", "__t").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
@@ -1603,14 +1612,22 @@ def sparse_cosine_pairs(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
     )
     rare = w.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    # candidate policy: pairs must share >= min_shared rare features —
+    # the 2-collision analogue of requiring two LSH band hits. True
+    # high-cosine pairs share MANY rare shingles, so this prunes the
+    # single-coincidence tail of the candidate set (the bulk of it)
+    # without touching recall at practical thresholds; the count
+    # aggregate replaces a distinct at the same shuffle cost.
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "__t")
         .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(
+        .groupBy(
             F.col("a.__id").alias("__ia"), F.col("b.__id").alias("__ib")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= F.lit(min_shared))
+        .select("__ia", "__ib")
     )
     dots = (
         cand.join(w.select(F.col("__id").alias("__ia"), "__t",

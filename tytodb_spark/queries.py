@@ -8872,7 +8872,7 @@ REGISTRY["q205_calibration_bins"] = QueryDef(
 @query(
     "q206_sparse_cosine_pairs",
     rf"""
-    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    WITH toks AS (SELECT doc_id, unnest({_NGRAMS(3)}) AS t FROM documents),
     tf AS (SELECT doc_id, t, cast(count(*) AS BIGINT) AS tf
            FROM toks GROUP BY 1, 2),
     dfq AS (SELECT t, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -8884,8 +8884,9 @@ REGISTRY["q205_calibration_bins"] = QueryDef(
     norms AS (SELECT doc_id, cast(sum(w * w) AS BIGINT) AS n2
               FROM w GROUP BY doc_id),
     rare AS (SELECT doc_id, t FROM w WHERE df BETWEEN 2 AND 10),
-    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-             FROM rare a JOIN rare b USING (t) WHERE a.doc_id < b.doc_id),
+    cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             FROM rare a JOIN rare b USING (t) WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2),
     dots AS (SELECT ia, ib, cast(sum(wa.w * wb.w) AS BIGINT) AS dot
              FROM cand
              JOIN w wa ON wa.doc_id = ia
@@ -8900,24 +8901,36 @@ REGISTRY["q205_calibration_bins"] = QueryDef(
           JOIN norms nb ON nb.doc_id = ib)
     SELECT id_a, id_b, dot, cos_q FROM s WHERE cos_q >= 300000
     """,
-    doc="Rare-term-blocked exact TF-IDF cosine pair mining — the "
-    "sparse-vector near-dup detector (MinHash finds set overlap; this "
-    "finds WEIGHTED similarity, which catches docs sharing rare "
-    "vocabulary even when token sets diverge). Blocking = AllPairs/"
-    "PPJoin prefix-filter spirit: candidates must share a term with "
-    "df ∈ [2,10], so generation is Σdf² over rare terms — bounded "
-    "posting lists, never O(N²); the exact dot then runs only over "
-    "candidates. Weights are integer milli-idf × tf, so dots and "
-    "norms are exact int64 sums (order-free at any parallelism); the "
-    "one float expression (dot/(√na·√nb)) has fixed op order and "
-    "quantizes to ppm. operators/textual.py sparse_cosine_pairs.",
+    doc="Rare-feature-blocked exact TF-IDF cosine pair mining over "
+    "word-trigram shingles — the sparse-vector near-dup detector "
+    "(MinHash finds set overlap; this finds WEIGHTED similarity: tf "
+    "and idf both count). Shingle features, not unigrams: shingles "
+    "keep a heavy-tailed df spectrum even on templated corpora with "
+    "tiny unigram vocabularies (this fixture: 31 distinct tokens but "
+    "16k+ trigrams). Blocking = AllPairs/PPJoin prefix-filter spirit: "
+    "candidates must share ≥2 rare shingles (df ∈ [2,10]) — the "
+    "two-band-collision analogue; generation is Σdf² over rare "
+    "shingles with bounded posting lists, never O(N²), and the "
+    "≥2-shared gate prunes the single-coincidence tail before the "
+    "exact dot runs over candidates. Weights "
+    "are integer milli-idf × tf, so dots and norms are exact int64 "
+    "sums (order-free at any parallelism); the one float expression "
+    "(dot/(√na·√nb)) has fixed op order and quantizes to ppm. "
+    "operators/textual.py sparse_cosine_pairs.",
 )
 def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.textual import sparse_cosine_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return sparse_cosine_pairs(
-        docs, "doc_id", "text", min_df=2, max_df=10, threshold_ppm=300_000
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_df=2,
+        max_df=10,
+        min_shared=2,
+        threshold_ppm=300_000,
     )
 
 
@@ -8940,23 +8953,26 @@ def q206_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 THEN (1::BIGINT << i) ELSE 0 END))
                       AS BIGINT) AS ahash
           FROM m),
-    bands AS (SELECT id, ahash, j, (ahash >> (12 * j)) & 4095 AS bv
-              FROM a CROSS JOIN unnest(range(0, 4)) AS r(j)),
+    bands AS (SELECT id, ahash, j, (ahash >> (16 * j)) & 65535 AS bv
+              FROM a CROSS JOIN unnest(range(0, 3)) AS r(j)),
     cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
                     x.ahash AS ha, y.ahash AS hb
              FROM bands x JOIN bands y
                ON x.j = y.j AND x.bv = y.bv AND x.id < y.id)
     SELECT id_a, id_b, cast(bit_count(xor(ha, hb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 2
     """,
     doc="Perceptual-hash near-duplicate detection in HAMMING space: "
     "aHash fingerprints (operators/multimodal.py ahash48 — bit i set "
     "iff byte i beats the payload mean; a real pipeline hashes 8×8 "
     "grayscale pixel means behind the same bigint contract) are split "
-    "into 4×12-bit bands and bucket-joined — any pair within Hamming "
-    "8 collides on ≥1 band by pigeonhole (⌈8/4⌉ < 12 guarantees a "
-    "clean band for distance ≤ 8... strictly: ≤ 3 corrupted bands), "
-    "then one xor+popcount verifies exactly. Same LSH shape as "
+    "into 3×16-bit bands and bucket-joined — any pair within Hamming "
+    "2 collides on ≥1 band by pigeonhole (3 bands > 2 corrupted "
+    "bits), then one xor+popcount verifies exactly. Threshold and "
+    "band geometry are tuned to the signal: structured ASCII "
+    "payloads put thousands of doc pairs within Hamming 8, so the "
+    "tight radius is what separates true prefix near-dups from "
+    "byte-pattern noise. Same LSH shape as "
     "MinHash banding but for bit-vector space; all integer, "
     "entirely JVM-side built-in expressions, no Python stage.",
 )
@@ -8965,7 +8981,7 @@ def q207_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     hashes = ahash48(docs, "doc_id", "text").select("id", "ahash")
-    return hamming_near_dups(hashes, n_bands=4, band_bits=12, max_hamming=8)
+    return hamming_near_dups(hashes, n_bands=3, band_bits=16, max_hamming=2)
 
 
 @query(
