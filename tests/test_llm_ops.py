@@ -1884,3 +1884,125 @@ def test_mixed_fixture_oracle_parity(spark, mixed_sf_dir, qname):
     res = compare(qd.fn(spark, mixed_sf_dir), con, qd.oracle)
     con.close()
     assert res["ok"], f"{qname}: {res}"
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: sparse cosine pairs, aHash hamming LSH
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_cosine_matches_numpy_brute_force(spark):
+    """Blocked pairs that survive must carry the EXACT quantized-weight
+    cosine a brute-force numpy evaluation computes, and blocking must
+    find every pair sharing >= 2 rare shingles above threshold."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight ten"),    # near-dup of 3
+        (5, "completely different words entirely here now table chair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in X.sparse_cosine_pairs(
+            df, "doc_id", "text", shingle_n=3, min_df=2, max_df=10,
+            min_shared=2, threshold_ppm=300_000,
+        ).collect()
+    }
+
+    # independent reference
+    def shingles(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    tf = {i: Counter(shingles(t)) for i, t in rows}
+    dfc = Counter(g for c in tf.values() for g in c)
+    n = len(rows)
+    w = {
+        i: {g: c * math.floor(math.log(n / dfc[g]) * 1e3) for g, c in cc.items()}
+        for i, cc in tf.items()
+    }
+    norms = {i: sum(x * x for x in ww.values()) for i, ww in w.items()}
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            shared = set(w[a]) & set(w[b])
+            rare_shared = [g for g in shared if 2 <= dfc[g] <= 10]
+            if len(rare_shared) < 2:
+                continue
+            dot = sum(w[a][g] * w[b][g] for g in shared)
+            if norms[a] == 0 or norms[b] == 0:
+                continue
+            cos = dot / (math.sqrt(norms[a]) * math.sqrt(norms[b]))
+            if math.floor(cos * 1e6) >= 300_000:
+                expected[(a, b)] = (dot, math.floor(cos * 1e6))
+    assert set(got) == set(expected)
+    for k, (dot, cq) in expected.items():
+        assert got[k]["dot"] == dot and got[k]["cos_q"] == cq
+    assert (0, 2) in got and got[(0, 2)]["cos_q"] == 1_000_000  # exact dup
+    assert (0, 1) in got and (3, 4) in got
+
+
+def _ref_ahash(text: str) -> tuple[int, int] | None:
+    raw = text.encode()[:48]
+    if not raw:
+        return None
+    m = sum(raw) // len(raw)
+    h = 0
+    for i, b in enumerate(raw):
+        if b > m:
+            h |= 1 << i
+    return h, len(raw)
+
+
+def test_ahash48_matches_reference(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then some"),
+        (1, "héllo wörld — unicode päyload with multi-byte characters"),
+        (2, "x"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in M.ahash48(df, "doc_id", "text").collect()}
+    assert 3 not in got  # empty payload skipped
+    for i, t in rows[:3]:
+        h, nb = _ref_ahash(t)
+        assert (got[i]["ahash"], got[i]["n_bytes"]) == (h, nb), i
+
+
+def test_hamming_near_dups_complete_within_radius(spark):
+    """Pigeonhole completeness: with 3 bands over 48 bits, EVERY pair
+    within Hamming 2 must be found (no false negatives); verify against
+    brute force over all pairs, and distances must be exact."""
+    import itertools
+
+    base = 0x5A5A5A5A5A5A  # 48-bit pattern
+    hashes = [
+        (0, base),
+        (1, base ^ 0b1),            # hamming 1
+        (2, base ^ 0b11),           # hamming 2 from 0
+        (3, base ^ (1 << 20) ^ (1 << 40)),  # hamming 2, different bands
+        (4, base ^ 0xFFF),          # hamming 12 — out of radius
+        (5, 0x000000000000),
+    ]
+    df = spark.createDataFrame(hashes, "id long, ahash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.hamming_near_dups(
+            df, n_bands=3, band_bits=16, max_hamming=2
+        ).collect()
+    }
+    expect = {}
+    hm = dict(hashes)
+    for a, b in itertools.combinations(sorted(hm), 2):
+        d = bin(hm[a] ^ hm[b]).count("1")
+        if d <= 2:
+            expect[(a, b)] = d
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (0, 3) in got and got[(0, 3)] == 2

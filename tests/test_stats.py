@@ -135,3 +135,123 @@ def test_ks_empty_input_one_null_row(spark):
     rows = ks_test(df, F.col("v"), F.col("g")).collect()
     assert len(rows) == 1
     assert rows[0]["ks_q"] is None and rows[0]["n1"] is None
+
+
+def test_auc_matches_numpy_reference(spark):
+    """auc_exact vs an independent midrank-AUC reference on random
+    data with heavy ties."""
+    import numpy as np
+
+    from tytodb_spark.operators.stats import auc_exact
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 40, size=3000)
+    y = (v + rng.integers(0, 25, size=3000) > 30).astype(int)  # correlated
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(v, y)], "v long, y int"
+    )
+    r = auc_exact(df, F.col("v"), F.col("y"), bucket_width=8).collect()[0]
+
+    # numpy reference: midrank AUC = (R1 - n1(n1+1)/2) / (n1 n2)
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=float)
+    sv = v[order]
+    i = 0
+    pos = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = int(y.sum()), int((1 - y).sum())
+    r1 = float(ranks[y == 1].sum())
+    auc = (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2)
+    assert (r["n_pos"], r["n_neg"]) == (n1, n2)
+    assert abs(r["auc_q"] - round(auc * 1e6)) <= 1
+    assert abs(r["gini_q"] - round((2 * auc - 1) * 1e6)) <= 2
+    # sanity: a correlated score must separate better than chance
+    assert r["auc_q"] > 600_000
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """cusum_per_key's prefix-sum/running-min identity vs the textbook
+    max(0, S+d) recursion computed directly in Python."""
+    import numpy as np
+
+    from tytodb_spark.operators.stats import cusum_per_key
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(20):
+        n = int(rng.integers(5, 60))
+        drift_at = n // 2 if k % 3 == 0 else None
+        for i in range(n):
+            v = int(rng.integers(100, 200))
+            if drift_at is not None and i >= drift_at:
+                v += 400  # upward shift the detector must flag
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "k long, i long, v long")
+    got = {
+        r["k"]: r
+        for r in cusum_per_key(
+            df, F.col("k"), [F.col("i")], F.col("v"), 1, 2, threshold=30
+        ).collect()
+    }
+    import collections
+
+    series = collections.defaultdict(list)
+    for k, i, v in rows:
+        series[k].append((i, v))
+    for k, sv in series.items():
+        sv.sort()
+        vals = [v for _, v in sv]
+        n, s = len(vals), sum(vals)
+        cur = 0
+        mx = 0
+        for v in vals:
+            d = 2 * n * v - 3 * s  # scaled drift term
+            cur = max(0, cur + d)
+            mx = max(mx, cur)
+        expect = mx // (2 * n)
+        assert got[k]["max_cusum"] == expect, k
+        assert got[k]["detected"] == (expect > 30), k
+        assert got[k]["n"] == n
+    # drifted keys must actually be detected
+    assert all(got[k]["detected"] for k in range(0, 20, 3))
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    """trimmed_mean_by (count-arithmetic CDF trim) vs direct numpy
+    sort-and-slice on tie-heavy groups."""
+    import numpy as np
+
+    from tytodb_spark.operators.stats import trimmed_mean_by
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ("a", "b", "c"):
+        vals = rng.integers(-50, 50, size=int(rng.integers(40, 200)))
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["grp"]: r
+        for r in trimmed_mean_by(
+            df, F.col("g"), F.col("v"), 10, 100, bucket_width=16
+        ).collect()
+    }
+    import collections
+
+    by = collections.defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    for g, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        lo = n * 10 // 100
+        kept = vals[lo : n - lo]
+        assert got[g]["n"] == n
+        assert got[g]["n_kept"] == len(kept)
+        # Spark `div` truncates toward zero; match with int() on the quotient
+        assert got[g]["trimmed_mean"] == int(sum(kept) / len(kept)) if sum(kept) < 0 else sum(kept) // len(kept)
+        assert got[g]["raw_mean"] == (int(sum(vals) / n) if sum(vals) < 0 else sum(vals) // n)
