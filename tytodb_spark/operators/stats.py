@@ -451,3 +451,46 @@ def trimmed_mean_by(
             F.expr("sv div n").cast("bigint").alias("raw_mean"),
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: Column,
+    value_int: Column,
+    quantiles: list[tuple[str, int, int]],
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Exact per-group DISCRETE quantiles (value at rank ⌈n·p⌉) over an
+    integer value domain — the count-arithmetic twin of q59's
+    interpolated `percentile`: no per-row ranking, no sort of the fact
+    table, no float anywhere. Each group's CDF comes from the grouped
+    bucketed prefix sums; quantile q's answer is the unique v whose
+    count interval (pre, pre+cnt] contains rank ⌈n·num/den⌉, picked by
+    one conditional min aggregate per requested quantile — all
+    quantiles in ONE pass over the count table.
+
+    ``quantiles``: [(output_name, num, den), ...], p = num/den.
+    Output: (grp, n, <name>...) — quantile values in the input's
+    integer units."""
+    counts = (
+        df.select(group_col.alias("grp"), value_int.alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pre = with_prefix_sums(counts, bucket_width, ["cnt"], group_cols=["grp"])
+    tot = counts.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
+    j = pre.join(tot, "grp")
+    aggs = []
+    for name, num, den in quantiles:
+        r = F.expr(f"(n * {num} + {den} - 1) div {den}")  # ceil(n·p), ≥ 1
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("pre_cnt") < r) & (r <= F.col("pre_cnt") + F.col("cnt")),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    return j.groupBy("grp", "n").agg(*aggs)

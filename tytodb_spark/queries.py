@@ -9056,6 +9056,387 @@ def q208_contamination_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q209_grouped_quantiles",
+    """
+    WITH b AS (SELECT o_orderstatus AS grp,
+                      cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+               FROM orders),
+    c AS (SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2),
+    t AS (SELECT grp, cast(sum(cnt) AS BIGINT) AS n FROM c GROUP BY grp),
+    p AS (SELECT grp, v, cnt,
+                 cast(coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS pre
+          FROM c),
+    j AS (SELECT p.grp, p.v, p.cnt, p.pre, t.n FROM p JOIN t USING (grp))
+    SELECT grp, n,
+      cast(min(CASE WHEN pre < (n * 25 + 99) // 100
+                     AND (n * 25 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p25,
+      cast(min(CASE WHEN pre < (n * 50 + 99) // 100
+                     AND (n * 50 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p50,
+      cast(min(CASE WHEN pre < (n * 75 + 99) // 100
+                     AND (n * 75 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p75,
+      cast(min(CASE WHEN pre < (n * 95 + 99) // 100
+                     AND (n * 95 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p95
+    FROM j GROUP BY grp, n
+    """,
+    doc="Exact per-group DISCRETE quantiles (order-value cents at rank "
+    "⌈n·p⌉ per order status) — the count-arithmetic twin of q59's "
+    "interpolated percentile, built for the 100 TB shape: no per-row "
+    "ranking, no sort of the fact table, no float op anywhere. Each "
+    "group's CDF is the grouped bucketed two-level prefix sum "
+    "(stats.py with_prefix_sums + group_cols); all four quantiles "
+    "resolve in ONE conditional-min pass over the |group × distinct "
+    "value| count table. Exact under ties by construction (rank "
+    "intervals, not row numbers); operators/stats.py "
+    "grouped_quantiles.",
+)
+def q209_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return grouped_quantiles(
+        orders,
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"),
+        [("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100),
+         ("p95", 95, 100)],
+        bucket_width=1_000_000,
+    )
+
+
+@query(
+    "q210_multimodal_dedup_audit",
+    """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (
+      SELECT doc_id,
+             sha256(substr(hx, i * 128 + 1, 128)) AS fh
+      FROM h
+      CROSS JOIN unnest(range(0, least(4, greatest(1,
+                   length(hx) // 128)))) AS r(i)),
+    fd AS (SELECT DISTINCT doc_id, fh FROM f),
+    fpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM fd a JOIN fd b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+    n0 AS (SELECT doc_id, substr(hx, 1, 96) AS hx96,
+                  cast(least(length(hx), 96) // 2 AS INT) AS n
+           FROM h WHERE length(hx) >= 2),
+    m AS (SELECT doc_id, hx96, n,
+                 cast(list_sum(list_transform(range(0, n),
+                      i -> ('0x' || substr(hx96, 2 * i + 1, 2))::BIGINT))
+                      AS BIGINT) // n AS mb
+          FROM n0),
+    a AS (SELECT doc_id AS id,
+                 cast(list_sum(list_transform(range(0, n),
+                      i -> CASE WHEN ('0x' || substr(hx96, 2 * i + 1,
+                                      2))::BIGINT > mb
+                                THEN (1::BIGINT << i) ELSE 0 END))
+                      AS BIGINT) AS ahash
+          FROM m),
+    bands AS (SELECT id, ahash, j, (ahash >> (16 * j)) & 65535 AS bv
+              FROM a CROSS JOIN unnest(range(0, 3)) AS r(j)),
+    ppairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.j = y.j AND x.bv = y.bv AND x.id < y.id
+                  AND bit_count(xor(x.ahash, y.ahash)) <= 2),
+    u AS (SELECT coalesce(f.id_a, p.id_a) AS id_a,
+                 coalesce(f.id_b, p.id_b) AS id_b,
+                 (f.id_a IS NOT NULL) AS in_f, (p.id_a IS NOT NULL) AS in_p
+          FROM fpairs f FULL OUTER JOIN ppairs p
+            ON f.id_a = p.id_a AND f.id_b = p.id_b)
+    SELECT cast(sum(CASE WHEN in_f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frame_pairs,
+           cast(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phash_pairs,
+           cast(sum(CASE WHEN in_f AND in_p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           cast(sum(CASE WHEN in_f AND in_p THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS jaccard_ppm
+    FROM u
+    """,
+    doc="Multimodal dedup STRATEGY AUDIT — the q114-style agreement "
+    "matrix between the two visual near-dup detectors: exact shared-"
+    "frame pairs (q195's hash-keyed buckets) vs perceptual-hash "
+    "Hamming pairs (q207's banded LSH). Reports both pair counts, the "
+    "intersection, and the Jaccard agreement — the calibration a "
+    "pipeline owner reads before choosing a strategy or tightening a "
+    "radius. Both pair sets are bucket-bounded (hash buckets / LSH "
+    "bands — never all-pairs); the audit itself is one full-outer "
+    "join on the pair key + a scalar reduce.",
+)
+def q210_multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import (
+        ahash48,
+        hamming_near_dups,
+        sample_frames,
+        to_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        to_media_table(docs, "doc_id", "text", mime="video/fake")
+    )
+    fd = frames.select("doc_id", "frame_sha256").distinct()
+    fpairs = (
+        fd.alias("a")
+        .join(fd.alias("b"), "frame_sha256")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ppairs = hamming_near_dups(
+        ahash48(docs, "doc_id", "text").select("id", "ahash"),
+        n_bands=3,
+        band_bits=16,
+        max_hamming=2,
+    ).select("id_a", "id_b")
+    u = (
+        fpairs.withColumn("in_f", F.lit(True))
+        .join(
+            ppairs.withColumn("in_p", F.lit(True)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("in_f"), F.lit(False)).alias("in_f"),
+            F.coalesce(F.col("in_p"), F.lit(False)).alias("in_p"),
+        )
+    )
+    return u.agg(
+        F.sum(F.col("in_f").cast("int")).cast("bigint").alias("n_frame_pairs"),
+        F.sum(F.col("in_p").cast("int")).cast("bigint").alias("n_phash_pairs"),
+        F.sum((F.col("in_f") & F.col("in_p")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.expr(
+            "sum(cast(in_f and in_p as int)) * 1000000 div count(1)"
+        )
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+
+
+@query(
+    "q211_tokenizer_fertility",
+    r"""
+    WITH b AS (
+      SELECT source, lang,
+             cast(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\s+'), x -> x <> '')) AS BIGINT) AS ws_toks,
+             cast(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_toks,
+             cast(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT source, lang,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(ws_toks) AS BIGINT) AS ws_tokens,
+           cast(sum(re_toks) AS BIGINT) AS re_tokens,
+           cast(sum(n_bytes) AS BIGINT) AS total_bytes,
+           cast(sum(ws_toks) * 1024000 // sum(n_bytes) AS BIGINT)
+             AS ws_per_kb_x1000,
+           cast(sum(re_toks) * 1000000 // sum(ws_toks) AS BIGINT)
+             AS re_per_ws_ppm
+    FROM b GROUP BY source, lang
+    """,
+    doc="Tokenizer FERTILITY census per (source, lang): whitespace "
+    "tokens vs BPE-style pretokenizer units (letter runs / digit runs "
+    "/ single punctuation — the GPT-2-family pretokenization shape) "
+    "per kilobyte — the first metric a tokenizer-training run reports "
+    "(how many units per byte each corpus slice costs, and how "
+    "fragmentation varies by language/source). Pure map-side "
+    "expressions + one small-group aggregate; ratios are exact "
+    "integer floor divisions (×1000 / ppm) so parity is bit-exact.",
+)
+def q211_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        "lang",
+        token_count("text").cast("bigint").alias("ws_toks"),
+        F.expr(
+            r"regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+        )
+        .cast("bigint")
+        .alias("re_toks"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    return b.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_toks").cast("bigint").alias("ws_tokens"),
+        F.sum("re_toks").cast("bigint").alias("re_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.expr("sum(ws_toks) * 1024000 div sum(n_bytes)")
+        .cast("bigint")
+        .alias("ws_per_kb_x1000"),
+        F.expr("sum(re_toks) * 1000000 div sum(ws_toks)")
+        .cast("bigint")
+        .alias("re_per_ws_ppm"),
+    )
+
+
+def _HLL_EST_SQL(select_k: str) -> str:
+    """Scalar SQL subquery: portable-HLL estimate (milli-units) of the
+    distinct count of column k in ``select_k`` — q165's register
+    pipeline, parameterized for reuse."""
+    return f"""(
+      WITH r0 AS (
+        SELECT ('0x' || substr(md5(k::VARCHAR), 1, 2))::BIGINT AS ridx,
+               substr(md5(k::VARCHAR), 3, 13) AS w
+        FROM ({select_k})),
+      r1 AS (
+        SELECT ridx,
+               CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
+                    ELSE (length(w) - length(ltrim(w, '0'))) * 4
+                         + 3 - cast(substr('011222233333333',
+                               strpos('0123456789abcdef',
+                                      substr(ltrim(w, '0'), 1, 1)) - 1, 1)
+                               AS INT)
+                         + 1 END AS rho
+        FROM r0),
+      regs AS (SELECT ridx, max(rho) AS rho FROM r1 GROUP BY ridx),
+      agg AS (SELECT cast(count(*) AS BIGINT) AS nset,
+                     cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                       AS hsum
+              FROM regs),
+      est AS (SELECT nset,
+                     0.7213 / (1 + 1.079 / 256) * (256.0 * 256.0)
+                       * 9007199254740992.0
+                       / cast(hsum + (256 - nset)
+                              * (1::BIGINT << 53) AS DOUBLE) AS raw,
+                     256 - nset AS zeros
+              FROM agg)
+      SELECT cast(floor(CASE WHEN zeros > 0 AND raw <= 2.5 * 256
+                             THEN 256.0 * ln(256.0 / zeros) ELSE raw END
+                        * 1000 + 0.5) AS BIGINT)
+      FROM est)"""
+
+
+@query(
+    "q212_join_size_estimate",
+    f"""
+    WITH d1 AS (SELECT {_HLL_EST_SQL("SELECT o_custkey AS k FROM orders")}
+                  AS d1_q),
+    d2 AS (SELECT {_HLL_EST_SQL("SELECT c_custkey AS k FROM customer")}
+             AS d2_q),
+    sz AS (SELECT (SELECT cast(count(*) AS BIGINT) FROM orders) AS n_r,
+                  (SELECT cast(count(*) AS BIGINT) FROM customer) AS n_s),
+    act AS (SELECT cast(count(*) AS BIGINT) AS actual_rows
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    e AS (SELECT n_r, n_s, d1_q, d2_q, actual_rows,
+                 cast(floor(n_r::DOUBLE * n_s::DOUBLE * 1000.0
+                      / greatest(d1_q, d2_q)::DOUBLE) AS BIGINT) AS est_rows
+          FROM sz CROSS JOIN d1 CROSS JOIN d2 CROSS JOIN act)
+    SELECT n_r, n_s, d1_q, d2_q, est_rows, actual_rows,
+           (abs(est_rows - actual_rows) * 100 <= 25 * actual_rows) AS err_ok
+    FROM e
+    """,
+    doc="HLL-based JOIN-SIZE estimation vs ground truth — the "
+    "cost-model primitive behind join reordering and broadcast "
+    "decisions (what Catalyst's CBO column stats do, rebuilt on the "
+    "portable mergeable sketch): |R⋈S| ≈ |R|·|S| / max(d_R, d_S) "
+    "with both distinct counts from q165's md5-portable HLL register "
+    "tables, checked against the exact join cardinality and gated at "
+    "25%% (two stacked 6.5%%-error estimates). Sketch builds are one "
+    "map-side projection + a 256-row max aggregate per side — "
+    "statistics collection never rescans or shuffles the fact "
+    "tables; operators/sketches.py hll_build/hll_estimate.",
+)
+def q212_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sketches import hll_build, hll_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    d1 = hll_estimate(hll_build(orders, "o_custkey")).select(
+        F.col("hll_est_q").alias("d1_q")
+    )
+    d2 = hll_estimate(hll_build(cust, "c_custkey")).select(
+        F.col("hll_est_q").alias("d2_q")
+    )
+    sz = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_r")).crossJoin(
+        F.broadcast(cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_s")))
+    )
+    act = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    e = (
+        sz.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(act))
+        .withColumn(
+            "est_rows",
+            F.floor(
+                F.col("n_r").cast("double")
+                * F.col("n_s").cast("double")
+                * F.lit(1000.0)
+                / F.greatest(F.col("d1_q"), F.col("d2_q")).cast("double")
+            ).cast("bigint"),
+        )
+    )
+    return e.select(
+        "n_r",
+        "n_s",
+        "d1_q",
+        "d2_q",
+        "est_rows",
+        "actual_rows",
+        (
+            F.abs(F.col("est_rows") - F.col("actual_rows")) * 100
+            <= 25 * F.col("actual_rows")
+        ).alias("err_ok"),
+    )
+
+
+@query(
+    "q213_orc_roundtrip",
+    """
+    SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="ORC round-trip (q53's CSV twin on the second columnar "
+    "format): write documents as ORC, read back, aggregate — the "
+    "oracle aggregates the ORIGINAL parquet, so any loss/corruption "
+    "in the ORC path (types, nulls, encoding) breaks parity. ORC "
+    "matters at scale as the interchange format half the Hadoop "
+    "estate still speaks; Spark's writer keeps columnar pushdown "
+    "semantics identical to parquet. sources/io.py write_table/"
+    "read_table.",
+)
+def q213_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tytodb_spark.sources import io as IO
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="tyto_orc_")
+    try:
+        path = f"{tmp}/docs.orc"
+        IO.write_table(docs, path, "orc")
+        back = IO.read_table(spark, path, "orc")
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
