@@ -387,3 +387,41 @@ def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
     # every value-ordered window carries the bucket column as its
     # partition spec (it precedes the ordering clause)
     assert all(re.match(r"__bkt#\d+L, v#", s) for s in value_windows), specs
+
+
+# ---------------------------------------------------------------------------
+# round-5 queries: plan-shape assertions
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q200_segment_merge",     # windows per doc
+        "q201_cusum_drift",       # windows per user
+        "q202_trimmed_mean",      # grouped prefix sums: offsets per group
+        "q204_reservoir_sample",  # two-phase top-k windows per (key, part)
+        "q207_phash_near_dups",   # no windows at all
+        "q209_grouped_quantiles", # grouped prefix sums
+    ],
+)
+def test_round5_queries_have_no_global_window(spark, sf_dir, name):
+    """Every round-5 operator that orders data must do it under a
+    partition key — a partition-less corpus-scale Window would
+    single-task at 100×. (Global-CDF queries like q175/q199 keep their
+    one metadata-sized offset window by design and are excluded.)"""
+    assert P.global_windows(_df(spark, sf_dir, name)) == [], name
+
+
+def test_contamination_depth_probes_are_broadcast(spark, sf_dir):
+    """q208's three benchmark gram sets must broadcast (bench ≪ train
+    at 100 TB); the train side must never shuffle into the probe."""
+    df = _df(spark, sf_dir, "q208_contamination_depth")
+    assert P.num_broadcast_joins(df) >= 3
+
+
+def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
+    """q212's sketch/count scalars all broadcast into one row — the
+    fact tables are scanned for stats + the exact join, nothing else."""
+    df = _df(spark, sf_dir, "q212_join_size_estimate")
+    assert P.num_broadcast_joins(df) >= 3
