@@ -505,6 +505,65 @@ def main() -> None:
         "k× fact map-probes a broadcast word table; no fact shuffle",
     )
 
+    # round-5 operators ------------------------------------------------------
+    from tytodb_spark.operators.stats import (
+        auc_exact,
+        cusum_per_key,
+        grouped_quantiles,
+        trimmed_mean_by,
+    )
+
+    ev = replicate(t["events"], k, ["event_id", "user_id"])
+    # per-key CUSUM: k× keys of constant series length — window
+    # partitions grow in count, never in size
+    ops["cusum"] = (
+        cusum_per_key(
+            ev,
+            F.col("user_id"),
+            [F.col("ts"), F.col("event_id")],
+            F.floor(F.col("value") * 1e6).cast("bigint"),
+        ),
+        "per-key windows; k× keys, constant series length",
+    )
+    # grouped CDF machinery: value domain constant, counts grow k —
+    # the count-table working set is parallelism-friendly by design
+    ops["grouped_quantiles"] = (
+        grouped_quantiles(
+            orders,
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"),
+            [("p50", 50, 100), ("p95", 95, 100)],
+            bucket_width=1_000_000,
+        ),
+        "grouped bucketed prefix sums; |values| working set",
+    )
+    ops["trimmed_mean"] = (
+        trimmed_mean_by(
+            cust,
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"),
+        ),
+        "count-arithmetic trim on the (group, value) table",
+    )
+    ops["auc"] = (
+        auc_exact(
+            ev,
+            F.floor(F.col("value") * 1e4).cast("bigint"),
+            (F.col("event_type") == "click").cast("int"),
+            bucket_width=100,
+        ),
+        "global bucketed CDF; per-value count table only",
+    )
+    # aHash fingerprint build: linear explode fan-out, two keyed aggs;
+    # the Hamming pair stage is excluded (replication inflates true
+    # pair count k² — same exclusion rule as MinHash/AllPairs)
+    from tytodb_spark.operators.multimodal import ahash48
+
+    ops["ahash_build"] = (
+        ahash48(docs, "doc_id", "text"),
+        "48× narrow explode + 2 keyed aggs; codegen, no Python stage",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
