@@ -31,6 +31,13 @@ SCALE_SENSITIVE = [
     "q172_stream_heavy_hitters",
     "q192_cluster_stats",
     "q193_stream_dedup",
+    # round 5: the pair-finding / fan-out additions whose candidate
+    # volume is fixture-structure-dependent (q207's first spelling
+    # passed sf0.01 and took 120 s at the bench SF)
+    "q206_sparse_cosine_pairs",
+    "q207_phash_near_dups",
+    "q208_contamination_depth",
+    "q210_multimodal_dedup_audit",
 ]
 
 

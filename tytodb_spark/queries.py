@@ -9437,6 +9437,75 @@ def q213_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q214_seasonal_baseline",
+    """
+    WITH b AS (SELECT event_type,
+                      cast(dayofweek(ts) AS INT) AS dow,
+                      cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      cast(floor(value * 1e6) AS BIGINT) AS v
+               FROM events),
+    daily AS (SELECT event_type, dow, day,
+                     cast(count(*) AS BIGINT) AS n,
+                     cast(sum(v) AS BIGINT) AS sv
+              FROM b GROUP BY 1, 2, 3),
+    base AS (SELECT event_type, dow,
+                    cast(count(*) AS BIGINT) AS n_days,
+                    cast(sum(n) AS BIGINT) AS tn,
+                    cast(sum(sv) AS BIGINT) AS tsv
+             FROM daily GROUP BY 1, 2),
+    j AS (SELECT d.event_type, d.dow, d.day,
+                 d.sv // d.n AS day_mean,
+                 base.tsv // base.tn AS dow_mean,
+                 d.sv // d.n - base.tsv // base.tn AS resid,
+                 base.n_days
+          FROM daily d JOIN base USING (event_type, dow))
+    SELECT event_type, cast(count(*) AS BIGINT) AS n_days_total,
+           cast(sum(CASE WHEN abs(resid) > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalous_days,
+           cast(max(abs(resid)) AS BIGINT) AS max_abs_resid
+    FROM j GROUP BY event_type
+    """,
+    doc="Day-of-week SEASONAL baseline + residual anomaly census — the "
+    "monitoring pass that separates 'weekends are always low' from "
+    "'Tuesday broke': each (event type, weekday) builds its own "
+    "baseline mean from exact integer sums, every day's mean is "
+    "scored against its weekday's baseline, and days whose residual "
+    "exceeds 0.1 value-units flag as anomalous. Two keyed aggregates "
+    "(day grain → weekday grain, the second re-aggregating the "
+    "first's partials) + one broadcastable join back; all means are "
+    "exact integer floor divisions in ×1e6 value units — no float op "
+    "anywhere, bit-identical at any parallelism.",
+)
+def q214_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("v"),
+    )
+    daily = b.groupBy("event_type", "dow", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sv").cast("bigint").alias("tsv"),
+    )
+    j = daily.join(base, ["event_type", "dow"]).withColumn(
+        "resid", F.expr("sv div n - tsv div tn")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_total"),
+        F.sum((F.abs(F.col("resid")) > 100000).cast("int"))
+        .cast("bigint")
+        .alias("n_anomalous_days"),
+        F.max(F.abs(F.col("resid"))).cast("bigint").alias("max_abs_resid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
