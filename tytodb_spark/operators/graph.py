@@ -127,3 +127,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .alias("n_triangles"),
     )
     return n_edges.crossJoin(probe)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 32,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop every
+    node whose degree among SURVIVORS is < k until a fixpoint — the
+    density filter that separates structurally-dense duplicate families
+    from incidental chains (a chain of pairwise near-dups peels away;
+    a clique of mutual near-dups survives).
+
+    Plan per round: one degree aggregate over surviving edges + two
+    semi-joins filtering the edge list — all hash-keyed, no window, no
+    collect of node sets (the survivor frame stays distributed; only
+    the convergence COUNT reaches the driver). The edge frame
+    localCheckpoints per round so lineage stays flat across the loop
+    (same discipline as connected-components / pagerank). Round count
+    is bounded by the longest peel cascade, which is a property of
+    graph STRUCTURE, not data volume — the fixture's block design
+    keeps it constant across SFs.
+
+    Output: (node, deg) for the surviving k-core, deg = within-core
+    degree."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # both orientations: degree = undirected neighbor count
+    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.localCheckpoint(eager=True)
+    prev = e.select("u").distinct().count()
+    for _ in range(max_iter):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        e2 = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur = e2.select("u").distinct().count()
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("u").alias("node"), "deg")
+    )

@@ -9506,6 +9506,157 @@ def q214_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q215_oracle(k: int = 3, rounds: int = 8) -> str:
+    parts = [
+        """
+    WITH ids AS (SELECT doc_id FROM documents),
+    chain AS (
+      SELECT a.doc_id AS u, b.doc_id AS v FROM ids a JOIN ids b
+        ON b.doc_id = a.doc_id + 1 AND a.doc_id // 10 = b.doc_id // 10
+       WHERE (a.doc_id // 10) % 2 = 0
+      UNION ALL
+      SELECT a.doc_id, b.doc_id FROM ids a JOIN ids b
+        ON b.doc_id = a.doc_id + 2 AND a.doc_id // 10 = b.doc_id // 10
+       WHERE (a.doc_id // 10) % 2 = 0),
+    clique AS (
+      SELECT a.doc_id AS u, b.doc_id AS v FROM ids a JOIN ids b
+        ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+       WHERE (a.doc_id // 5) % 4 = 3),
+    und AS (SELECT DISTINCT u, v FROM
+            (SELECT u, v FROM chain UNION ALL SELECT u, v FROM clique)
+            WHERE u <> v),
+    e0 AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            # MATERIALIZED: inlined CTEs would expand each round's edge
+            # set into every reference (~3 refs/round -> 3^rounds scans)
+            f""",
+    d{i} AS MATERIALIZED (SELECT u, count(*) AS deg FROM e{i} GROUP BY u),
+    k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
+               JOIN k{i} ku ON ku.u = e.u
+               JOIN k{i} kv ON kv.u = e.v)"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS node, cast(count(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY u HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q215_kcore",
+    None,  # unrolled-peeling oracle composed below
+    doc="k-core decomposition (k=3) of a structured dup graph by "
+    "iterative peeling — the density filter that separates "
+    "structurally-dense duplicate families (cliques of mutual "
+    "near-dups: SURVIVE) from incidental pairwise chains (peel away "
+    "over a ~6-round cascade). Completes the iterative-graph family "
+    "(CC, pagerank, triangles, star contraction) with the one "
+    "primitive whose fixpoint needs degree recomputation per round. "
+    "Each round: one degree aggregate + two semi-joins, edge frame "
+    "localCheckpointed per round (flat lineage), only the convergence "
+    "COUNT reaches the driver. Round count is a property of graph "
+    "structure (the fixture's 10-node chain blocks cascade in 6 "
+    "rounds at ANY SF), so the DuckDB oracle can unroll 8 fixed "
+    "peeling rounds and match exactly; operators/graph.py kcore.",
+)
+def q215_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.graph import kcore
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+
+    def chain(step: int) -> DataFrame:
+        return (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + step)
+            .filter(F.expr("a.doc_id div 10") == F.expr("b.doc_id div 10"))
+            .filter(F.expr("(a.doc_id div 10) % 2 = 0"))
+            .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        )
+
+    clique = (
+        a.join(b, F.expr("a.doc_id div 5") == F.expr("b.doc_id div 5"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.expr("(a.doc_id div 5) % 4 = 3"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = chain(1).unionByName(chain(2)).unionByName(clique)
+    return kcore(edges, k=3)
+
+
+REGISTRY["q215_kcore"] = QueryDef(
+    fn=REGISTRY["q215_kcore"].fn,
+    oracle=_q215_oracle(),
+    doc=REGISTRY["q215_kcore"].doc,
+)
+
+
+@query(
+    "q216_verbatim_leakage",
+    """
+    WITH pr0 AS (SELECT DISTINCT substr(text, 1, 48) AS probe
+                 FROM documents WHERE source = 'src0'
+                   AND length(substr(text, 1, 48)) >= 16),
+    pr AS (SELECT probe,
+                  ('0x' || substr(md5(probe), 1, 8))::BIGINT AS hv
+           FROM pr0 ORDER BY hv, probe LIMIT 100),
+    train AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    hits AS (SELECT t.doc_id, p.probe FROM train t, pr p
+             WHERE strpos(t.text, p.probe) > 0)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM pr) AS n_probes,
+           cast(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           cast(count(*) AS BIGINT) AS n_hits
+    FROM hits
+    """,
+    doc="VERBATIM leakage probe — the exact-substring complement of "
+    "gram-overlap decontamination (q94 catches shared n-grams at "
+    "token granularity; this catches benchmark text quoted verbatim "
+    "at ANY alignment, the string a gram tokenizer can split "
+    "differently). A deterministic 100-probe sample of benchmark "
+    "prefixes (md5-rank smallest — stable across runs, engines, and "
+    "corpus growth) broadcasts to the train scan, which probes "
+    "map-side with instr — no shuffle of the corpus, output is one "
+    "audit row. A production deployment compiles the probe set into "
+    "one Aho-Corasick automaton per task behind the same broadcast "
+    "contract; the per-probe instr spelling is the built-in-only "
+    "equivalent (cost |probes|·scan, bounded by the sample cap).",
+)
+def q216_verbatim_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pr0 = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.substring("text", 1, 48).alias("probe"))
+        .filter(F.length("probe") >= 16)
+        .distinct()
+    )
+    pr = (
+        pr0.select(
+            "probe",
+            F.conv(F.substring(F.md5("probe"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .orderBy("hv", "probe")
+        .limit(100)
+    )
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    hits = train.crossJoin(F.broadcast(pr.select("probe"))).filter(
+        F.expr("instr(text, probe) > 0")
+    )
+    n_probes = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    return (
+        hits.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_contaminated_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_probes))
+        .select("n_probes", "n_contaminated_docs", "n_hits")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
