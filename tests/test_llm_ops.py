@@ -2006,3 +2006,33 @@ def test_hamming_near_dups_complete_within_radius(spark):
     assert got == expect
     assert (0, 1) in got and got[(0, 1)] == 1
     assert (0, 3) in got and got[(0, 3)] == 2
+
+
+def test_kcore_matches_python_peeling(spark):
+    """kcore vs a direct Python peel on a random-ish graph with known
+    structure: one K5 clique, a long chain, and a barbell bridge."""
+    from collections import defaultdict
+
+    from tytodb_spark.operators.graph import kcore
+
+    edges = []
+    edges += [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5
+    edges += [(i, i + 1) for i in range(10, 30)]                  # chain
+    edges += [(4, 10)]                                            # bridge
+    edges += [(a, b) for a in range(40, 44) for b in range(a + 1, 44)]  # K4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    expect = {u: len(adj[u] & alive) for u in alive}
+    assert got == expect
+    assert set(got) == set(range(5)) | set(range(40, 44))  # both cliques
