@@ -38,6 +38,7 @@ SCALE_SENSITIVE = [
     "q207_phash_near_dups",
     "q208_contamination_depth",
     "q210_multimodal_dedup_audit",
+    "q215_kcore",
 ]
 
 

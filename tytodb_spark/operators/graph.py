@@ -162,7 +162,9 @@ def kcore(
     # both orientations: degree = undirected neighbor count
     e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.localCheckpoint(eager=True)
-    prev = e.select("u").distinct().count()
+    # convergence on EDGE count (no distinct shuffle): removing any
+    # node removes its edges, so edge-count fixpoint == node fixpoint
+    prev = e.count()
     for _ in range(max_iter):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
@@ -171,7 +173,7 @@ def kcore(
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        cur = e2.select("u").distinct().count()
+        cur = e2.count()
         e = e2
         if cur == prev:
             break
