@@ -9657,6 +9657,142 @@ def q216_verbatim_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q217_ohlc_resample",
+    """
+    WITH b AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                      ts, event_id,
+                      cast(floor(value * 1e6) AS BIGINT) AS v
+               FROM events),
+    r AS (SELECT event_type, hour, v,
+                 row_number() OVER (PARTITION BY event_type, hour
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, hour
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM b)
+    SELECT event_type, hour,
+           cast(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_q,
+           cast(max(v) AS BIGINT) AS high_q,
+           cast(min(v) AS BIGINT) AS low_q,
+           cast(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_q,
+           cast(count(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, hour
+    """,
+    doc="OHLC time-series resampling (open/high/low/close per event "
+    "type per hour) — the canonical downsampling shape for metric and "
+    "market data. Open/close need the first/last value under the "
+    "unique (ts, event_id) event order: two row_number windows "
+    "PARTITIONED BY the resample bucket (tiny partitions, never a "
+    "global sort) feed one hash aggregate. Values quantize to exact "
+    "×1e6 integers so first/last/min/max all hash-compare bit-exactly.",
+)
+def q217_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("v"),
+    )
+    wa = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "event_type",
+        "hour",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("open_q"),
+        F.max("v").cast("bigint").alias("high_q"),
+        F.min("v").cast("bigint").alias("low_q"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v")))
+        .cast("bigint")
+        .alias("close_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "q218_gap_fill_locf",
+    """
+    WITH hourly AS (SELECT event_type,
+                           cast(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                           cast(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+             FROM hourly GROUP BY event_type),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM span),
+    j AS (SELECT s.event_type, s.hour, h.cnt
+          FROM spine s LEFT JOIN hourly h USING (event_type, hour)),
+    g AS (SELECT event_type, hour, cnt,
+                 count(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM j)
+    SELECT event_type, hour,
+           cast(max(cnt) OVER (PARTITION BY event_type, grp) AS BIGINT)
+             AS filled,
+           (cnt IS NULL) AS was_gap
+    FROM g
+    """,
+    doc="Dense-spine gap filling with last-observation-carried-forward "
+    "— the resample-then-fill step every metrics pipeline needs "
+    "(missing hours must exist as rows, carrying the last known "
+    "value). The hour spine GENERATES in-plan (sequence per type from "
+    "its own min/max — no driver loop, no external calendar table); "
+    "LOCF uses the portable count-non-null prefix trick (running "
+    "count of observed values partitions the timeline into carry "
+    "groups; max within group is the carried value) — works "
+    "identically in both engines, no IGNORE NULLS dialect "
+    "dependence. All windows partition by event type.",
+)
+def q218_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour"),
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left")
+    wg = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = j.select(
+        "event_type", "hour", "cnt", F.count("cnt").over(wg).alias("grp")
+    )
+    return g.select(
+        "event_type",
+        "hour",
+        F.max("cnt")
+        .over(W.partitionBy("event_type", "grp"))
+        .cast("bigint")
+        .alias("filled"),
+        F.col("cnt").isNull().alias("was_gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
