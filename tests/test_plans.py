@@ -403,6 +403,8 @@ def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
         "q204_reservoir_sample",  # two-phase top-k windows per (key, part)
         "q207_phash_near_dups",   # no windows at all
         "q209_grouped_quantiles", # grouped prefix sums
+        "q217_ohlc_resample",     # windows per (type, hour) bucket
+        "q218_gap_fill_locf",     # spine + LOCF windows per type
     ],
 )
 def test_round5_queries_have_no_global_window(spark, sf_dir, name):
