@@ -71,7 +71,12 @@ def global_windows(df: DataFrame) -> list[str]:
         stripped = re.sub(r"^[\s:+*()-]*", "", line)
         if not stripped.startswith("Window "):
             continue
-        if len(re.split(r"\], \[", stripped)) < 3:
+        groups = re.split(r"\], \[", stripped)
+        # three groups = [funcs], [partCols], [sortOrder] — partitioned.
+        # two groups is partitioned-unordered ([funcs], [partCols]) OR
+        # global-ordered ([funcs], [sortOrder]); only the latter (the
+        # trailing group carries ASC/DESC) is the single-task funnel.
+        if len(groups) < 3 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
             bad.append(stripped[:200])
     return bad
 
