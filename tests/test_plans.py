@@ -405,6 +405,16 @@ def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
         "q209_grouped_quantiles", # grouped prefix sums
         "q217_ohlc_resample",     # windows per (type, hour) bucket
         "q218_gap_fill_locf",     # spine + LOCF windows per type
+        "q219_decay_attribution", # no windows: join + two hash aggs
+        "q220_benford_digits",    # 9-row digit spine, no windows
+        "q221_grouped_frequent",  # two hash aggs + broadcast totals
+        "q222_adamic_adar",       # bounded self-join; top-k not a Window
+        "q223_rolling_autocorr",  # rolling windows per user
+        "q224_encoding_advisor",  # lag per (column, order shard)
+        "q225_percent_rank_dist", # bucketed prefix sums, grouped
+        "q226_asof_nearest",      # carry-group windows per user
+        "q227_mi_feature_rank",   # hash aggs + broadcast margins
+        "q228_kfold_auc",         # grouped prefix sums per fold
     ],
 )
 def test_round5_queries_have_no_global_window(spark, sf_dir, name):
@@ -419,6 +429,26 @@ def test_contamination_depth_probes_are_broadcast(spark, sf_dir):
     """q208's three benchmark gram sets must broadcast (bench ≪ train
     at 100 TB); the train side must never shuffle into the probe."""
     df = _df(spark, sf_dir, "q208_contamination_depth")
+    assert P.num_broadcast_joins(df) >= 3
+
+
+def test_grouped_frequent_broadcasts_totals(spark, sf_dir):
+    """q221's per-group totals table is |groups| rows — it must reach
+    the per-key counts as a broadcast, never a shuffled join."""
+    df = _df(spark, sf_dir, "q221_grouped_frequent")
+    assert P.num_broadcast_joins(df) >= 1
+
+
+def test_benford_spine_is_broadcast(spark, sf_dir):
+    """q220's 9-row digit spine and 1-row total must both broadcast."""
+    df = _df(spark, sf_dir, "q220_benford_digits")
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_mi_margins_are_broadcast(spark, sf_dir):
+    """q227's three margin tables (row, class, total) are metadata-
+    sized and must broadcast back onto the cell table."""
+    df = _df(spark, sf_dir, "q227_mi_feature_rank")
     assert P.num_broadcast_joins(df) >= 3
 
 

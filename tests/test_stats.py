@@ -255,3 +255,190 @@ def test_trimmed_mean_matches_numpy(spark):
         # Spark `div` truncates toward zero; match with int() on the quotient
         assert got[g]["trimmed_mean"] == int(sum(kept) / len(kept)) if sum(kept) < 0 else sum(kept) // len(kept)
         assert got[g]["raw_mean"] == (int(sum(vals) / n) if sum(vals) < 0 else sum(vals) // n)
+
+
+def test_rolling_autocorr_matches_numpy(spark, sf_dir):
+    """q223's windowed-sum Pearson spelling vs direct numpy corrcoef
+    over explicit trailing-24 slices of one user's cent series."""
+    import math
+
+    import numpy as np
+
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        (r["user_id"], r["event_id"]): r["r_q"]
+        for r in REGISTRY["q223_rolling_autocorr"].fn(spark, sf_dir).collect()
+    }
+    from tytodb_spark.catalog import load_tables
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "cast(floor(value * 100 + 0.5) as bigint) as cents",
+            "unix_micros(ts) as us",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for uid, rows in sorted(by_user.items())[:5]:
+        rows.sort(key=lambda r: (r["us"], r["event_id"]))
+        xs = [r["cents"] for r in rows]
+        for i in range(1, len(rows)):
+            # pairs (x_j, x_{j-1}) for the trailing 24 lag-pairs ending at i
+            lo = max(1, i - 23)
+            pairs = [(xs[j], xs[j - 1]) for j in range(lo, i + 1)]
+            key = (uid, rows[i]["event_id"])
+            if len(pairs) < 24:
+                assert key not in got
+                continue
+            x = np.array([p[0] for p in pairs], dtype=float)
+            y = np.array([p[1] for p in pairs], dtype=float)
+            if x.std() == 0 or y.std() == 0:
+                assert key not in got
+                continue
+            r_ref = float(np.corrcoef(x, y)[0, 1])
+            assert key in got
+            assert abs(got[key] - math.floor(r_ref * 1e6 + 0.5)) <= 1, key
+            checked += 1
+    assert checked > 50
+
+
+def test_decay_attribution_conserves_value(spark, sf_dir):
+    """Each conversion's credited cents must sum to its value_cents
+    minus at most one truncated cent per touch (bigint div floor)."""
+    from tytodb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q219_decay_attribution"].fn(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == {"click", "view"}
+    total_credit = sum(r["credit_cents"] for r in rows)
+    n_touches = sum(r["n_touches"] for r in rows)
+    # conversions with >=1 touch, and their value, straight from the data
+    from tytodb_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    conv = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id as conv_id",
+        "user_id",
+        "unix_micros(ts) as conv_us",
+        "cast(floor(value * 100 + 0.5) as bigint) as val_cents",
+    )
+    touch = ev.filter("event_type in ('click', 'view')").selectExpr(
+        "user_id", "unix_micros(ts) as touch_us"
+    )
+    attributed = (
+        conv.join(touch, "user_id")
+        .filter(
+            "touch_us <= conv_us and conv_us - touch_us < 604800000000"
+        )
+        .groupBy("conv_id")
+        .agg(F.first("val_cents").alias("val_cents"))
+        .agg(F.sum("val_cents").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total_credit <= attributed
+    assert total_credit >= attributed - n_touches
+
+
+def test_benford_counts_are_complete(spark, sf_dir):
+    """q220: all nine digits present; observed counts cover every
+    positive-cent event; expected_milli totals within truncation."""
+    from tytodb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q220_benford_digits"].fn(spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    from tytodb_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    n = ev.filter("floor(value * 100 + 0.5) >= 1").count()
+    assert sum(r["obs"] for r in rows) == n
+    exp_total = sum(r["expected_milli"] for r in rows)
+    assert n * 1000 - 9000 <= exp_total <= n * 1000
+
+
+def test_percent_rank_dist_matches_spark_window(spark, sf_dir):
+    """q225's bucketed-prefix-sum percent_rank/cume_dist vs Spark's own
+    percent_rank()/cume_dist() window functions (per distinct value):
+    the distributed spelling must reproduce the classic one exactly."""
+    from pyspark.sql import Window
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        (r["event_type"], r["v"]): (r["pr_ppm"], r["cd_ppm"])
+        for r in REGISTRY["q225_percent_rank_dist"].fn(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"].selectExpr(
+        "event_type", "cast(floor(value * 100 + 0.5) as bigint) as v"
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    ref = (
+        ev.select(
+            "event_type",
+            "v",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.min("pr").alias("pr"), F.min("cd").alias("cd"))
+        .collect()
+    )
+    assert len(ref) == len(got)
+    for r in ref:
+        pr_ppm, cd_ppm = got[(r["event_type"], r["v"])]
+        # integer truncating div vs float: agree within 1 ppm
+        assert abs(pr_ppm - r["pr"] * 1e6) < 1 + 1e-6
+        assert abs(cd_ppm - r["cd"] * 1e6) < 1 + 1e-6
+
+
+def test_asof_nearest_matches_brute_force(spark, sf_dir):
+    """q226 vs per-user brute-force nearest-purchase search in Python."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["event_id"]: (r["purchase_id"], r["dt_us"])
+        for r in REGISTRY["q226_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["events"]
+        .filter("event_type in ('click', 'purchase')")
+        .selectExpr(
+            "event_id", "user_id", "event_type", "unix_micros(ts) as t"
+        )
+        .collect()
+    )
+    TOL = 86400000000
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for _uid, urows in by_user.items():
+        purchases = [r for r in urows if r["event_type"] == "purchase"]
+        for c in urows:
+            if c["event_type"] != "purchase":
+                # brute force: nearest purchase by |dt| within tolerance;
+                # ties -> backward (dt <= 0), then q226's carry-group
+                # pick (largest pt backward / smallest pt forward)
+                best = None
+                for p in purchases:
+                    dt = p["t"] - c["t"]  # >0 forward, <=0 backward
+                    if abs(dt) >= TOL:
+                        continue
+                    key = (abs(dt), dt > 0)
+                    if best is None or key < best[0]:
+                        best = (key, p["event_id"], dt)
+                if best is None:
+                    assert c["event_id"] not in got
+                else:
+                    pid, dt = got[c["event_id"]]
+                    assert dt == best[2], c["event_id"]
+                    assert pid == best[1], c["event_id"]
+                    n_checked += 1
+    assert n_checked > 50

@@ -9793,6 +9793,949 @@ def q218_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q219_decay_attribution",
+    """
+    WITH conv AS (SELECT event_id AS conv_id, user_id,
+                         epoch_us(ts) AS conv_us,
+                         cast(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
+                  FROM events WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_type, epoch_us(ts) AS touch_us
+              FROM events WHERE event_type IN ('click', 'view')),
+    pair AS (SELECT c.conv_id, c.val_cents, t.event_type,
+                    cast(floor(exp(-((c.conv_us - t.touch_us)
+                                     / 86400000000.0)) * 1000 + 0.5)
+                         AS BIGINT) AS w_mil
+             FROM conv c JOIN touch t ON c.user_id = t.user_id
+             WHERE t.touch_us <= c.conv_us
+               AND c.conv_us - t.touch_us < 604800000000),
+    tot AS (SELECT conv_id, sum(w_mil) AS tw FROM pair GROUP BY conv_id)
+    SELECT p.event_type,
+           cast(count(*) AS BIGINT) AS n_touches,
+           cast(count(DISTINCT p.conv_id) AS BIGINT) AS n_conversions,
+           cast(sum(p.w_mil) AS BIGINT) AS weight_mil,
+           cast(sum((p.val_cents * p.w_mil) // t.tw) AS BIGINT)
+             AS credit_cents
+    FROM pair p JOIN tot t USING (conv_id)
+    GROUP BY p.event_type
+    """,
+    doc="Multi-touch attribution with exponential time decay (tau = 1 "
+    "day, 7-day lookback): every purchase distributes its value over "
+    "the user's preceding click/view touches, weighted exp(-age). The "
+    "touch-conversion pairing is an equi-join ON USER (the range "
+    "predicate is a post-join filter, so Catalyst runs a hash join — "
+    "no range-explosion nested loop), and per-user fan-out is bounded "
+    "by the lookback window, so the pair table scales linearly. "
+    "Weights quantize at 1e3 AFTER the exp (coarse enough that a "
+    "libm-vs-JVM ulp cannot flip a boundary); credit split is then "
+    "pure bigint arithmetic — val_cents*w // total_w — identical "
+    "truncating division both engines.",
+)
+def q219_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.unix_micros("ts").alias("conv_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("val_cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("touch_us")
+    )
+    pair = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("touch_us") <= F.col("conv_us"))
+            & (F.col("conv_us") - F.col("touch_us") < 604800000000)
+        )
+        .select(
+            "conv_id",
+            "val_cents",
+            "event_type",
+            F.floor(
+                F.exp(
+                    -(
+                        (F.col("conv_us") - F.col("touch_us"))
+                        / F.lit(86400000000.0)
+                    )
+                )
+                * 1000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("w_mil"),
+        )
+    )
+    tot = pair.groupBy("conv_id").agg(F.sum("w_mil").alias("tw"))
+    return (
+        pair.join(tot, "conv_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+            F.sum("w_mil").cast("bigint").alias("weight_mil"),
+            F.sum(
+                F.expr("(val_cents * w_mil) div tw")
+            )
+            .cast("bigint")
+            .alias("credit_cents"),
+        )
+    )
+
+
+# floor(log10(1 + 1/d) * 1e9 + 0.5) for d = 1..9 — universal constants
+# (Benford's law), hardcoded so no runtime log10 crosses the engines.
+_BENFORD_PPB = {
+    1: 301029996,
+    2: 176091259,
+    3: 124938737,
+    4: 96910013,
+    5: 79181246,
+    6: 66946790,
+    7: 57991947,
+    8: 51152522,
+    9: 45757491,
+}
+
+
+@query(
+    "q220_benford_digits",
+    """
+    WITH v AS (SELECT cast(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value > 0),
+    d AS (SELECT cast(substr(cast(cents AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM v WHERE cents >= 1),
+    o AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+    n AS (SELECT sum(obs) AS total FROM o),
+    bl AS (SELECT * FROM (VALUES (1, 301029996), (2, 176091259),
+                                 (3, 124938737), (4, 96910013),
+                                 (5, 79181246), (6, 66946790),
+                                 (7, 57991947), (8, 51152522),
+                                 (9, 45757491)) AS t(digit, ppb)),
+    s AS (SELECT bl.digit, coalesce(o.obs, 0) AS obs, n.total, bl.ppb
+          FROM bl LEFT JOIN o USING (digit) CROSS JOIN n)
+    SELECT cast(digit AS INT) AS digit,
+           cast(obs AS BIGINT) AS obs,
+           cast((ppb * total) // 1000000 AS BIGINT) AS expected_milli,
+           cast(((obs * 1000 - (ppb * total) // 1000000)
+                 * (obs * 1000 - (ppb * total) // 1000000))
+                // ((ppb * total) // 1000000) AS BIGINT) AS chi2_contrib_q
+    FROM s
+    """,
+    doc="Benford first-digit audit of the value column — the classic "
+    "fabricated-data / unit-mismatch detector a data-quality suite "
+    "runs on every numeric feed. Digit extraction happens in the "
+    "exact integer domain (cents -> leading char of the decimal "
+    "string), never via log10 on doubles, and the nine Benford "
+    "expected proportions are hardcoded parts-per-billion constants, "
+    "so the whole query — counts, expected counts, chi-square "
+    "contributions — is bigint arithmetic with identical truncating "
+    "division in both engines. One hash aggregate over 9 groups; the "
+    "digit spine is a 9-row broadcast.",
+)
+def q220_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+        )
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    total = obs.agg(F.sum("obs").alias("total"))
+    bl = spark.createDataFrame(
+        [(k, v) for k, v in sorted(_BENFORD_PPB.items())], "digit int, ppb long"
+    )
+    s = (
+        bl.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            "total",
+            "ppb",
+        )
+    )
+    exp_milli = F.expr("(ppb * total) div 1000000")
+    return s.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("obs").cast("bigint").alias("obs"),
+        exp_milli.cast("bigint").alias("expected_milli"),
+        F.expr(
+            "((obs * 1000 - (ppb * total) div 1000000)"
+            " * (obs * 1000 - (ppb * total) div 1000000))"
+            " div ((ppb * total) div 1000000)"
+        )
+        .cast("bigint")
+        .alias("chi2_contrib_q"),
+    )
+
+
+@query(
+    "q221_grouped_frequent",
+    """
+    WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(cnt) AS total FROM c GROUP BY 1)
+    SELECT c.event_type, c.user_id,
+           cast(c.cnt AS BIGINT) AS cnt,
+           cast((c.cnt * 10000) // t.total AS BIGINT) AS support_bp
+    FROM c JOIN t USING (event_type)
+    WHERE c.cnt * 200 >= t.total
+    """,
+    doc="Per-group frequent-items: within each event type, the users "
+    "holding >= 0.5% of that type's traffic, with exact support in "
+    "basis points. The grouped complement of q125's global heavy "
+    "hitters: two map-side-combinable hash aggregates (per-key "
+    "counts, then per-group totals) and one broadcast join on the "
+    "|groups|-row totals table — no window, no sort, no per-group "
+    "state that grows with users. At 100x the per-key count table is "
+    "the only shuffle and it is already the minimal sufficient "
+    "statistic; a Misra-Gries pre-pass (q125/q172 machinery) slots in "
+    "front unchanged if the key domain ever outgrows the aggregate.",
+)
+def q221_grouped_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .filter(F.col("cnt") * 200 >= F.col("total"))
+        .select(
+            "event_type",
+            "user_id",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("(cnt * 10000) div total").cast("bigint").alias(
+                "support_bp"
+            ),
+        )
+    )
+
+
+@query(
+    "q222_adamic_adar",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                FROM lineitem),
+    deg AS (SELECT part, count(*) AS n_supp FROM ps GROUP BY part),
+    el AS (SELECT ps.part, ps.supp, deg.n_supp
+           FROM ps JOIN deg USING (part)
+           WHERE deg.n_supp BETWEEN 2 AND 32),
+    pr AS (SELECT a.supp AS s1, b.supp AS s2,
+                  cast(floor(1000000.0 / ln(a.n_supp) + 0.5) AS BIGINT)
+                    AS w_q
+           FROM el a JOIN el b ON a.part = b.part AND a.supp < b.supp)
+    SELECT s1, s2,
+           cast(count(*) AS BIGINT) AS n_shared,
+           cast(sum(w_q) AS BIGINT) AS aa_q
+    FROM pr GROUP BY s1, s2
+    ORDER BY aa_q DESC, s1, s2 LIMIT 100
+    """,
+    doc="Adamic-Adar link prediction over the co-supply graph: supplier "
+    "pairs scored by sum over shared parts of 1/ln(part degree) — the "
+    "standard common-neighbor score for entity-linkage and "
+    "recommendation candidates. Super-connector parts (degree > 32) "
+    "are excluded by the standard AA blocking gate, so per-part pair "
+    "fan-out is bounded at C(32,2) regardless of corpus size and the "
+    "self-join never explodes; the score quantizes per term (1e6 / "
+    "ln(degree) of an integer degree — 31 possible constants, ulp-"
+    "safe) and sums in bigint. Top-100 via TakeOrderedAndProject on "
+    "the unique (score, s1, s2) key — a bounded per-partition top-k "
+    "plus one driver merge, not a global sort.",
+)
+def q222_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = ps.groupBy("part").agg(F.count(F.lit(1)).alias("n_supp"))
+    el = ps.join(deg, "part").filter(F.col("n_supp").between(2, 32))
+    a = el.select("part", F.col("supp").alias("s1"), "n_supp")
+    b = el.select("part", F.col("supp").alias("s2"))
+    pr = (
+        a.join(b, "part")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            F.floor(F.lit(1000000.0) / F.log(F.col("n_supp")) + 0.5)
+            .cast("bigint")
+            .alias("w_q"),
+        )
+    )
+    return (
+        pr.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum("w_q").cast("bigint").alias("aa_q"),
+        )
+        .orderBy(F.col("aa_q").desc(), "s1", "s2")
+        .limit(100)
+    )
+
+
+@query(
+    "q223_rolling_autocorr",
+    """
+    WITH b AS (SELECT user_id, ts, event_id,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events),
+    l AS (SELECT user_id, ts, event_id, x,
+                 lag(x) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS y
+          FROM b),
+    w AS (SELECT user_id, ts, event_id, x, y,
+                 count(y)   OVER win AS n,
+                 sum(x)     OVER win AS sx,
+                 sum(y)     OVER win AS sy,
+                 sum(x * y) OVER win AS sxy,
+                 sum(x * x) OVER win AS sxx,
+                 sum(y * y) OVER win AS syy
+          FROM l WHERE y IS NOT NULL
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           cast(floor(
+             cast((n * sxy - sx * sy) * 1000000 AS DOUBLE)
+             / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(cast(n * syy - sy * sy AS DOUBLE)))
+             + 0.5) AS BIGINT) AS r_q
+    FROM w
+    WHERE n = 24
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="Rolling lag-1 autocorrelation per user (trailing 24 events) — "
+    "the drift detector that flags when a metric stream turns from "
+    "noise into trend. Values live in the exact cent domain, so every "
+    "windowed sum (x, y, xy, x2, y2) is bigint and the Pearson "
+    "numerator/denominator components are exact integers; the only "
+    "float ops are two sqrts and one division in identical order "
+    "before a 1e6 quantize. All windows partition BY USER — bounded "
+    "per-key state, no corpus-scale ordering anywhere.",
+)
+def q223_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("x"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    l = b.select(
+        "user_id", "ts", "event_id", "x", F.lag("x").over(wo).alias("y")
+    ).filter(F.col("y").isNotNull())
+    win = wo.rowsBetween(-23, 0)
+    w = l.select(
+        "user_id",
+        "event_id",
+        F.count("y").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    return (
+        w.filter(
+            (F.col("n") == 24)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(
+                (
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    * 1000000
+                ).cast("double")
+                / (
+                    F.sqrt(
+                        (
+                            F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy")
+                        ).cast("double")
+                    )
+                )
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("r_q"),
+        )
+    )
+
+
+@query(
+    "q224_encoding_advisor",
+    """
+    WITH u AS (
+      SELECT l_orderkey // 1024 AS shard, l_orderkey, l_linenumber,
+             col, val, is_num
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               'l_returnflag' AS col, l_returnflag AS val, 0 AS is_num
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_linestatus', l_linestatus, 0 FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_orderkey', cast(l_orderkey AS VARCHAR), 1 FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_partkey', cast(l_partkey AS VARCHAR), 1 FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_suppkey', cast(l_suppkey AS VARCHAR), 1 FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity', cast(cast(floor(l_quantity) AS BIGINT)
+                                  AS VARCHAR), 1 FROM lineitem)),
+    lg AS (SELECT col, val, is_num,
+                  lag(val) OVER (PARTITION BY col, shard
+                                 ORDER BY l_orderkey, l_linenumber, val)
+                    AS prev
+           FROM u),
+    m AS (SELECT col,
+                 count(*) AS n,
+                 count(DISTINCT val) AS ndv,
+                 sum(CASE WHEN prev IS NULL OR val != prev
+                          THEN 1 ELSE 0 END) AS runs,
+                 sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS pairs,
+                 sum(CASE WHEN is_num = 1 AND prev IS NOT NULL
+                          AND cast(val AS BIGINT) >= cast(prev AS BIGINT)
+                          THEN 1 ELSE 0 END) AS mono,
+                 (sum(length(val)) * 100) // count(*) AS len_x100,
+                 max(is_num) AS is_num
+          FROM lg GROUP BY col)
+    SELECT col, cast(n AS BIGINT) AS n, cast(ndv AS BIGINT) AS ndv,
+           cast(runs AS BIGINT) AS runs,
+           cast(len_x100 AS BIGINT) AS avg_len_x100,
+           CASE WHEN ndv * 20 <= n THEN 'dict'
+                WHEN runs * 5 <= n THEN 'rle'
+                WHEN is_num = 1 AND mono * 100 >= pairs * 95 THEN 'delta'
+                ELSE 'plain' END AS encoding
+    FROM m
+    """,
+    doc="Storage-encoding advisor: per-column ndv / run-length / width "
+    "/ monotonicity stats over the physical row order, folded into a "
+    "dict-vs-RLE-vs-delta-vs-plain recommendation — the write-path "
+    "decision the reference's fixed-width container layout never "
+    "makes but a columnar warehouse must (cf. storage/layout.py "
+    "zone-map stats). Columns unpivot into (col, val) rows in the "
+    "STRING-OF-INTEGER domain (integer->string casts are identical "
+    "across engines; no float or timestamp repr leaks in). Run "
+    "detection needs adjacency, so the lag window partitions by "
+    "(column, 1024-order shard): shards preserve generation-order "
+    "locality, stay ~6k rows regardless of corpus size (lineitems "
+    "per order is constant), and their count grows with the data — "
+    "no global ordering. All decision thresholds are integer ratios.",
+)
+def q224_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    branches = [
+        ("l_returnflag", F.col("l_returnflag"), 0),
+        ("l_linestatus", F.col("l_linestatus"), 0),
+        ("l_orderkey", F.col("l_orderkey").cast("string"), 1),
+        ("l_partkey", F.col("l_partkey").cast("string"), 1),
+        ("l_suppkey", F.col("l_suppkey").cast("string"), 1),
+        (
+            "l_quantity",
+            F.expr("cast(cast(floor(l_quantity) as bigint) as string)"),
+            1,
+        ),
+    ]
+    u = li.select(
+        F.expr("l_orderkey div 1024").alias("shard"),
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col"),
+                        expr.alias("val"),
+                        F.lit(isn).alias("is_num"),
+                    )
+                    for name, expr, isn in branches
+                ]
+            )
+        ).alias("cv"),
+    ).select("shard", "l_orderkey", "l_linenumber", "cv.*")
+    lg = u.select(
+        "col",
+        "val",
+        "is_num",
+        F.lag("val")
+        .over(
+            W.partitionBy("col", "shard").orderBy(
+                "l_orderkey", "l_linenumber", "val"
+            )
+        )
+        .alias("prev"),
+    )
+    m = lg.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("val").alias("ndv"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("val") != F.col("prev")), 1
+            ).otherwise(0)
+        ).alias("runs"),
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0)).alias(
+            "pairs"
+        ),
+        F.sum(
+            F.when(
+                (F.col("is_num") == 1)
+                & F.col("prev").isNotNull()
+                & (
+                    F.col("val").cast("bigint")
+                    >= F.col("prev").cast("bigint")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("mono"),
+        F.expr("(sum(length(val)) * 100) div count(*)").alias(
+            "len_x100"
+        ),
+        F.max("is_num").alias("is_num"),
+    )
+    return m.select(
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.col("len_x100").cast("bigint").alias("avg_len_x100"),
+        F.when(F.col("ndv") * 20 <= F.col("n"), "dict")
+        .when(F.col("runs") * 5 <= F.col("n"), "rle")
+        .when(
+            (F.col("is_num") == 1)
+            & (F.col("mono") * 100 >= F.col("pairs") * 95),
+            "delta",
+        )
+        .otherwise("plain")
+        .alias("encoding"),
+    )
+
+
+@query(
+    "q225_percent_rank_dist",
+    """
+    WITH c AS (SELECT event_type,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, v, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS pre,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM c)
+    SELECT event_type, v, cast(cnt AS BIGINT) AS cnt,
+           cast((pre * 1000000) // (n - 1) AS BIGINT) AS pr_ppm,
+           cast(((pre + cnt) * 1000000) // n AS BIGINT) AS cd_ppm
+    FROM p WHERE n > 1
+    """,
+    doc="Distributed exact percent_rank / cume_dist of every value "
+    "within its event type, emitted per distinct value — the scale-"
+    "safe spelling of the rank-normalization every feature pipeline "
+    "wants but naively writes as a partition-less (or hot-keyed) "
+    "ordered window. Here the CDF comes from operators/stats.py "
+    "bucketed prefix sums (per-value hash agg -> metadata-sized "
+    "bucket offsets -> within-bucket window PARTITIONED by bucket), "
+    "so a 5-key × 100 TB table never funnels a key through one task. "
+    "percent_rank = pre/(n-1), cume_dist = (pre+cnt)/n, both as exact "
+    "integer ppm (truncating div matches across engines); the oracle "
+    "spells the same arithmetic with DuckDB's plain windows.",
+)
+def q225_percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pre = with_prefix_sums(
+        counts, 1000, ["cnt"], group_cols=["event_type"]
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    return (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "v",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("(pre_cnt * 1000000) div (n - 1)")
+            .cast("bigint")
+            .alias("pr_ppm"),
+            F.expr("((pre_cnt + cnt) * 1000000) div n")
+            .cast("bigint")
+            .alias("cd_ppm"),
+        )
+    )
+
+
+@query(
+    "q226_asof_nearest",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+                        AS kind,
+                      CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                      END AS pt,
+                      CASE WHEN event_type = 'purchase' THEN event_id
+                      END AS pid
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT *,
+                 count(pt) OVER (PARTITION BY user_id
+                                 ORDER BY t, kind, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS gb,
+                 count(pt) OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, kind ASC, event_id DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS gf
+          FROM e),
+    m AS (SELECT event_id, user_id, t, kind,
+                 max(pt)  OVER (PARTITION BY user_id, gb) AS bpt,
+                 max(pid) OVER (PARTITION BY user_id, gb) AS bpid,
+                 max(pt)  OVER (PARTITION BY user_id, gf) AS fpt,
+                 max(pid) OVER (PARTITION BY user_id, gf) AS fpid
+          FROM g),
+    d AS (SELECT event_id, user_id,
+                 CASE WHEN bpt IS NOT NULL AND t - bpt < 86400000000
+                      THEN t - bpt END AS bd,
+                 bpid,
+                 CASE WHEN fpt IS NOT NULL AND fpt - t < 86400000000
+                      THEN fpt - t END AS fd,
+                 fpid
+          FROM m WHERE kind = 1)
+    SELECT event_id, user_id,
+           cast(CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN bpid ELSE fpid END AS BIGINT) AS purchase_id,
+           cast(CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                     THEN -bd ELSE fd END AS BIGINT) AS dt_us
+    FROM d WHERE bd IS NOT NULL OR fd IS NOT NULL
+    """,
+    doc="NEAREST as-of join with tolerance: each click matches the "
+    "same user's closest purchase within ±24 h, either direction "
+    "(backward q36 only looks left). Both directions come from ONE "
+    "unioned per-user timeline: a running count of non-null purchase "
+    "markers partitions the timeline into carry groups (the q218 LOCF "
+    "trick — portable, no IGNORE NULLS dialect dependence), applied "
+    "once ascending (last purchase at-or-before) and once descending "
+    "(first purchase after); the winner is the smaller |dt|, ties to "
+    "the backward match. Every window partitions by user (+ carry "
+    "group) — bounded per-key state, no range-join explosion, no "
+    "corpus-scale ordering.",
+)
+def q226_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", 0)
+        .otherwise(1)
+        .alias("kind"),
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("pt"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "pid"
+        ),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(), F.col("kind").asc(), F.col("event_id").desc()
+        )
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = e.select(
+        "*",
+        F.count("pt").over(wb).alias("gb"),
+        F.count("pt").over(wf).alias("gf"),
+    )
+    m = g.select(
+        "event_id",
+        "user_id",
+        "t",
+        "kind",
+        F.max("pt").over(W.partitionBy("user_id", "gb")).alias("bpt"),
+        F.max("pid").over(W.partitionBy("user_id", "gb")).alias("bpid"),
+        F.max("pt").over(W.partitionBy("user_id", "gf")).alias("fpt"),
+        F.max("pid").over(W.partitionBy("user_id", "gf")).alias("fpid"),
+    )
+    d = m.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("bpt").isNotNull()
+            & (F.col("t") - F.col("bpt") < 86400000000),
+            F.col("t") - F.col("bpt"),
+        ).alias("bd"),
+        "bpid",
+        F.when(
+            F.col("fpt").isNotNull()
+            & (F.col("fpt") - F.col("t") < 86400000000),
+            F.col("fpt") - F.col("t"),
+        ).alias("fd"),
+        "fpid",
+    )
+    back_wins = F.col("bd").isNotNull() & (
+        F.col("fd").isNull() | (F.col("bd") <= F.col("fd"))
+    )
+    return d.filter(
+        F.col("bd").isNotNull() | F.col("fd").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("bpid"))
+        .otherwise(F.col("fpid"))
+        .cast("bigint")
+        .alias("purchase_id"),
+        F.when(back_wins, -F.col("bd"))
+        .otherwise(F.col("fd"))
+        .cast("bigint")
+        .alias("dt_us"),
+    )
+
+
+@query(
+    "q227_mi_feature_rank",
+    """
+    WITH f AS (
+      SELECT feature, bucket, event_type FROM (
+        SELECT 'hour' AS feature, cast(hour(ts) AS BIGINT) AS bucket,
+               event_type FROM events
+        UNION ALL
+        SELECT 'user16', user_id % 16, event_type FROM events
+        UNION ALL
+        SELECT 'vbin', cast(floor(value * 100 + 0.5) AS BIGINT) // 5000,
+               event_type FROM events)),
+    cxy AS (SELECT feature, bucket, event_type, count(*) AS c
+            FROM f GROUP BY 1, 2, 3),
+    cx AS (SELECT feature, bucket, sum(c) AS cb FROM cxy GROUP BY 1, 2),
+    cy AS (SELECT feature, event_type, sum(c) AS ce FROM cxy GROUP BY 1, 2),
+    n AS (SELECT feature, sum(c) AS nt FROM cxy GROUP BY 1),
+    t AS (SELECT cxy.feature, cxy.c,
+                 cast(floor(ln(cast(cxy.c AS DOUBLE) * cast(n.nt AS DOUBLE)
+                               / (cast(cx.cb AS DOUBLE)
+                                  * cast(cy.ce AS DOUBLE))) * 1000000 + 0.5)
+                      AS BIGINT) AS lr_q,
+                 n.nt
+          FROM cxy JOIN cx USING (feature, bucket)
+                   JOIN cy USING (feature, event_type)
+                   JOIN n USING (feature))
+    SELECT feature,
+           cast(count(*) AS BIGINT) AS n_cells,
+           cast(sum(c * lr_q) // max(nt) AS BIGINT) AS mi_ppm
+    FROM t GROUP BY feature
+    """,
+    doc="Mutual-information feature ranking: MI(feature; event_type) "
+    "for three candidate features (hour-of-day, user shard, value "
+    "bin) — the model-free relevance screen a feature store runs "
+    "before training. Features unpivot via explode into (feature, "
+    "bucket, class) cells; MI = sum over cells of (c/N)·ln(cN/"
+    "(c_b·c_c)) computes from four hash aggregates of the SAME cell "
+    "table (cells, row margins, class margins, total) joined back "
+    "broadcast — margins are metadata-sized. The log ratio quantizes "
+    "per cell BEFORE the weighted sum, so the reduction is pure "
+    "bigint (order-free, engine-portable); only ~50 log calls total.",
+)
+def q227_mi_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    F.hour("ts").cast("bigint").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("user16").alias("feature"),
+                    (F.col("user_id") % 16).cast("bigint").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("vbin").alias("feature"),
+                    F.expr(
+                        "cast(floor(value * 100 + 0.5) as bigint) div 5000"
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("fb"),
+        "event_type",
+    ).select("fb.feature", "fb.bucket", "event_type")
+    cxy = f.groupBy("feature", "bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cx = cxy.groupBy("feature", "bucket").agg(F.sum("c").alias("cb"))
+    cy = cxy.groupBy("feature", "event_type").agg(F.sum("c").alias("ce"))
+    n = cxy.groupBy("feature").agg(F.sum("c").alias("nt"))
+    t = (
+        cxy.join(F.broadcast(cx), ["feature", "bucket"])
+        .join(F.broadcast(cy), ["feature", "event_type"])
+        .join(F.broadcast(n), "feature")
+        .select(
+            "feature",
+            "c",
+            "nt",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double")
+                    * F.col("nt").cast("double")
+                    / (F.col("cb").cast("double") * F.col("ce").cast("double"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    return t.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.expr("cast(sum(c * lr_q) div max(nt) as bigint)").alias("mi_ppm"),
+    )
+
+
+def _q228_oracle() -> str:
+    return f"""
+    WITH qual AS ({_q47_oracle()}),
+    v AS (SELECT (('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT) % 5 AS fold,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS g,
+                 cast(floor(q.quality * 1e6 + 0.5) AS BIGINT) AS vc
+          FROM qual q JOIN documents d USING (doc_id)),
+    c AS (SELECT fold, vc, cast(sum(g) AS BIGINT) AS n1,
+                 cast(sum(1 - g) AS BIGINT) AS n2
+          FROM v GROUP BY fold, vc),
+    t AS (SELECT fold, cast(sum(n1) AS BIGINT) AS N1,
+                 cast(sum(n2) AS BIGINT) AS N2 FROM c GROUP BY fold),
+    cum AS (SELECT fold, vc, n1, n2,
+                   cast(coalesce(sum(n1 + n2) OVER (PARTITION BY fold
+                        ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS pre
+            FROM c),
+    agg AS (SELECT fold,
+                   cast(sum(n1 * (2 * pre + n1 + n2 + 1)) AS BIGINT) AS r1x2
+            FROM cum GROUP BY fold),
+    s AS (SELECT t.fold, N1, N2, r1x2 - N1 * (N1 + 1) AS u1x2
+          FROM agg JOIN t USING (fold)),
+    a AS (SELECT fold, N1, N2,
+                 u1x2::DOUBLE / (2.0 * N1::DOUBLE * N2::DOUBLE) AS auc
+          FROM s)
+    SELECT cast(fold AS BIGINT) AS fold, N1 AS n_pos, N2 AS n_neg,
+           cast(floor(auc * 1e6 + 0.5) AS BIGINT) AS auc_q
+    FROM a
+    """
+
+
+@query(
+    "q228_kfold_auc",
+    None,  # oracle composed below (reuses the q47 quality CTE)
+    doc="Per-fold ROC-AUC under a deterministic 5-fold split — the "
+    "cross-validated variant of q199 that turns one headline AUC into "
+    "a variance estimate (is the scorer stable, or did one lucky "
+    "shard carry it?). Fold assignment is the portable md5 hash "
+    "family on doc_id (retry/speculation-safe, identical in both "
+    "engines); all five folds compute in ONE grouped pass — per-"
+    "(fold, score) counts, the operators/stats.py bucketed prefix "
+    "sums with group_cols=[fold], and the midrank Mann-Whitney "
+    "identity per fold as pure bigint — no driver-side loop over "
+    "folds, no per-fold job, no partition-less window.",
+)
+def q228_kfold_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+    from tytodb_spark.operators.textual import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+        (F.col("lang") == "en").cast("bigint").alias("g"),
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    c = v.groupBy("fold", "v").agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("bigint").alias("n2"),
+    )
+    pre = with_prefix_sums(c, 10_000, ["n1", "n2"], group_cols=["fold"])
+    t = F.col("n1") + F.col("n2")
+    agg = (
+        pre.select(
+            "fold",
+            "n1",
+            "n2",
+            (
+                F.col("n1")
+                * (2 * (F.col("pre_n1") + F.col("pre_n2")) + t + 1)
+            ).alias("__r1x2"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.sum("n1").cast("bigint").alias("t1"),
+            F.sum("n2").cast("bigint").alias("t2"),
+            F.sum("__r1x2").cast("bigint").alias("R1x2"),
+        )
+    )
+    u1x2 = F.col("R1x2") - F.col("t1") * (F.col("t1") + 1)
+    auc = u1x2.cast("double") / (
+        F.lit(2.0) * F.col("t1").cast("double") * F.col("t2").cast("double")
+    )
+    return agg.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("t1").alias("n_pos"),
+        F.col("t2").alias("n_neg"),
+        F.floor(auc * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("auc_q"),
+    )
+
+
+REGISTRY["q228_kfold_auc"] = QueryDef(
+    fn=REGISTRY["q228_kfold_auc"].fn,
+    oracle=_q228_oracle(),
+    doc=REGISTRY["q228_kfold_auc"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
