@@ -39,6 +39,12 @@ SCALE_SENSITIVE = [
     "q208_contamination_depth",
     "q210_multimodal_dedup_audit",
     "q215_kcore",
+    # round 5b: co-supply pair fan-out, 6-way unpivot + per-column ndv,
+    # and the per-distinct-value CDF table — all fixture-structure-
+    # dependent volumes
+    "q222_adamic_adar",
+    "q224_encoding_advisor",
+    "q225_percent_rank_dist",
 ]
 
 
