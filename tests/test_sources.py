@@ -115,3 +115,18 @@ def test_container_schema_mismatch_raises(spark, tmp_path):
     wrong = [("other", TC.BIGINT)]
     with pytest.raises(Exception):
         TC.read_containers(spark, str(tmp_path), wrong).collect()
+
+
+def test_jsonl_corrupt_census_quarantines_exactly(spark, sf_dir):
+    """q230: PERMISSIVE-mode quarantine catches exactly the truncated
+    lines (event_id % 37) and no others."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    row = REGISTRY["q230_jsonl_corrupt_census"].fn(spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir)["events"]
+    n = ev.count()
+    n_corrupt = ev.filter("event_id % 37 = 0").count()
+    assert row["n_corrupt"] == n_corrupt
+    assert row["n_good"] == n - n_corrupt
+    assert row["n_types"] == 5

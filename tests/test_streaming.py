@@ -264,3 +264,44 @@ def test_stream_heavy_hitters_bounded_state_exact_output(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
     got = {r["term"] for r in out.collect()}
     assert "hot" in got and "warm" in got and not any(t.startswith("rare") for t in got)
+
+
+def test_watermark_late_audit_matches_python_replay(spark, sf_dir):
+    """q229's simulated watermark line vs a direct Python replay of the
+    Structured Streaming rule (watermark before batch k = max event
+    time over batches < k minus the delay; late iff t < watermark)."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["batch"]: (r["n_events"], r["n_late"], r["watermark_us"])
+        for r in REGISTRY["q229_watermark_late_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr(
+            "(unix_micros(ts)"
+            " + (conv(substr(md5(cast(event_id as string)), 1, 8), 16, 10)"
+            "    % 7200) * 1000000) div 5400000000 as batch",
+            "unix_micros(ts) as t",
+        )
+        .collect()
+    )
+    by_batch: dict[int, list[int]] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch"], []).append(r["t"])
+    wm = None
+    seen_max = None
+    for k in sorted(by_batch):
+        ts = by_batch[k]
+        exp_wm = -1 if wm is None else wm
+        n_late = 0 if wm is None else sum(1 for t in ts if t < wm)
+        assert got[k] == (len(ts), n_late, exp_wm), k
+        seen_max = max(ts) if seen_max is None else max(seen_max, max(ts))
+        wm = seen_max - 3600000000
+    assert len(got) == len(by_batch)
+    # the delay must actually drop something at this SF, or the audit
+    # is vacuous
+    assert sum(v[1] for v in got.values()) > 0

@@ -10736,6 +10736,156 @@ REGISTRY["q228_kfold_auc"] = QueryDef(
 )
 
 
+@query(
+    "q229_watermark_late_audit",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS t,
+                      (epoch_us(ts)
+                       + (('0x' || substr(md5(cast(event_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 7200) * 1000000)
+                        // 5400000000 AS batch
+               FROM events),
+    b AS (SELECT batch, max(t) AS mx, count(*) AS n FROM e GROUP BY batch),
+    w AS (SELECT batch, n,
+                 max(mx) OVER (ORDER BY batch
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) - 3600000000 AS wm
+          FROM b),
+    l AS (SELECT e.batch, count(*) AS n_late
+          FROM e JOIN w USING (batch) WHERE e.t < w.wm GROUP BY e.batch)
+    SELECT cast(w.batch AS BIGINT) AS batch,
+           cast(w.n AS BIGINT) AS n_events,
+           cast(coalesce(l.n_late, 0) AS BIGINT) AS n_late,
+           cast(coalesce(w.wm, -1) AS BIGINT) AS watermark_us
+    FROM w LEFT JOIN l USING (batch)
+    """,
+    doc="Watermark late-data audit: replay the stream under Structured "
+    "Streaming's watermark rule and count exactly the rows "
+    "withWatermark('ts', '1 hour') would drop — the sizing study a "
+    "streaming deployment runs BEFORE picking the allowed lateness. "
+    "Arrival is simulated deterministically (event time plus an md5-"
+    "keyed 0-2 h network jitter, the portable hash family, so both "
+    "engines and any retry see the same replay), batched into 90-min "
+    "arrival windows; the watermark before batch k is max EVENT time "
+    "over batches < k minus the delay, and a row is late iff its "
+    "event time falls below it. The only ordered window runs over the "
+    "PER-BATCH table — one row per micro-batch, metadata-sized by "
+    "construction (same regime as the stats.py bucket offsets); the "
+    "per-event late test is a broadcast join back onto the batch key.",
+)
+def q229_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.unix_micros("ts").alias("t"),
+        F.expr(
+            "(unix_micros(ts)"
+            " + (conv(substr(md5(cast(event_id as string)), 1, 8), 16, 10)"
+            "    % 7200) * 1000000) div 5400000000"
+        ).alias("batch"),
+    )
+    b = e.groupBy("batch").agg(
+        F.max("t").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    w = b.select(
+        "batch",
+        "n",
+        (
+            F.max("mx").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+            )
+            - 3600000000
+        ).alias("wm"),
+    )
+    l = (
+        e.join(F.broadcast(w.select("batch", "wm")), "batch")
+        .filter(F.col("t") < F.col("wm"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return w.join(l, "batch", "left").select(
+        F.col("batch").cast("bigint").alias("batch"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.coalesce("n_late", F.lit(0)).cast("bigint").alias("n_late"),
+        F.coalesce("wm", F.lit(-1)).cast("bigint").alias("watermark_us"),
+    )
+
+
+@query(
+    "q230_jsonl_corrupt_census",
+    """
+    WITH g AS (SELECT CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END
+                 AS corrupt,
+                      event_type, value
+               FROM events)
+    SELECT cast(sum(corrupt) AS BIGINT) AS n_corrupt,
+           cast(sum(1 - corrupt) AS BIGINT) AS n_good,
+           cast(count(DISTINCT CASE WHEN corrupt = 0 THEN event_type END)
+                AS BIGINT) AS n_types,
+           cast(cast(sum(CASE WHEN corrupt = 0
+                              THEN cast(value AS DECIMAL(18,2)) END)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS good_value
+    FROM g
+    """,
+    doc="Corrupt-record quarantine on a JSONL feed: events round-trip "
+    "through line-delimited JSON with a deterministic fraction of "
+    "lines truncated mid-object (event_id % 37 — the malformed lines "
+    "every real ingest sees), then read back with an EXPLICIT schema "
+    "in PERMISSIVE mode with columnNameOfCorruptRecord, so bad lines "
+    "land in the quarantine column instead of failing the job or "
+    "silently vanishing. Emits the ingest census: corrupt count, good "
+    "count, surviving type cardinality, and the DECIMAL-stable value "
+    "sum of good rows. The oracle computes the same census from the "
+    "parquet truth — asserting the quarantine caught EXACTLY the "
+    "corrupted lines and the good rows survived byte-exact. Schema-"
+    "on-read with no inference pass; one scan, one aggregate.",
+)
+def q230_jsonl_corrupt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tyto_jsonl_")
+    line = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "value")
+    )
+    ev.select(
+        F.when(F.col("event_id") % 37 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(tmp)
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "_corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(tmp)
+    )
+    return back.agg(
+        F.sum(F.col("_corrupt").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.col("_corrupt").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+        F.countDistinct(
+            F.when(F.col("_corrupt").isNull(), F.col("event_type"))
+        )
+        .cast("bigint")
+        .alias("n_types"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.col("value").cast("decimal(18,2)"),
+            )
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("good_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
