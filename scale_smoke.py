@@ -564,6 +564,68 @@ def main() -> None:
         "48× narrow explode + 2 keyed aggs; codegen, no Python stage",
     )
 
+    # round 5b — attribution pairing: users replicate with shifted ids,
+    # so per-user touch×conversion fan-out stays constant and the pair
+    # table grows k× (never k²)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.unix_micros("ts").alias("conv_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    tch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.unix_micros("ts").alias("touch_us")
+    )
+    ops["decay_attribution_pairs"] = (
+        conv.join(tch, "user_id")
+        .filter(
+            (F.col("touch_us") <= F.col("conv_us"))
+            & (F.col("conv_us") - F.col("touch_us") < 604800000000)
+        )
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("vc").alias("vc")),
+        "equi-join on user; per-user fan-out constant, pairs grow k",
+    )
+
+    # round 5b — rolling autocorr: k× users, constant per-user history
+    wq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("x"),
+    ).select(
+        "user_id",
+        "event_id",
+        "x",
+        F.lag("x").over(wq).alias("y"),
+        F.sum("x").over(wq.rowsBetween(-23, 0)).alias("sx"),
+    )
+    ops["rolling_autocorr_windows"] = (
+        lagged.filter(F.col("y").isNotNull()),
+        "windows per user; partition count grows k, size constant",
+    )
+
+    # round 5b — grouped CDF (percent_rank machinery): distinct value
+    # domain grows k× via per-replica value shifts
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    counts = (
+        ev.select(
+            "event_type",
+            (
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                + (F.col("event_id") % k) * F.lit(100_000)
+            ).alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ops["grouped_cdf_prefix"] = (
+        with_prefix_sums(counts, 1000, ["cnt"], group_cols=["event_type"]),
+        "per-value table grows k; bucket windows stay bounded",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()

@@ -45,6 +45,7 @@ SCALE_SENSITIVE = [
     "q222_adamic_adar",
     "q224_encoding_advisor",
     "q225_percent_rank_dist",
+    "q234_source_fingerprint_matrix",  # 64x seed explode over shingles
 ]
 
 

@@ -442,3 +442,100 @@ def test_asof_nearest_matches_brute_force(spark, sf_dir):
                     assert pid == best[1], c["event_id"]
                     n_checked += 1
     assert n_checked > 50
+
+
+def test_anova_f_matches_numpy(spark, sf_dir):
+    """q232's quantized decomposition vs direct numpy one-way ANOVA."""
+    import numpy as np
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    row = REGISTRY["q232_anova_f"].fn(spark, sf_dir).collect()[0]
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr(
+            "event_type", "cast(floor(value * 100 + 0.5) as bigint) as v"
+        )
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["v"])
+    arrs = [np.array(g, dtype=float) for g in groups.values()]
+    nn = sum(len(a) for a in arrs)
+    k = len(arrs)
+    grand = sum(a.sum() for a in arrs) / nn
+    ssb = sum(len(a) * (a.mean() - grand) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert row["n_groups"] == k and row["n"] == nn
+    # per-group quantization at x1000 loses < k/1000 on each SS
+    assert abs(row["ssb_x1000"] / 1000 - ssb) < 1
+    assert abs(row["ssw_x1000"] / 1000 - ssw) < 1
+    assert abs(row["f_milli"] / 1000 - f) < 0.01
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """q233 vs the direct sorted rank-weighted Gini on user totals."""
+    import numpy as np
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    row = REGISTRY["q233_gini_concentration"].fn(spark, sf_dir).collect()[0]
+    u = (
+        load_tables(spark, sf_dir)["events"]
+        .filter("event_type = 'purchase'")
+        .selectExpr(
+            "user_id", "cast(floor(value * 100 + 0.5) as bigint) as v"
+        )
+        .groupBy("user_id")
+        .agg(F.sum("v").alias("t"))
+        .collect()
+    )
+    x = np.sort(np.array([r["t"] for r in u], dtype=float))
+    n = len(x)
+    g = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) / (
+        n * x.sum()
+    )
+    assert row["n_users"] == n
+    assert row["total_cents"] == int(x.sum())
+    assert abs(row["gini_ppm"] / 1e6 - g) < 1e-6
+
+
+def test_source_fingerprint_tracks_exact_jaccard(spark, sf_dir):
+    """q234's 64-hash MinHash estimate vs exact per-pair trigram
+    Jaccard computed with Python sets (64 hashes -> se ~ 0.06; assert
+    within 0.25 everywhere)."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.operators.textual import word_ngrams
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        (r["s1"], r["s2"]): r["jaccard_est_ppm"] / 1e6
+        for r in REGISTRY["q234_source_fingerprint_matrix"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["documents"]
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias(
+                "g"
+            ),
+        )
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        sets.setdefault(r["source"], set()).add(r["g"])
+    srcs = sorted(sets)
+    n_pairs = 0
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            exact = len(sets[s1] & sets[s2]) / len(sets[s1] | sets[s2])
+            assert abs(got[(s1, s2)] - exact) <= 0.25, (s1, s2, exact)
+            n_pairs += 1
+    assert n_pairs == len(got) == len(srcs) * (len(srcs) - 1) // 2

@@ -50,6 +50,12 @@ QUERIES = [
     "q84_sequence_packing",
     "q197_keyset_pagination",
     "q143_table_checksum",
+    # round 5b: grouped CDF rank stats, degree-capped pair scoring,
+    # per-fold grouped AUC, simulated-watermark replay
+    "q225_percent_rank_dist",
+    "q222_adamic_adar",
+    "q228_kfold_auc",
+    "q229_watermark_late_audit",
 ]
 
 SETTINGS = [8, 32, 128]

@@ -10886,6 +10886,296 @@ def q230_jsonl_corrupt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q231_event_path_trigrams",
+    """
+    WITH t AS (SELECT user_id, event_type AS e1,
+                      lead(event_type, 1) OVER w AS e2,
+                      lead(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, cast(count(*) AS BIGINT) AS n
+    FROM t WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 25
+    """,
+    doc="Behavioral path mining: the 25 most common length-3 event "
+    "sequences across user journeys — the path-level complement of "
+    "q186's first-order Markov matrix (a trigram census distinguishes "
+    "view->click->purchase from click->view->purchase, which no "
+    "bigram model can). Two leads over each USER's own timeline "
+    "(unique (ts, event_id) order, bounded per-key partitions), one "
+    "hash aggregate over the |types|^3 path space, distributed top-k "
+    "on the unique (n, path) key. No corpus-scale ordering.",
+)
+def q231_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        t.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(25)
+    )
+
+
+@query(
+    "q232_anova_f",
+    """
+    WITH x AS (SELECT event_type,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    g AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+                 sum(v * v) AS q
+          FROM x GROUP BY event_type),
+    t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss,
+                 sum(q) AS qq,
+                 sum(cast(floor(cast(s AS DOUBLE) * cast(s AS DOUBLE)
+                                / n * 1000 + 0.5) AS BIGINT)) AS a
+          FROM g),
+    d AS (SELECT k, nn, qq, a,
+                 a - cast(floor(cast(ss AS DOUBLE) * cast(ss AS DOUBLE)
+                                / nn * 1000 + 0.5) AS BIGINT) AS ssb_x1000,
+                 qq * 1000 - a AS ssw_x1000
+          FROM t)
+    SELECT cast(k AS BIGINT) AS n_groups, cast(nn AS BIGINT) AS n,
+           cast(ssb_x1000 AS BIGINT) AS ssb_x1000,
+           cast(ssw_x1000 AS BIGINT) AS ssw_x1000,
+           cast(floor(cast(ssb_x1000 AS DOUBLE) * (nn - k)
+                      / (cast(ssw_x1000 AS DOUBLE) * (k - 1)) * 1000
+                      + 0.5) AS BIGINT) AS f_milli
+    FROM d
+    """,
+    doc="One-way ANOVA F statistic: does mean value differ across "
+    "event types? (The k-group generalization of q162's two-sample z "
+    "test.) Sufficient statistics (n, sum, sum-of-squares per group) "
+    "come from ONE map-side-combinable hash aggregate; between/within "
+    "sums of squares quantize PER GROUP (floor(s^2/n * 1000) on "
+    "exact-integer inputs squared in the double domain — bigint s*s "
+    "would overflow at corpus scale, and bigint->double casts + IEEE "
+    "division are identical across engines) and reduce as bigint, so "
+    "no float accumulation order exists anywhere. Output is the full "
+    "decomposition plus F in milli-units.",
+)
+def q232_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            F.expr(
+                "cast(floor(cast(s as double) * cast(s as double)"
+                " / n * 1000 + 0.5) as bigint)"
+            )
+        ).alias("a"),
+    )
+    d = t.select(
+        "k",
+        "nn",
+        "qq",
+        "a",
+        (
+            F.col("a")
+            - F.expr(
+                "cast(floor(cast(ss as double) * cast(ss as double)"
+                " / nn * 1000 + 0.5) as bigint)"
+            )
+        ).alias("ssb_x1000"),
+        (F.col("qq") * 1000 - F.col("a")).alias("ssw_x1000"),
+    )
+    return d.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("ssb_x1000").cast("bigint").alias("ssb_x1000"),
+        F.col("ssw_x1000").cast("bigint").alias("ssw_x1000"),
+        F.expr(
+            "cast(floor(cast(ssb_x1000 as double) * (nn - k)"
+            " / (cast(ssw_x1000 as double) * (k - 1)) * 1000"
+            " + 0.5) as bigint)"
+        ).alias("f_milli"),
+    )
+
+
+@query(
+    "q233_gini_concentration",
+    """
+    WITH u AS (SELECT user_id,
+                      sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS v
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+    c AS (SELECT v, count(*) AS cnt FROM u GROUP BY v),
+    p AS (SELECT v, cnt,
+                 coalesce(sum(cnt) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS pre
+          FROM c),
+    a AS (SELECT sum(cnt) AS n, sum(v * cnt) AS t,
+                 sum(v * (cnt * pre + (cnt * (cnt + 1)) // 2)) AS r
+          FROM p)
+    SELECT cast(n AS BIGINT) AS n_users,
+           cast(t AS BIGINT) AS total_cents,
+           cast(floor((2 * cast(r AS DOUBLE) - (n + 1) * cast(t AS DOUBLE))
+                      * 1000000 / (cast(n AS DOUBLE) * cast(t AS DOUBLE))
+                      + 0.5) AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+    doc="Gini concentration of purchase value across users — the "
+    "inequality audit run on any usage/revenue/token-count "
+    "distribution before capacity planning (and on per-domain token "
+    "shares before corpus mixing). The rank-weighted sum handles ties "
+    "exactly from the per-distinct-value count table: sum of ranks at "
+    "value v = cnt*pre + cnt(cnt+1)/2 — pure bigint from the same "
+    "bucketed-CDF machinery as q225 (the Spark side uses "
+    "with_prefix_sums; the oracle spells the identical arithmetic "
+    "with a plain window over the tiny distinct-value table). One "
+    "final float division, quantized to ppm.",
+)
+def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("vc").alias("v"))
+    )
+    c = u.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    p = with_prefix_sums(c, 100_000, ["cnt"])
+    a = p.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).alias("t"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("cnt") * F.col("pre_cnt")
+                + F.expr("(cnt * (cnt + 1)) div 2")
+            )
+        ).alias("r"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.expr(
+            "cast(floor((2 * cast(r as double) - (n + 1) * cast(t as double))"
+            " * 1000000 / (cast(n as double) * cast(t as double))"
+            " + 0.5) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+@query(
+    "q234_source_fingerprint_matrix",
+    f"""
+    WITH g AS (SELECT DISTINCT source, g FROM (
+                 SELECT source, unnest(list_distinct({_NGRAMS(3)})) AS g
+                 FROM documents)),
+    e AS (SELECT source, i,
+                 ('0x' || substr(md5(cast(i AS VARCHAR) || ':' || g),
+                                 1, 12))::BIGINT AS h
+          FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+    sig AS (SELECT source, i, min(h) AS h FROM e GROUP BY source, i),
+    p AS (SELECT a.source AS s1, b.source AS s2,
+                 sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS m
+          FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT s1, s2, cast(m AS BIGINT) AS matches,
+           cast((m * 1000000) // 64 AS BIGINT) AS jaccard_est_ppm
+    FROM p
+    """,
+    doc="Corpus fingerprint matrix: pairwise MinHash-estimated trigram "
+    "Jaccard between every pair of sources — the source-level overlap "
+    "map a corpus team reads BEFORE scheduling document-level dedup "
+    "(it prices which source pairs are worth a cross-source q108 run, "
+    "from signatures that cost one scan). Each source compresses to a "
+    "64-value signature (min over the portable md5 family per seed — "
+    "identical in both engines, so the ESTIMATE itself is the oracle-"
+    "checked output, unlike q42 where LSH internals stay engine-"
+    "local); the pair stage joins |sources|x64 signature rows — "
+    "metadata-sized however big the corpus. Seed fan-out is a codegen "
+    "explode, never a nested HOF lambda (the q207 lesson).",
+)
+def q234_source_fingerprint_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tytodb_spark.operators.textual import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 3))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    e = g.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "g",
+    ).select(
+        "source",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i").cast("string"), "g")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    sig = e.groupBy("source", "i").agg(F.min("h").alias("h"))
+    a = sig.select(
+        F.col("source").alias("s1"), "i", F.col("h").alias("ha")
+    )
+    b = sig.select(
+        F.col("source").alias("s2"), "i", F.col("h").alias("hb")
+    )
+    return (
+        a.join(b, "i")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum((F.col("ha") == F.col("hb")).cast("int"))
+            .cast("bigint")
+            .alias("matches")
+        )
+        .select(
+            "s1",
+            "s2",
+            "matches",
+            F.expr("(matches * 1000000) div 64")
+            .cast("bigint")
+            .alias("jaccard_est_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
