@@ -539,3 +539,95 @@ def test_source_fingerprint_tracks_exact_jaccard(spark, sf_dir):
             assert abs(got[(s1, s2)] - exact) <= 0.25, (s1, s2, exact)
             n_pairs += 1
     assert n_pairs == len(got) == len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_wau_rolling_matches_python(spark, sf_dir):
+    """q235's explode-vote WAU vs a direct per-day distinct scan."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["q235_wau_rolling"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr("user_id", "date_trunc('day', ts) as day")
+        .distinct()
+        .collect()
+    )
+    days = sorted({r["day"] for r in rows})
+    import datetime as dt
+
+    for d in days:
+        active = {
+            r["user_id"]
+            for r in rows
+            if dt.timedelta(0) <= d - r["day"] <= dt.timedelta(days=6)
+        }
+        assert got[d] == len(active), d
+    assert len(got) == len(days)
+
+
+def test_conversion_latency_matches_python(spark, sf_dir):
+    """q236's CDF quantiles vs sorted ceil-rank picks in Python."""
+    import math
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    row = REGISTRY["q236_conversion_latency"].fn(spark, sf_dir).collect()[0]
+    f = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("fv"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.unix_micros("ts")
+                )
+            ).alias("fb"),
+        )
+        .collect()
+    )
+    lats = sorted(
+        (r["fb"] - r["fv"]) // 60000000
+        for r in f
+        if r["fv"] is not None and r["fb"] is not None and r["fb"] >= r["fv"]
+    )
+    n = len(lats)
+    assert row["n"] == n
+    for name, pct in [("p50_min", 50), ("p90_min", 90), ("p99_min", 99)]:
+        assert row[name] == lats[math.ceil(n * pct / 100) - 1], name
+
+
+def test_mix_entropy_matches_numpy(spark, sf_dir):
+    """q237 vs direct Shannon entropy of each lang's source mix."""
+    import math
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["lang"]: r
+        for r in REGISTRY["q237_mix_entropy"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["documents"]
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, counts in by_lang.items():
+        nt = sum(counts)
+        h = sum(c / nt * math.log(nt / c) for c in counts)
+        g = got[lang]
+        assert g["n_sources"] == len(counts)
+        assert g["n_docs"] == nt
+        assert abs(g["entropy_u"] / 1e6 - h) < 1e-4
+        assert abs(g["effective_sources_milli"] / 1e3 - math.exp(h)) < 0.01

@@ -11176,6 +11176,201 @@ def q234_source_fingerprint_matrix(
     )
 
 
+@query(
+    "q235_wau_rolling",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       cast(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events),
+    uw AS (SELECT DISTINCT user_id, day + to_days(cast(o AS INT)) AS w
+           FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud)
+    SELECT w AS day, cast(count(*) AS BIGINT) AS wau
+    FROM (SELECT w, user_id FROM uw) u CROSS JOIN span
+    WHERE w >= d0 AND w <= d1
+    GROUP BY w
+    """,
+    doc="Rolling 7-day active users (WAU) per day, EXACT — the metric "
+    "every dashboard wants and Spark (correctly) refuses to spell as "
+    "COUNT(DISTINCT) OVER a sliding range (O(n^2) distinct-set "
+    "state). The distributed-exact reshape: distinct (user, day) "
+    "pairs, then each pair votes into the 7 windows that contain it "
+    "(a 7x explode — constant fan-out), distinct again, and a plain "
+    "count per window day. Two hash-dedup shuffles and one count — "
+    "no window function at all, no per-day state; the day spine "
+    "clamps to the observed span so output days all have full "
+    "membership. Same shape scales to any window length w at wx "
+    "fan-out, or to HLL partials (q167) when approximate is enough.",
+)
+def q235_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    uw = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.expr("day + make_interval(0, 0, 0, o, 0, 0, 0)").alias("w"),
+        )
+        .distinct()
+    )
+    span = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    return (
+        uw.crossJoin(F.broadcast(span))
+        .filter((F.col("w") >= F.col("d0")) & (F.col("w") <= F.col("d1")))
+        .groupBy(F.col("w").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+
+
+@query(
+    "q236_conversion_latency",
+    """
+    WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts) END) AS first_view,
+                      min(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END) AS first_buy
+               FROM events GROUP BY user_id),
+    lat AS (SELECT (first_buy - first_view) // 60000000 AS v
+            FROM f
+            WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+              AND first_buy >= first_view),
+    c AS (SELECT v, cast(count(*) AS BIGINT) AS cnt FROM lat GROUP BY v),
+    t AS (SELECT cast(sum(cnt) AS BIGINT) AS n FROM c),
+    p AS (SELECT v, cnt,
+                 cast(coalesce(sum(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS pre
+          FROM c),
+    j AS (SELECT p.v, p.cnt, p.pre, t.n FROM p CROSS JOIN t)
+    SELECT n,
+      cast(min(CASE WHEN pre < (n * 50 + 99) // 100
+                     AND (n * 50 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p50_min,
+      cast(min(CASE WHEN pre < (n * 90 + 99) // 100
+                     AND (n * 90 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p90_min,
+      cast(min(CASE WHEN pre < (n * 99 + 99) // 100
+                     AND (n * 99 + 99) // 100 <= pre + cnt THEN v END)
+           AS BIGINT) AS p99_min
+    FROM j GROUP BY n
+    """,
+    doc="Conversion latency distribution: minutes from each user's "
+    "first view to their first purchase, summarized as exact discrete "
+    "p50/p90/p99 — the time-to-convert funnel metric (q82 counts WHO "
+    "converts; this measures HOW LONG it takes). First-touch pair "
+    "per user is one conditional-min hash aggregate (no window); the "
+    "latency quantiles run on the |distinct minute| count table via "
+    "the same bucketed-CDF machinery as q209 (with_prefix_sums — the "
+    "ordered window in the ORACLE is over that tiny distinct-value "
+    "table only). Integer minutes end-to-end; truncating division "
+    "matches across engines.",
+)
+def q236_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_buy"),
+    )
+    lat = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        F.expr("(first_buy - first_view) div 60000000").alias("v")
+    )
+    c = lat.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    p = with_prefix_sums(c, 1000, ["cnt"])
+    t = c.agg(F.sum("cnt").cast("bigint").alias("n"))
+    j = p.crossJoin(F.broadcast(t))
+    qcol = []
+    for name, pct in [("p50_min", 50), ("p90_min", 90), ("p99_min", 99)]:
+        r = F.expr(f"(n * {pct} + 99) div 100")
+        qcol.append(
+            F.min(
+                F.when(
+                    (F.col("pre_cnt") < r)
+                    & (r <= F.col("pre_cnt") + F.col("cnt")),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    return j.groupBy("n").agg(*qcol)
+
+
+@query(
+    "q237_mix_entropy",
+    """
+    WITH c AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY lang, source),
+    t AS (SELECT lang, sum(n) AS nt FROM c GROUP BY lang),
+    e AS (SELECT c.lang, c.n, t.nt,
+                 cast(floor(ln(cast(t.nt AS DOUBLE) / cast(c.n AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) AS li_q
+          FROM c JOIN t USING (lang))
+    SELECT lang,
+           cast(count(*) AS BIGINT) AS n_sources,
+           cast(max(nt) AS BIGINT) AS n_docs,
+           cast(sum(n * li_q) // max(nt) AS BIGINT) AS entropy_u,
+           cast(floor(exp(cast(sum(n * li_q) // max(nt) AS DOUBLE)
+                          / 1000000.0) * 1000 + 0.5) AS BIGINT)
+             AS effective_sources_milli
+    FROM e GROUP BY lang
+    """,
+    doc="Corpus-mix entropy per language: Shannon entropy of the "
+    "source distribution and its exponential (the 'effective number "
+    "of sources') — the diversity gate a data-mixing recipe checks "
+    "before training (a lang whose tokens come from 1.2 effective "
+    "sources is a memorization risk however many sources nominally "
+    "contribute). Per-cell surprisal ln(N/n) quantizes to integer "
+    "micro-nats BEFORE the weighted reduction (order-free bigint sum "
+    "— the q227 discipline), so the only cross-engine float ops are "
+    "|cells| logs and one final exp on an already-quantized integer. "
+    "Two hash aggregates and a broadcast totals join.",
+)
+def q237_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("nt"))
+    e = c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "n",
+        "nt",
+        F.floor(
+            F.log(F.col("nt").cast("double") / F.col("n").cast("double"))
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("li_q"),
+    )
+    return e.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.max("nt").cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(n * li_q) div max(nt) as bigint)").alias(
+            "entropy_u"
+        ),
+        F.expr(
+            "cast(floor(exp(cast(sum(n * li_q) div max(nt) as double)"
+            " / 1000000.0) * 1000 + 0.5) as bigint)"
+        ).alias("effective_sources_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
