@@ -11084,16 +11084,89 @@ def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q234_source_fingerprint_matrix",
-    f"""
+# 64 multiply-mod universal-hash seeds for q234: (i, a, b) with
+# h_i(g) = (a * (md5_48(g) %% P) + b) %% P, P = 2^31 - 1. Hardcoded so
+# both engines evaluate ONE md5 per shingle and derive the 64 MinHash
+# lanes with integer arithmetic (the 64-md5 spelling measured 10.5 s at
+# sf0.1; this one ~2 s).
+_MH_P = 2147483647
+_MH64 = [(0, 319907179, 1053692278), (1, 519121713, 1690591343), (2, 1613104210, 794218002), (3, 1020095000, 192563854), (4, 343638724, 392748967), (5, 1058387562, 1730078637), (6, 1725907542, 2032816443), (7, 1027514586, 752790051), (8, 776367694, 553510668), (9, 870821369, 1573942963), (10, 1418226030, 877930129), (11, 1724945804, 1622383610), (12, 198948735, 913880865), (13, 2109564269, 194404597), (14, 1723884711, 1444440933), (15, 1825495661, 1156916109), (16, 394610292, 784624971), (17, 730948251, 555019750), (18, 99070585, 2003081261), (19, 51645477, 60403662), (20, 531499247, 208154829), (21, 797497547, 1926466412), (22, 682614313, 1754663614), (23, 1820882650, 1424618661), (24, 1223382312, 2052162054), (25, 1388826810, 1092732509), (26, 190113436, 1066091919), (27, 1628868573, 30356761), (28, 1130323389, 876861493), (29, 722267319, 1048633625), (30, 1352147855, 1345843372), (31, 1094115176, 1034140379), (32, 237917503, 14338131), (33, 2032312923, 505256239), (34, 225112069, 1256109617), (35, 392353084, 698783131), (36, 2027141692, 680245729), (37, 1203967282, 1435705424), (38, 460888601, 2117256974), (39, 15556390, 914694619), (40, 1745732964, 1410058205), (41, 1438427454, 2051632276), (42, 1901513249, 418217971), (43, 398479192, 1481799001), (44, 632287095, 527080753), (45, 1184002918, 455418643), (46, 804526875, 2094252415), (47, 1096710158, 1435767242), (48, 1544579479, 983024650), (49, 1904362107, 2107932778), (50, 1864058974, 988857599), (51, 1825995889, 189101027), (52, 50808400, 1623337490), (53, 584329915, 1193571350), (54, 1239051059, 2006175524), (55, 64215290, 1015022438), (56, 193997044, 171392373), (57, 2010562452, 388357833), (58, 1518136330, 174487869), (59, 1378418732, 1036340379), (60, 1480008892, 1267287504), (61, 1122724574, 1332153730), (62, 1705953096, 1677987522), (63, 2073806094, 2068564822)]
+
+
+def _q234_oracle() -> str:
+    values = """(0, 319907179, 1053692278),
+                 (1, 519121713, 1690591343),
+                 (2, 1613104210, 794218002),
+                 (3, 1020095000, 192563854),
+                 (4, 343638724, 392748967),
+                 (5, 1058387562, 1730078637),
+                 (6, 1725907542, 2032816443),
+                 (7, 1027514586, 752790051),
+                 (8, 776367694, 553510668),
+                 (9, 870821369, 1573942963),
+                 (10, 1418226030, 877930129),
+                 (11, 1724945804, 1622383610),
+                 (12, 198948735, 913880865),
+                 (13, 2109564269, 194404597),
+                 (14, 1723884711, 1444440933),
+                 (15, 1825495661, 1156916109),
+                 (16, 394610292, 784624971),
+                 (17, 730948251, 555019750),
+                 (18, 99070585, 2003081261),
+                 (19, 51645477, 60403662),
+                 (20, 531499247, 208154829),
+                 (21, 797497547, 1926466412),
+                 (22, 682614313, 1754663614),
+                 (23, 1820882650, 1424618661),
+                 (24, 1223382312, 2052162054),
+                 (25, 1388826810, 1092732509),
+                 (26, 190113436, 1066091919),
+                 (27, 1628868573, 30356761),
+                 (28, 1130323389, 876861493),
+                 (29, 722267319, 1048633625),
+                 (30, 1352147855, 1345843372),
+                 (31, 1094115176, 1034140379),
+                 (32, 237917503, 14338131),
+                 (33, 2032312923, 505256239),
+                 (34, 225112069, 1256109617),
+                 (35, 392353084, 698783131),
+                 (36, 2027141692, 680245729),
+                 (37, 1203967282, 1435705424),
+                 (38, 460888601, 2117256974),
+                 (39, 15556390, 914694619),
+                 (40, 1745732964, 1410058205),
+                 (41, 1438427454, 2051632276),
+                 (42, 1901513249, 418217971),
+                 (43, 398479192, 1481799001),
+                 (44, 632287095, 527080753),
+                 (45, 1184002918, 455418643),
+                 (46, 804526875, 2094252415),
+                 (47, 1096710158, 1435767242),
+                 (48, 1544579479, 983024650),
+                 (49, 1904362107, 2107932778),
+                 (50, 1864058974, 988857599),
+                 (51, 1825995889, 189101027),
+                 (52, 50808400, 1623337490),
+                 (53, 584329915, 1193571350),
+                 (54, 1239051059, 2006175524),
+                 (55, 64215290, 1015022438),
+                 (56, 193997044, 171392373),
+                 (57, 2010562452, 388357833),
+                 (58, 1518136330, 174487869),
+                 (59, 1378418732, 1036340379),
+                 (60, 1480008892, 1267287504),
+                 (61, 1122724574, 1332153730),
+                 (62, 1705953096, 1677987522),
+                 (63, 2073806094, 2068564822)"""
+    return f"""
     WITH g AS (SELECT DISTINCT source, g FROM (
                  SELECT source, unnest(list_distinct({_NGRAMS(3)})) AS g
                  FROM documents)),
-    e AS (SELECT source, i,
-                 ('0x' || substr(md5(cast(i AS VARCHAR) || ':' || g),
-                                 1, 12))::BIGINT AS h
-          FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+    h0 AS (SELECT source,
+                  ('0x' || substr(md5(g), 1, 12))::BIGINT % {_MH_P} AS h0
+           FROM g),
+    e AS (SELECT source, i, (a * h0 + b) % {_MH_P} AS h
+          FROM h0 CROSS JOIN (VALUES {values}) AS t(i, a, b)),
     sig AS (SELECT source, i, min(h) AS h FROM e GROUP BY source, i),
     p AS (SELECT a.source AS s1, b.source AS s2,
                  sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS m
@@ -11102,27 +11175,36 @@ def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s1, s2, cast(m AS BIGINT) AS matches,
            cast((m * 1000000) // 64 AS BIGINT) AS jaccard_est_ppm
     FROM p
-    """,
+    """
+
+
+@query(
+    "q234_source_fingerprint_matrix",
+    None,  # oracle composed below (embeds the 64 hardcoded seeds)
     doc="Corpus fingerprint matrix: pairwise MinHash-estimated trigram "
     "Jaccard between every pair of sources — the source-level overlap "
     "map a corpus team reads BEFORE scheduling document-level dedup "
     "(it prices which source pairs are worth a cross-source q108 run, "
     "from signatures that cost one scan). Each source compresses to a "
-    "64-value signature (min over the portable md5 family per seed — "
-    "identical in both engines, so the ESTIMATE itself is the oracle-"
-    "checked output, unlike q42 where LSH internals stay engine-"
-    "local); the pair stage joins |sources|x64 signature rows — "
-    "metadata-sized however big the corpus. Seed fan-out is a codegen "
-    "explode, never a nested HOF lambda (the q207 lesson).",
+    "64-value signature; the hash family is ONE portable md5 per "
+    "shingle folded through 64 hardcoded multiply-mod lanes "
+    "((a_i*h+b_i) mod 2^31-1 — identical bigint arithmetic in both "
+    "engines, so the ESTIMATE itself is the oracle-checked output, "
+    "unlike q42 where LSH internals stay engine-local). The lane "
+    "fan-out is a codegen explode over integers, never 64 md5 calls "
+    "per shingle (measured 5x cheaper at sf0.1); the pair stage joins "
+    "|sources|x64 signature rows — metadata-sized however big the "
+    "corpus.",
 )
 def q234_source_fingerprint_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from tytodb_spark.operators.textual import word_ngrams
+    from tytodb_spark.operators.textual import spread, word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
     g = (
-        docs.select(
+        spread(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
             "source",
             F.explode(
                 F.array_distinct(word_ngrams(F.col("text"), 3))
@@ -11130,24 +11212,29 @@ def q234_source_fingerprint_matrix(
         )
         .distinct()
     )
-    e = g.select(
+    h0 = g.select(
         "source",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
-        "g",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("bigint")
+            % _MH_P
+        ).alias("h0"),
+    )
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+            )
+            for i, a, b in _MH64
+        ]
+    )
+    e = h0.select(
+        "source", "h0", F.explode(lanes).alias("l")
     ).select(
         "source",
-        "i",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("i").cast("string"), "g")),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
+        F.col("l.i").alias("i"),
+        ((F.col("l.a") * F.col("h0") + F.col("l.b")) % _MH_P).alias("h"),
     )
     sig = e.groupBy("source", "i").agg(F.min("h").alias("h"))
     a = sig.select(
@@ -11174,6 +11261,13 @@ def q234_source_fingerprint_matrix(
             .alias("jaccard_est_ppm"),
         )
     )
+
+
+REGISTRY["q234_source_fingerprint_matrix"] = QueryDef(
+    fn=REGISTRY["q234_source_fingerprint_matrix"].fn,
+    oracle=_q234_oracle(),
+    doc=REGISTRY["q234_source_fingerprint_matrix"].doc,
+)
 
 
 @query(
