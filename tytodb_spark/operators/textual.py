@@ -91,6 +91,28 @@ def hashed_word_ngrams(col: Column | str, n: int) -> Column:
     )
 
 
+def hashed_ngrams_from_tokens(tok_col: Column | str, n: int) -> Column:
+    """:func:`hashed_word_ngrams` over an ALREADY-MATERIALIZED token
+    array column. The text-column variant embeds ``tokens(text)`` inside
+    the transform lambda, and because higher-order-function lambdas run
+    interpreted, every gram's element lookups re-evaluate the split —
+    fine once, a measured ~3x tax when a query builds grams at several
+    depths from the same text (q208: 6.7 s -> 2.1 s at sf0.1 by
+    tokenizing once into a persisted column and deriving every depth
+    from it). Use with a persisted/checkpointed token frame so Catalyst
+    cannot collapse the tokenization back into the lambda."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Character n-gram shingles (for MinHash over short texts)."""
     c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))

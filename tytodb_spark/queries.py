@@ -9025,19 +9025,36 @@ def q207_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fan-out.",
 )
 def q208_contamination_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.operators.textual import hashed_word_ngrams, spread
+    from pyspark.storagelevel import StorageLevel
+
+    from tytodb_spark.operators.textual import (
+        hashed_ngrams_from_tokens,
+        spread,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
     bench = docs.filter(F.col("source") == "src0").select("text")
-    tr = spread(train, "doc_id")
+    # tokenize ONCE; the persists are optimizer barriers so the three
+    # depth lambdas index a bound array instead of re-splitting the
+    # text per element (hashed_ngrams_from_tokens doc; 6.7 -> 2.1 s)
+    tok = (
+        spread(train, "doc_id")
+        .select("doc_id", tokens("text").alias("tk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    btok = bench.select(tokens("text").alias("tk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hits = None
     for n in (4, 8, 16):
-        bg = bench.select(
-            F.explode(hashed_word_ngrams("text", n)).alias("__g")
+        bg = btok.select(
+            F.explode(hashed_ngrams_from_tokens("tk", n)).alias("__g")
         ).distinct()
-        tg = tr.select(
-            "doc_id", F.explode(hashed_word_ngrams("text", n)).alias("__g")
+        tg = tok.select(
+            "doc_id",
+            F.explode(hashed_ngrams_from_tokens("tk", n)).alias("__g"),
         )
         h = (
             tg.join(F.broadcast(bg), "__g")
