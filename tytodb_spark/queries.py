@@ -11482,6 +11482,64 @@ def q237_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q238_ngram_novelty",
+    rf"""
+    WITH sg AS (SELECT DISTINCT source, g FROM (
+                  SELECT source, unnest(list_distinct({_NGRAMS(8)})) AS g
+                  FROM documents)),
+    df AS (SELECT g, count(*) AS ns FROM sg GROUP BY g),
+    j AS (SELECT sg.source, df.ns FROM sg JOIN df USING (g))
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_grams,
+           cast(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           cast((sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM j GROUP BY source
+    """,
+    doc="Per-source 8-gram novelty census: what fraction of each "
+    "source's distinct 8-grams appears in NO other source — the "
+    "uniqueness side of q234's overlap matrix, and the number a "
+    "corpus team reads to decide whether a source adds new text or "
+    "restates the pool (a near-zero novelty source is a dedup target, "
+    "not a data source). Distinct (source, gram) pairs -> gram "
+    "source-counts -> one joined aggregate; grams travel and group as "
+    "the (source, gram) hash table, every stage map-side combinable. "
+    "The oracle runs the same census on exact gram strings (the Spark "
+    "side hashes would also work, but strings keep the two engines "
+    "byte-comparable end to end).",
+)
+def q238_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    sg = (
+        spread(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 8))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfq = sg.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
+    j = sg.join(dfq, "g").select("source", "ns")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum((F.col("ns") == 1).cast("int")).cast("bigint").alias(
+            "n_unique"
+        ),
+        F.expr(
+            "(sum(case when ns = 1 then 1 else 0 end) * 1000000)"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
