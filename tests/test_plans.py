@@ -421,6 +421,8 @@ def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
         "q235_wau_rolling",       # explode-vote dedup: no window at all
         "q237_mix_entropy",       # hash aggs + broadcast totals
         "q238_ngram_novelty",     # two hash-dedup aggs, no windows
+        "q239_silhouette",        # explode + broadcast centroids
+        "q240_correlogram",       # metadata series self-join
         # (q229/q233 keep one metadata-sized offset window by design —
         # per-micro-batch / per-distinct-value-bucket tables, same
         # exclusion as q175/q199)

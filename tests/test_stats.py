@@ -631,3 +631,98 @@ def test_mix_entropy_matches_numpy(spark, sf_dir):
         assert g["n_docs"] == nt
         assert abs(g["entropy_u"] / 1e6 - h) < 1e-4
         assert abs(g["effective_sources_milli"] / 1e3 - math.exp(h)) < 0.01
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    """q239 vs direct numpy simplified silhouette in the same
+    quantized-integer domain."""
+    import numpy as np
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["label"]: r
+        for r in REGISTRY["q239_silhouette"].fn(spark, sf_dir).collect()
+    }
+    rows = load_tables(spark, sf_dir)["embeddings"].collect()
+    X = np.array(
+        [np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6) for r in rows]
+    ).astype(np.int64)
+    y = np.array([r["label"] for r in rows])
+    labels = sorted(set(y.tolist()))
+    cents = {}
+    for lb in labels:
+        sub = X[y == lb]
+        # truncating integer mean, matching both engines' `sum div n`
+        s = sub.sum(axis=0)
+        n = len(sub)
+        cents[lb] = np.where(s >= 0, s // n, -((-s) // n))
+    per_label_sum = {lb: [] for lb in labels}
+    for i in range(len(X)):
+        dd = {lb: int(((X[i] - cents[lb]) ** 2).sum()) for lb in labels}
+        a2 = dd[y[i]]
+        b2 = min(v for lb, v in dd.items() if lb != y[i])
+        if a2 == 0 and b2 == 0:
+            continue
+        import math
+
+        sa, sb = math.sqrt(a2), math.sqrt(b2)
+        s_ppm = math.floor((sb - sa) / max(sa, sb) * 1e6 + 0.5)
+        per_label_sum[y[i]].append(s_ppm)
+    for lb in labels:
+        vals = per_label_sum[lb]
+        g = got[lb]
+        assert g["n"] == len(vals)
+        tot = sum(vals)
+        exp = tot // len(vals) if tot >= 0 else -((-tot) // len(vals))
+        # Spark/DuckDB `div` truncates toward zero; python // floors
+        exp_trunc = int(tot / len(vals))
+        assert g["mean_s_ppm"] in (exp, exp_trunc)
+
+
+def test_correlogram_matches_numpy(spark, sf_dir):
+    """q240 vs numpy corrcoef of the hourly series at a few lags."""
+    import math
+
+    import numpy as np
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["r_q"])
+        for r in REGISTRY["q240_correlogram"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('hour', ts)) div 3600000000 as idx",
+        )
+        .groupBy("event_type", "idx")
+        .count()
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["idx"]] = r["count"]
+    n_checked = 0
+    for et, sv in series.items():
+        for lag in (1, 6, 24):
+            pairs = [
+                (v, sv[i + lag]) for i, v in sv.items() if i + lag in sv
+            ]
+            if len(pairs) < 3:
+                continue
+            x = np.array([p[0] for p in pairs], dtype=float)
+            yv = np.array([p[1] for p in pairs], dtype=float)
+            if x.std() == 0 or yv.std() == 0:
+                assert (et, lag) not in got
+                continue
+            r_ref = float(np.corrcoef(x, yv)[0, 1])
+            n, rq = got[(et, lag)]
+            assert n == len(pairs)
+            assert abs(rq - math.floor(r_ref * 1e6 + 0.5)) <= 1, (et, lag)
+            n_checked += 1
+    assert n_checked >= 10

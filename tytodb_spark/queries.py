@@ -11540,6 +11540,189 @@ def q238_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q239_silhouette",
+    """
+    WITH xq AS (SELECT vec_id, label, i AS dim,
+                       cast(floor(cast(embedding[i] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS x
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    c AS (SELECT label AS clabel, dim,
+                 cast(sum(x) // count(*) AS BIGINT) AS cq
+          FROM xq GROUP BY label, dim),
+    d2 AS (SELECT xq.vec_id, xq.label, c.clabel,
+                  sum((xq.x - c.cq) * (xq.x - c.cq)) AS dd
+           FROM xq JOIN c USING (dim)
+           GROUP BY xq.vec_id, xq.label, c.clabel),
+    ab AS (SELECT vec_id, label,
+                  max(CASE WHEN clabel = label THEN dd END) AS a2,
+                  min(CASE WHEN clabel <> label THEN dd END) AS b2
+           FROM d2 GROUP BY vec_id, label),
+    sil AS (SELECT label,
+                   cast(floor((sqrt(cast(b2 AS DOUBLE))
+                               - sqrt(cast(a2 AS DOUBLE)))
+                              / greatest(sqrt(cast(a2 AS DOUBLE)),
+                                         sqrt(cast(b2 AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS s_ppm
+            FROM ab WHERE a2 > 0 OR b2 > 0)
+    SELECT cast(label AS INT) AS label,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm
+    FROM sil GROUP BY label
+    """,
+    doc="Simplified silhouette score per class over the embedding "
+    "table: a = distance to the OWN label centroid, b = distance to "
+    "the nearest other centroid, s = (b-a)/max(a,b) — the geometry "
+    "audit that says whether the labels are actually separable in "
+    "embedding space before anyone trains on them (centroid-based "
+    "simplified silhouette, the O(n·k) form that scales where the "
+    "O(n^2) pairwise definition cannot). Components quantize to the "
+    "exact integer micro-unit domain first (float32 -> double "
+    "widening is exact), so centroids (truncating mean) and squared "
+    "distances are pure bigint; the only float ops are two sqrts and "
+    "one division in fixed order. Centroids are |labels|x64 rows — "
+    "broadcast; per-point work is a 64-way explode into codegen "
+    "aggregates, never a vector UDF.",
+)
+def q239_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("xf").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("x"),
+    )
+    c = xq.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("cast(sum(x) div count(*) as bigint)").alias("cq")
+    )
+    d2 = (
+        xq.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cq")) * (F.col("x") - F.col("cq"))
+            ).alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dd"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dd"))).alias(
+            "b2"
+        ),
+    )
+    sil = ab.filter((F.col("a2") > 0) | (F.col("b2") > 0)).select(
+        "label",
+        F.expr(
+            "cast(floor((sqrt(cast(b2 as double)) - sqrt(cast(a2 as double)))"
+            " / greatest(sqrt(cast(a2 as double)), sqrt(cast(b2 as double)))"
+            " * 1000000 + 0.5) as bigint)"
+        ).alias("s_ppm"),
+    )
+    return sil.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("cast(sum(s_ppm) div count(*) as bigint)").alias(
+            "mean_s_ppm"
+        ),
+    )
+
+
+@query(
+    "q240_correlogram",
+    """
+    WITH h AS (SELECT event_type,
+                      epoch_us(date_trunc('hour', ts)) // 3600000000
+                        AS idx,
+                      cast(count(*) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT a.event_type, lg.lag, a.v AS x, b.v AS y
+          FROM h a
+          CROSS JOIN (SELECT unnest(range(1, 25)) AS lag) lg
+          JOIN h b ON b.event_type = a.event_type
+                  AND b.idx = a.idx + lg.lag),
+    m AS (SELECT event_type, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM l GROUP BY event_type, lag)
+    SELECT event_type, cast(lag AS BIGINT) AS lag,
+           cast(n AS BIGINT) AS n_pairs,
+           cast(floor(cast((n * sxy - sx * sy) * 1000000 AS DOUBLE)
+                      / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(cast(n * syy - sy * sy AS DOUBLE)))
+                      + 0.5) AS BIGINT) AS r_q
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="Correlogram (ACF at lags 1-24 h) of each event type's hourly "
+    "volume — the seasonality detector read before picking q214's "
+    "seasonal baseline period (a daily cycle shows as the lag-24 "
+    "peak). The raw stream collapses to the per-(type, hour) count "
+    "series FIRST (one map-side-combinable aggregate), so every "
+    "later stage — 24-lag fan-out, self-join on the shifted hour "
+    "index, per-(type, lag) Pearson — runs on a metadata-sized "
+    "series table (|types| x |hours|) regardless of corpus size. "
+    "Counts are exact integers; one quantized correlation per cell, "
+    "same fixed-order spelling as q223.",
+)
+def q240_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("idx"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    lags = spark.range(1, 25).select(F.col("id").alias("lag"))
+    a = h.select("event_type", "idx", F.col("v").alias("x"))
+    b = h.select(
+        F.col("event_type").alias("bt"),
+        F.col("idx").alias("bidx"),
+        F.col("v").alias("y"),
+    )
+    l = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bidx") == F.col("idx") + F.col("lag")),
+        )
+    )
+    m = l.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "cast(floor(cast((n * sxy - sx * sy) * 1000000 as double)"
+            " / (sqrt(cast(n * sxx - sx * sx as double))"
+            "    * sqrt(cast(n * syy - sy * sy as double)))"
+            " + 0.5) as bigint)"
+        ).alias("r_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
