@@ -9948,7 +9948,9 @@ _BENFORD_PPB = {
     "so the whole query — counts, expected counts, chi-square "
     "contributions — is bigint arithmetic with identical truncating "
     "division in both engines. One hash aggregate over 9 groups; the "
-    "digit spine is a 9-row broadcast.",
+    "digit spine is a 9-row broadcast. Integer headroom: ppb*total "
+    "caps at ~3e10 rows; past that, pre-scale total (ppb*(total div "
+    "1e3) div 1e3) at a bounded 1e-3 relative error.",
 )
 def q220_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -10978,7 +10980,10 @@ def q231_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would overflow at corpus scale, and bigint->double casts + IEEE "
     "division are identical across engines) and reduce as bigint, so "
     "no float accumulation order exists anywhere. Output is the full "
-    "decomposition plus F in milli-units.",
+    "decomposition plus F in milli-units. Integer headroom: the exact "
+    "sum-of-squares accumulator caps near 1.6e9 rows at cent "
+    "precision; past that, quantize to deci-cents or keep per-shard "
+    "partial sums (the decomposition is mergeable).",
 )
 def q232_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -11062,7 +11067,10 @@ def q232_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed-CDF machinery as q225 (the Spark side uses "
     "with_prefix_sums; the oracle spells the identical arithmetic "
     "with a plain window over the tiny distinct-value table). One "
-    "final float division, quantized to ppm.",
+    "final float division, quantized to ppm. Integer headroom: the "
+    "rank-weighted sum R <= n*T caps near ~1e7 users at these value "
+    "magnitudes; past that, coarsen the value grid (Gini is scale-"
+    "free) — the count-table shape itself is unbounded.",
 )
 def q233_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.stats import with_prefix_sums
