@@ -726,3 +726,136 @@ def test_correlogram_matches_numpy(spark, sf_dir):
             assert abs(rq - math.floor(r_ref * 1e6 + 0.5)) <= 1, (et, lag)
             n_checked += 1
     assert n_checked >= 10
+
+
+def test_adamic_adar_matches_brute_force(spark, sf_dir):
+    """q222 vs a direct Python recomputation of degree-capped AA from
+    the distinct (part, supplier) edge list."""
+    import math
+    from itertools import combinations
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = [
+        (r["s1"], r["s2"], r["n_shared"], r["aa_q"])
+        for r in REGISTRY["q222_adamic_adar"].fn(spark, sf_dir).collect()
+    ]
+    ps = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .selectExpr("l_partkey as part", "l_suppkey as supp")
+        .distinct()
+        .collect()
+    )
+    by_part: dict[int, set] = {}
+    for r in ps:
+        by_part.setdefault(r["part"], set()).add(r["supp"])
+    scores: dict[tuple, list[int]] = {}
+    for _part, supps in by_part.items():
+        d = len(supps)
+        if not (2 <= d <= 32):
+            continue
+        w = math.floor(1e6 / math.log(d) + 0.5)
+        for a, b in combinations(sorted(supps), 2):
+            scores.setdefault((a, b), [0, 0])
+            scores[(a, b)][0] += 1
+            scores[(a, b)][1] += w
+    ref = sorted(
+        ((v[1], k[0], k[1], v[0]) for k, v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:100]
+    assert [(s1, s2, n, aa) for aa, s1, s2, n in ref] == [
+        (s1, s2, n, aa) for s1, s2, n, aa in got
+    ]
+
+
+def test_mi_feature_rank_matches_numpy(spark, sf_dir):
+    """q227's per-cell-quantized MI vs direct numpy MI per feature."""
+    import math
+
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["feature"]: r
+        for r in REGISTRY["q227_mi_feature_rank"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .selectExpr(
+            "event_type",
+            "hour(ts) as hour",
+            "user_id % 16 as user16",
+            "cast(floor(value * 100 + 0.5) as bigint) div 5000 as vbin",
+        )
+        .collect()
+    )
+    for feat in ("hour", "user16", "vbin"):
+        cells: dict[tuple, int] = {}
+        bx: dict[int, int] = {}
+        by: dict[str, int] = {}
+        for r in ev:
+            k = (r[feat], r["event_type"])
+            cells[k] = cells.get(k, 0) + 1
+            bx[r[feat]] = bx.get(r[feat], 0) + 1
+            by[r["event_type"]] = by.get(r["event_type"], 0) + 1
+        n = len(ev)
+        mi = sum(
+            c / n * math.log(c * n / (bx[k[0]] * by[k[1]]))
+            for k, c in cells.items()
+        )
+        g = got[feat]
+        assert g["n_cells"] == len(cells)
+        # per-cell 1e-6 quantization of the log ratio
+        assert abs(g["mi_ppm"] / 1e6 - mi) < 1e-4, feat
+
+
+def test_encoding_advisor_matches_pandas(spark, sf_dir):
+    """q224's ndv / run / width stats vs a direct pandas recomputation
+    of the same sharded-order definition."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = {
+        r["col"]: r
+        for r in REGISTRY["q224_encoding_advisor"].fn(spark, sf_dir).collect()
+    }
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .selectExpr(
+            "l_orderkey div 1024 as shard",
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "cast(l_orderkey as string) as s_orderkey",
+            "cast(l_partkey as string) as s_partkey",
+            "cast(l_suppkey as string) as s_suppkey",
+            "cast(cast(floor(l_quantity) as bigint) as string) as s_quantity",
+        )
+        .toPandas()
+    )
+    cols = {
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+        "l_orderkey": "s_orderkey",
+        "l_partkey": "s_partkey",
+        "l_suppkey": "s_suppkey",
+        "l_quantity": "s_quantity",
+    }
+    for name, src in cols.items():
+        sub = li[["shard", "l_orderkey", "l_linenumber", src]].copy()
+        sub = sub.sort_values(["shard", "l_orderkey", "l_linenumber", src])
+        runs = 0
+        for _shard, grp in sub.groupby("shard", sort=False):
+            vals = grp[src].tolist()
+            runs += 1 + sum(
+                1 for i in range(1, len(vals)) if vals[i] != vals[i - 1]
+            )
+        g = got[name]
+        assert g["n"] == len(sub)
+        assert g["ndv"] == sub[src].nunique()
+        assert g["runs"] == runs, name
+        assert g["avg_len_x100"] == (
+            sub[src].str.len().sum() * 100
+        ) // len(sub)
