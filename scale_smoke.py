@@ -607,7 +607,9 @@ def main() -> None:
     )
 
     # round 5b — grouped CDF (percent_rank machinery): distinct value
-    # domain grows k× via per-replica value shifts
+    # domain grows k× via per-REPLICA value shifts (replica index =
+    # event_id div SHIFT, the replicate() key offset — NOT event_id %
+    # k, which is constant across replicas whenever k divides SHIFT)
     from tytodb_spark.operators.stats import with_prefix_sums
 
     counts = (
@@ -615,7 +617,7 @@ def main() -> None:
             "event_type",
             (
                 F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-                + (F.col("event_id") % k) * F.lit(100_000)
+                + F.expr(f"(event_id div {SHIFT}) * 100000")
             ).alias("v"),
         )
         .groupBy("event_type", "v")

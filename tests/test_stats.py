@@ -425,13 +425,16 @@ def test_asof_nearest_matches_brute_force(spark, sf_dir):
             if c["event_type"] != "purchase":
                 # brute force: nearest purchase by |dt| within tolerance;
                 # ties -> backward (dt <= 0), then q226's carry-group
-                # pick (largest pt backward / smallest pt forward)
+                # pick: among equal-|dt| SAME-direction candidates the
+                # backward winner is the latest-traversed purchase
+                # (largest event_id), the forward winner the smallest
                 best = None
                 for p in purchases:
                     dt = p["t"] - c["t"]  # >0 forward, <=0 backward
                     if abs(dt) >= TOL:
                         continue
-                    key = (abs(dt), dt > 0)
+                    pid_rank = p["event_id"] if dt > 0 else -p["event_id"]
+                    key = (abs(dt), dt > 0, pid_rank)
                     if best is None or key < best[0]:
                         best = (key, p["event_id"], dt)
                 if best is None:

@@ -12,22 +12,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 from tests.oracle_compare import compare, duckdb_connect
 from tytodb_spark import queries as Q
+from tytodb_spark.session import get_spark
 
 
 def main(names: list[str]) -> int:
     sf_dir = os.environ.get("DEV_DIFF_SF_DIR", "/root/testdata/sf0.01")
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .appName("dev-diff")
-        .getOrCreate()
-    )
+    # the project session builder, NOT a hand-rolled one: it pins
+    # session.timeZone=UTC, nanosAsLong, Arrow, and ships the package
+    # to Python workers — a bare builder makes hour()/date_trunc
+    # queries fail the differential on any non-UTC machine
+    spark = get_spark("dev-diff", cpus="8")
     con = duckdb_connect(sf_dir)
     rc = 0
     for name in names:

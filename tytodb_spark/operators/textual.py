@@ -78,17 +78,13 @@ def hashed_word_ngrams(col: Column | str, n: int) -> Column:
     and the hashed form is both ~2× cheaper to build (no concat
     allocations) and ~3× narrower on the wire when shingles shuffle
     (8 B vs a 20-30 B string). Collision probability at 64 bits is
-    ~|vocab|²/2⁶⁵ — immaterial next to the similarity thresholds."""
-    t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.xxhash64(
-            *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(t) >= n, grams).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    ~|vocab|²/2⁶⁵ — immaterial next to the similarity thresholds.
+
+    Thin wrapper over :func:`hashed_ngrams_from_tokens` — fine for a
+    single depth; for several depths over the same text, tokenize once
+    behind a persist barrier and call the token-array variant (see its
+    docstring for why)."""
+    return hashed_ngrams_from_tokens(tokens(col), n)
 
 
 def hashed_ngrams_from_tokens(tok_col: Column | str, n: int) -> Column:

@@ -10138,7 +10138,10 @@ def q222_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numerator/denominator components are exact integers; the only "
     "float ops are two sqrts and one division in identical order "
     "before a 1e6 quantize. All windows partition BY USER — bounded "
-    "per-key state, no corpus-scale ordering anywhere.",
+    "per-key state, no corpus-scale ordering anywhere. Integer "
+    "headroom: the 24-row window keeps sums small, but the final "
+    "numerator x1e6 caps near values of ~1e5 cents; for wider value "
+    "domains quantize coarser (deci-cents) first.",
 )
 def q223_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -11119,70 +11122,9 @@ _MH64 = [(0, 319907179, 1053692278), (1, 519121713, 1690591343), (2, 1613104210,
 
 
 def _q234_oracle() -> str:
-    values = """(0, 319907179, 1053692278),
-                 (1, 519121713, 1690591343),
-                 (2, 1613104210, 794218002),
-                 (3, 1020095000, 192563854),
-                 (4, 343638724, 392748967),
-                 (5, 1058387562, 1730078637),
-                 (6, 1725907542, 2032816443),
-                 (7, 1027514586, 752790051),
-                 (8, 776367694, 553510668),
-                 (9, 870821369, 1573942963),
-                 (10, 1418226030, 877930129),
-                 (11, 1724945804, 1622383610),
-                 (12, 198948735, 913880865),
-                 (13, 2109564269, 194404597),
-                 (14, 1723884711, 1444440933),
-                 (15, 1825495661, 1156916109),
-                 (16, 394610292, 784624971),
-                 (17, 730948251, 555019750),
-                 (18, 99070585, 2003081261),
-                 (19, 51645477, 60403662),
-                 (20, 531499247, 208154829),
-                 (21, 797497547, 1926466412),
-                 (22, 682614313, 1754663614),
-                 (23, 1820882650, 1424618661),
-                 (24, 1223382312, 2052162054),
-                 (25, 1388826810, 1092732509),
-                 (26, 190113436, 1066091919),
-                 (27, 1628868573, 30356761),
-                 (28, 1130323389, 876861493),
-                 (29, 722267319, 1048633625),
-                 (30, 1352147855, 1345843372),
-                 (31, 1094115176, 1034140379),
-                 (32, 237917503, 14338131),
-                 (33, 2032312923, 505256239),
-                 (34, 225112069, 1256109617),
-                 (35, 392353084, 698783131),
-                 (36, 2027141692, 680245729),
-                 (37, 1203967282, 1435705424),
-                 (38, 460888601, 2117256974),
-                 (39, 15556390, 914694619),
-                 (40, 1745732964, 1410058205),
-                 (41, 1438427454, 2051632276),
-                 (42, 1901513249, 418217971),
-                 (43, 398479192, 1481799001),
-                 (44, 632287095, 527080753),
-                 (45, 1184002918, 455418643),
-                 (46, 804526875, 2094252415),
-                 (47, 1096710158, 1435767242),
-                 (48, 1544579479, 983024650),
-                 (49, 1904362107, 2107932778),
-                 (50, 1864058974, 988857599),
-                 (51, 1825995889, 189101027),
-                 (52, 50808400, 1623337490),
-                 (53, 584329915, 1193571350),
-                 (54, 1239051059, 2006175524),
-                 (55, 64215290, 1015022438),
-                 (56, 193997044, 171392373),
-                 (57, 2010562452, 388357833),
-                 (58, 1518136330, 174487869),
-                 (59, 1378418732, 1036340379),
-                 (60, 1480008892, 1267287504),
-                 (61, 1122724574, 1332153730),
-                 (62, 1705953096, 1677987522),
-                 (63, 2073806094, 2068564822)"""
+    values = ",\n                 ".join(
+        f"({i}, {a}, {b})" for i, a, b in _MH64
+    )
     return f"""
     WITH g AS (SELECT DISTINCT source, g FROM (
                  SELECT source, unnest(list_distinct({_NGRAMS(3)})) AS g
@@ -11678,7 +11620,10 @@ def q239_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index, per-(type, lag) Pearson — runs on a metadata-sized "
     "series table (|types| x |hours|) regardless of corpus size. "
     "Counts are exact integers; one quantized correlation per cell, "
-    "same fixed-order spelling as q223.",
+    "same fixed-order spelling as q223. Integer headroom: the "
+    "(n*sxy - sx*sy)*1e6 numerator caps near 150x this hourly volume "
+    "— past that, resample coarser or mean-center the series first "
+    "(the count-series shape itself is unbounded).",
 )
 def q240_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
