@@ -423,6 +423,8 @@ def test_prefix_sums_corpus_window_is_bucket_partitioned(spark):
         "q238_ngram_novelty",     # two hash-dedup aggs, no windows
         "q239_silhouette",        # explode + broadcast centroids
         "q240_correlogram",       # metadata series self-join
+        "q241_incremental_join_mv",  # broadcast-dim delta refresh
+        "q242_merkle_root",       # metadata fold, groupBy only
         # (q229/q233 keep one metadata-sized offset window by design —
         # per-micro-batch / per-distinct-value-bucket tables, same
         # exclusion as q175/q199)

@@ -78,3 +78,64 @@ def test_ols_fit_matches_numpy(spark):
     assert (r8["slope"], r8["intercept"], r8["r2"]) == (
         r["slope"], r["intercept"], r["r2"],
     )
+
+
+def test_merkle_root_matches_hashlib(spark, sf_dir):
+    """q242's 4-level fold vs a direct hashlib recomputation from the
+    q189-style bucket checksums."""
+    import hashlib
+
+    from tytodb_spark.queries import REGISTRY
+
+    row = REGISTRY["q242_merkle_root"].fn(spark, sf_dir).collect()[0]
+    parts = {
+        r["bucket"]: r
+        for r in REGISTRY["q189_partition_checksums"].fn(spark, sf_dir).collect()
+    }
+    lvl = {
+        b: hashlib.md5(
+            f"{b}:{parts[b]['checksum']}:{parts[b]['n_rows']}".encode()
+        ).hexdigest()
+        for b in parts
+    }
+    for _ in range(4):
+        nxt = {}
+        for i in sorted(lvl):
+            g = i // 2
+            if g in nxt:
+                continue
+            left = lvl.get(2 * g)
+            right = lvl.get(2 * g + 1, left)
+            nxt[g] = hashlib.md5((left + right).encode()).hexdigest()
+        lvl = nxt
+    assert row["n_leaves"] == len(parts)
+    assert row["depth"] == 4
+    assert row["root"] == lvl[0]
+
+
+def test_incremental_join_mv_equals_full_recompute(spark, sf_dir):
+    """q241's merged base+delta states vs a one-shot Spark recompute."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.queries import REGISTRY
+
+    got = sorted(
+        map(tuple, REGISTRY["q241_incremental_join_mv"].fn(spark, sf_dir).collect())
+    )
+    t = load_tables(spark, sf_dir)
+    full = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert got == sorted(map(tuple, full.collect()))

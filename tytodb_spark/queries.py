@@ -11676,6 +11676,203 @@ def q240_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q241_incremental_join_mv",
+    """
+    WITH j AS (SELECT n.n_name AS nation,
+                      cast(extract(year FROM o.o_orderdate) AS INT) AS yr,
+                      o.o_totalprice
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT nation, yr,
+           cast(count(*) AS BIGINT) AS n_orders,
+           cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM j GROUP BY nation, yr
+    """,
+    doc="Incremental maintenance of an aggregated JOIN view (revenue "
+    "per nation-year over orders-customer-nation): the q123 pattern "
+    "extended to joins — the stored view's partial states merge with "
+    "the DELTA batch's contribution, where ONLY the delta re-joins "
+    "its dimensions (broadcast — the base fact is never rescanned at "
+    "refresh time; the base aggregate here is localCheckpoint-"
+    "materialized to stand in for the stored MV). Count/sum states "
+    "merge by addition in DECIMAL, so refresh cost is O(|delta| + "
+    "|view|) however big the base corpus is. The oracle recomputes "
+    "the view from scratch — maintained result must equal full "
+    "recompute exactly (the IVM correctness contract).",
+)
+def q241_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def state(orders_part, dims_broadcast):
+        cc = F.broadcast(c) if dims_broadcast else c
+        nn = F.broadcast(n)
+        return (
+            orders_part.join(cc, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nn, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("int").alias("yr"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            )
+            .groupBy("nation", "yr")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("p").cast("decimal(18,2)").alias("rev"),
+            )
+        )
+
+    base = state(
+        o.filter(F.col("o_orderkey") % 10 != 0), dims_broadcast=False
+    ).localCheckpoint()  # stands in for the STORED view state
+    delta = state(
+        o.filter(F.col("o_orderkey") % 10 == 0), dims_broadcast=True
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("nation", "yr")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("decimal(18,2)").alias("rev"),
+        )
+    )
+    return merged.select(
+        "nation",
+        "yr",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+    )
+
+
+def _q242_oracle() -> str:
+    lvl = """
+    l{k} AS (SELECT idx // 2 AS idx,
+                    md5(max(CASE WHEN idx % 2 = 0 THEN h END)
+                        || coalesce(max(CASE WHEN idx % 2 = 1 THEN h END),
+                                    max(CASE WHEN idx % 2 = 0 THEN h END)))
+                      AS h
+             FROM l{p} GROUP BY idx // 2)"""
+    levels = ",".join(lvl.format(k=k, p=k - 1) for k in range(1, 5))
+    return f"""
+    WITH parts AS (
+      SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 4))::BIGINT % 16
+               AS bucket,
+             cast(count(*) AS BIGINT) AS n_rows,
+             cast(sum(('0x' || substr(md5(
+                   cast(l_orderkey AS VARCHAR) || '|' ||
+                   cast(l_linenumber AS VARCHAR) || '|' ||
+                   cast(cast(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                     || '|' || l_returnflag
+                 ), 1, 8))::BIGINT) AS BIGINT) AS checksum
+      FROM lineitem GROUP BY 1),
+    l0 AS (SELECT bucket AS idx,
+                  md5(cast(bucket AS VARCHAR) || ':'
+                      || cast(checksum AS VARCHAR) || ':'
+                      || cast(n_rows AS VARCHAR)) AS h
+           FROM parts),{levels}
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM l0) AS n_leaves,
+           cast(4 AS INT) AS depth,
+           h AS root
+    FROM l4
+    """
+
+
+@query(
+    "q242_merkle_root",
+    None,  # oracle composed below (unrolled fold levels)
+    doc="Merkle root over the q189 per-partition checksum vector: "
+    "leaves are md5(bucket:checksum:rows), parents md5(left||right) "
+    "with odd nodes self-paired, folded log2(buckets) times to one "
+    "root — the single-value integrity handshake two replicas compare "
+    "before any anti-entropy work (root match = done; mismatch -> "
+    "walk down the q189 vector -> q144 row diff only inside the "
+    "offending bucket). The fold runs over the metadata-sized "
+    "checksum table (16 rows here, fixed depth 4; at corpus scale "
+    "buckets and depth grow log2), every hash is the portable md5 on "
+    "decimal-string domains, and the oracle unrolls the identical "
+    "four fold levels.",
+)
+def q242_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        li.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("l_orderkey").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 16
+            ).alias("bucket"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                            F.col("l_quantity")
+                            .cast("decimal(18,2)")
+                            .cast("string"),
+                            "l_returnflag",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("rh").cast("bigint").alias("checksum"),
+        )
+    )
+    lvl = parts.select(
+        F.col("bucket").alias("idx"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("bucket").cast("string"),
+                F.col("checksum").cast("string"),
+                F.col("n_rows").cast("string"),
+            )
+        ).alias("h"),
+    )
+    n_leaves = lvl.agg(F.count(F.lit(1)).cast("bigint").alias("n_leaves"))
+    for _ in range(4):
+        left = F.max(F.when(F.col("idx") % 2 == 0, F.col("h")))
+        right = F.max(F.when(F.col("idx") % 2 == 1, F.col("h")))
+        lvl = lvl.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            F.md5(F.concat(left, F.coalesce(right, left))).alias("h")
+        )
+    return (
+        lvl.crossJoin(F.broadcast(n_leaves))
+        .select(
+            "n_leaves",
+            F.lit(4).cast("int").alias("depth"),
+            F.col("h").alias("root"),
+        )
+    )
+
+
+REGISTRY["q242_merkle_root"] = QueryDef(
+    fn=REGISTRY["q242_merkle_root"].fn,
+    oracle=_q242_oracle(),
+    doc=REGISTRY["q242_merkle_root"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
