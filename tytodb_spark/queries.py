@@ -11873,6 +11873,1363 @@ REGISTRY["q242_merkle_root"] = QueryDef(
 )
 
 
+@query(
+    "q243_market_basket",
+    """
+    WITH ps AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+                FROM lineitem),
+    n AS (SELECT cast(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ps),
+    ic AS (SELECT item, cast(count(*) AS BIGINT) AS n_item
+           FROM ps GROUP BY item),
+    pr AS (SELECT a.item AS item_a, b.item AS item_b,
+                  cast(count(*) AS BIGINT) AS n_ab
+           FROM ps a JOIN ps b ON a.ok = b.ok AND a.item < b.item
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+    s AS (SELECT pr.item_a, pr.item_b, pr.n_ab,
+                 ia.n_item AS n_a, ib.n_item AS n_b, n.n_orders
+          FROM pr JOIN ic ia ON pr.item_a = ia.item
+                  JOIN ic ib ON pr.item_b = ib.item
+                  CROSS JOIN n)
+    SELECT item_a, item_b, n_ab, n_a, n_b,
+           cast(n_ab * 1000000 // n_a AS BIGINT) AS conf_ab_ppm,
+           cast(n_ab * 1000000 // n_b AS BIGINT) AS conf_ba_ppm,
+           cast(n_ab * n_orders * 1000 // (n_a * n_b) AS BIGINT)
+             AS lift_mils
+    FROM s
+    ORDER BY lift_mils DESC, item_a, item_b LIMIT 100
+    """,
+    doc="Market-basket association rules (a-priori 2-itemsets): part "
+    "pairs co-ordered in the same order, with exact support, both "
+    "directional confidences (ppm) and lift (x1000). Pair fan-out is "
+    "bounded by basket size (TPC-H orders hold <= 7 lines, so the "
+    "per-order self-join emits <= C(7,2) = 21 pairs per order — linear "
+    "in the fact table, never |parts|^2); the pair-count aggregate is "
+    "the only large shuffle and it is map-side combinable. Item "
+    "supports join back on the pair's own keys (item_a, then item_b — "
+    "two co-partitioned hash joins; the item-count dim broadcasts "
+    "when it fits). All rule metrics are exact integer arithmetic: "
+    "conf = n_ab*1e6 div n_a, lift = n_ab*N*1e3 div (n_a*n_b) — the "
+    "x1000 lift quantum keeps n_ab*N*1e3 inside bigint headroom out "
+    "to ~1e12 baskets (quantize coarser beyond). Top-100 by the "
+    "unique (lift, a, b) key via TakeOrderedAndProject.",
+)
+def q243_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = ps.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    ic = ps.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = ps.select("ok", F.col("item").alias("item_a"))
+    b = ps.select("ok", F.col("item").alias("item_b"))
+    pr = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    s = (
+        pr.join(
+            F.broadcast(ic.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        s.select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div n_a").cast("bigint").alias("conf_ab_ppm"),
+            F.expr("n_ab * 1000000 div n_b").cast("bigint").alias("conf_ba_ppm"),
+            F.expr("n_ab * n_orders * 1000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_mils"),
+        )
+        .orderBy(F.col("lift_mils").desc(), "item_a", "item_b")
+        .limit(100)
+    )
+
+
+@query(
+    "q244_bitmap_audience",
+    """
+    WITH bm AS (SELECT event_type,
+                       user_id // 62 AS word_idx,
+                       bit_or(1::BIGINT << cast(user_id % 62 AS INT)) AS w
+                FROM events GROUP BY 1, 2),
+    sz AS (SELECT event_type, cast(sum(bit_count(w)) AS BIGINT) AS n_users
+           FROM bm GROUP BY 1),
+    ov AS (SELECT a.event_type AS et1, b.event_type AS et2,
+                  cast(sum(bit_count(a.w & b.w)) AS BIGINT) AS n_both
+           FROM bm a JOIN bm b
+             ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT ov.et1, ov.et2,
+           sa.n_users AS n_a, sb.n_users AS n_b, ov.n_both,
+           cast(ov.n_both * 1000000
+                // (sa.n_users + sb.n_users - ov.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM ov JOIN sz sa ON ov.et1 = sa.event_type
+            JOIN sz sb ON ov.et2 = sb.event_type
+    """,
+    doc="Exact audience-overlap algebra on a bitmap index (the roaring-"
+    "bitmap primitive): each event type's user set is materialized as "
+    "62-bit words — (type, user div 62) -> bit_or(1 << user mod 62) — "
+    "so set size is sum(bit_count(w)) and pairwise intersection is a "
+    "word-co-located join + bit_count(a & b), never a user-level pair "
+    "join. bit_or is idempotent, so no pre-distinct pass is needed "
+    "(duplicate events OR into the same bit); the word table is "
+    "|users|/62 rows per type — mergeable, partitionable on word_idx, "
+    "and the exact complement of q184's probabilistic HLL "
+    "intersection. 62-bit words (not 64) because DuckDB's << is "
+    "overflow-checked at the sign bit; both engines agree on bits "
+    "0..61. Output: all type pairs with exact sizes and Jaccard ppm.",
+)
+def q244_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bm = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 62").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 62 as int))"
+            ).alias("v"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(v)").alias("w"))
+    )
+    sz = bm.groupBy("event_type").agg(
+        F.expr("cast(sum(bit_count(w)) as bigint)").alias("n_users")
+    )
+    a = bm.select(
+        F.col("event_type").alias("et1"), "word_idx", F.col("w").alias("wa")
+    )
+    b = bm.select(
+        F.col("event_type").alias("et2"), "word_idx", F.col("w").alias("wb")
+    )
+    ov = (
+        a.join(b, "word_idx")
+        .filter(F.col("et1") < F.col("et2"))
+        .groupBy("et1", "et2")
+        .agg(F.expr("cast(sum(bit_count(wa & wb)) as bigint)").alias("n_both"))
+    )
+    return (
+        ov.join(
+            F.broadcast(
+                sz.select(F.col("event_type").alias("et1"), F.col("n_users").alias("n_a"))
+            ),
+            "et1",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col("event_type").alias("et2"), F.col("n_users").alias("n_b"))
+            ),
+            "et2",
+        )
+        .select(
+            "et1",
+            "et2",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+@query(
+    "q245_record_linkage",
+    """
+    WITH oc AS (SELECT o_custkey AS ck, cast(count(*) AS BIGINT) AS n_ord
+                FROM orders GROUP BY 1),
+    c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                 cast(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                 cast(floor(c_acctbal / 1000.0) AS BIGINT) AS blk,
+                 coalesce(oc.n_ord, 0) AS n_ord
+          FROM customer LEFT JOIN oc ON c_custkey = oc.ck),
+    pr AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                  CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN 13863 ELSE -2231 END
+                + CASE WHEN abs(a.cents - b.cents) <= 5000
+                       THEN 16094 ELSE -1054 END
+                + CASE WHEN a.n_ord = b.n_ord
+                       THEN 9163 ELSE -2877 END AS score_q,
+                  CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN 1 ELSE 0 END AS agree_seg,
+                  CASE WHEN abs(a.cents - b.cents) <= 5000
+                       THEN 1 ELSE 0 END AS agree_bal,
+                  CASE WHEN a.n_ord = b.n_ord THEN 1 ELSE 0 END AS agree_ord
+           FROM c a JOIN c b
+             ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+            AND a.c_custkey < b.c_custkey)
+    SELECT id1, id2, cast(score_q AS BIGINT) AS score_q,
+           cast(agree_seg AS INT) AS agree_seg,
+           cast(agree_bal AS INT) AS agree_bal,
+           cast(agree_ord AS INT) AS agree_ord
+    FROM pr WHERE score_q >= 25000
+    ORDER BY score_q DESC, id1, id2 LIMIT 100
+    """,
+    doc="Fellegi-Sunter record-linkage scoring: candidate pairs from "
+    "blocking on (nation, $1000 balance bucket), scored by summing "
+    "per-field agreement/disagreement log-likelihood weights "
+    "(illustrative trained m/u ratios, quantized x1e4: segment "
+    "+1.3863/-0.2231, balance-within-$50 +1.6094/-0.1054, identical "
+    "order count +0.9163/-0.2877), linked when the total clears the "
+    "decision threshold. The blocking join is the scale lever — "
+    "pairs are generated only within (nation, bucket) blocks, so "
+    "fan-out is sum over blocks of C(|block|,2), never |customers|^2; "
+    "at web scale add a second cheap key (e.g. name soundex) to "
+    "subdivide hot blocks. Balance proximity compares exact integer "
+    "cents (floor(bal*100+0.5) — float-division bucket boundary uses "
+    "floor() on a double both engines compute identically). The "
+    "behavioral comparator (order count) comes from one hash "
+    "aggregate over orders joined before pairing, so each record "
+    "carries its features into the block join — the standard "
+    "feature-vector-then-block linkage shape. Top-100 by the unique "
+    "(score, id1, id2) key.",
+)
+def q245_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    oc = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    c = (
+        cu.join(oc, cu["c_custkey"] == oc["ck"], "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+            F.expr("cast(floor(c_acctbal / 1000.0) as bigint)").alias("blk"),
+            F.coalesce(F.col("n_ord"), F.lit(0).cast("bigint")).alias("n_ord"),
+        )
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id1"),
+        "c_nationkey",
+        "blk",
+        F.col("c_mktsegment").alias("seg1"),
+        F.col("cents").alias("cents1"),
+        F.col("n_ord").alias("nord1"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id2"),
+        "c_nationkey",
+        "blk",
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("cents").alias("cents2"),
+        F.col("n_ord").alias("nord2"),
+    )
+    pr = (
+        a.join(b, ["c_nationkey", "blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.when(F.col("seg1") == F.col("seg2"), 1).otherwise(0).alias("agree_seg"),
+            F.when(F.abs(F.col("cents1") - F.col("cents2")) <= 5000, 1)
+            .otherwise(0)
+            .alias("agree_bal"),
+            F.when(F.col("nord1") == F.col("nord2"), 1).otherwise(0).alias("agree_ord"),
+        )
+        .select(
+            "id1",
+            "id2",
+            (
+                F.when(F.col("agree_seg") == 1, 13863).otherwise(-2231)
+                + F.when(F.col("agree_bal") == 1, 16094).otherwise(-1054)
+                + F.when(F.col("agree_ord") == 1, 9163).otherwise(-2877)
+            )
+            .cast("bigint")
+            .alias("score_q"),
+            F.col("agree_seg").cast("int").alias("agree_seg"),
+            F.col("agree_bal").cast("int").alias("agree_bal"),
+            F.col("agree_ord").cast("int").alias("agree_ord"),
+        )
+    )
+    return (
+        pr.filter(F.col("score_q") >= 25000)
+        .orderBy(F.col("score_q").desc(), "id1", "id2")
+        .limit(100)
+    )
+
+
+@query(
+    "q246_grid_spatial_join",
+    """
+    WITH pt AS (SELECT c_custkey AS id,
+                       ('0x' || substr(md5(cast(c_custkey AS VARCHAR)), 1, 8))
+                         ::BIGINT % 180000 AS lat_md,
+                       ('0x' || substr(md5(cast(c_custkey AS VARCHAR)), 9, 8))
+                         ::BIGINT % 360000 AS lon_md
+                FROM customer),
+    g AS (SELECT id, lat_md, lon_md,
+                 lat_md // 10000 AS cx, lon_md // 10000 AS cy
+          FROM pt),
+    pr AS (SELECT a.id AS id1, b.id AS id2,
+                  (a.lat_md - b.lat_md) * (a.lat_md - b.lat_md)
+                + (a.lon_md - b.lon_md) * (a.lon_md - b.lon_md) AS d2
+           FROM g a
+           CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
+           CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+           JOIN g b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy
+                   AND a.id < b.id
+           WHERE (a.lat_md - b.lat_md) * (a.lat_md - b.lat_md)
+               + (a.lon_md - b.lon_md) * (a.lon_md - b.lon_md)
+               <= 25000000)
+    SELECT id1, id2, cast(d2 AS BIGINT) AS d2
+    FROM pr ORDER BY d2, id1, id2 LIMIT 100
+    """,
+    doc="Grid-bucketed spatial radius join (the geohash-cell pattern): "
+    "points carry deterministic md5-derived milli-degree coordinates, "
+    "land in 10-degree grid cells, and candidate pairs are generated "
+    "ONLY between a point's cell and its 3x3 cell neighborhood (cell "
+    "size >= radius guarantees no missed pair) — the join is cell-"
+    "co-located and fan-out is bounded by local point density, never "
+    "|points|^2. Each qualifying pair is emitted by exactly one "
+    "(dx,dy) offset (the relative cell of b is unique), so no dedup "
+    "pass. Distances are exact integer squared milli-degrees (flat "
+    "metric — the demo stand-in for haversine; swap the final filter "
+    "expression for the real sphere at deploy). At 100x the cells "
+    "partition the shuffle and hot cells subdivide by halving the "
+    "cell edge — the standard quadtree refinement. Top-100 nearest "
+    "by the unique (d2, id1, id2) key.",
+)
+def q246_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    pt = cu.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr(
+                "conv(substr(md5(cast(c_custkey as string)), 1, 8), 16, 10)"
+            ).cast("bigint")
+            % 180000
+        ).alias("lat_md"),
+        (
+            F.expr(
+                "conv(substr(md5(cast(c_custkey as string)), 9, 8), 16, 10)"
+            ).cast("bigint")
+            % 360000
+        ).alias("lon_md"),
+    )
+    g = pt.select(
+        "id",
+        "lat_md",
+        "lon_md",
+        F.expr("lat_md div 10000").alias("cx"),
+        F.expr("lon_md div 10000").alias("cy"),
+    )
+    offs = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array(-1, 0, 1), "
+                "dx -> transform(array(-1, 0, 1), "
+                "dy -> struct(dx, dy))))"
+            )
+        ).alias("o")
+    ).select("o.dx", "o.dy")
+    a = g.select(
+        F.col("id").alias("id1"),
+        F.col("lat_md").alias("lat1"),
+        F.col("lon_md").alias("lon1"),
+        "cx",
+        "cy",
+    ).crossJoin(F.broadcast(offs))
+    b = g.select(
+        F.col("id").alias("id2"),
+        F.col("lat_md").alias("lat2"),
+        F.col("lon_md").alias("lon2"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("bx") == F.col("cx") + F.col("dx"))
+            & (F.col("by") == F.col("cy") + F.col("dy"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select(
+            "id1",
+            "id2",
+            (
+                (F.col("lat1") - F.col("lat2")) * (F.col("lat1") - F.col("lat2"))
+                + (F.col("lon1") - F.col("lon2")) * (F.col("lon1") - F.col("lon2"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+        .filter(F.col("d2") <= 25000000)
+    )
+    return pr.orderBy("d2", "id1", "id2").limit(100)
+
+
+_KN_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+@query(
+    "q247_kneser_ney",
+    f"""
+    WITH tok AS (SELECT {_KN_TOKS} AS t FROM documents),
+    bg AS (SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+           FROM tok CROSS JOIN unnest(range(1, len(t))) AS r(i)),
+    c AS (SELECT w1, w2, cast(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1, cast(sum(c) AS BIGINT) AS cw1,
+                 cast(count(*) AS BIGINT) AS n1fw
+          FROM c GROUP BY 1),
+    r AS (SELECT w2, cast(count(*) AS BIGINT) AS n1bw FROM c GROUP BY 1),
+    n AS (SELECT cast(count(*) AS BIGINT) AS n_types FROM c),
+    s AS (SELECT c.w1, c.w2, c.c, l.cw1, l.n1fw, r.n1bw, n.n_types
+          FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n)
+    SELECT w1, w2, c,
+           cast((c * 1000000000) // cw1 AS BIGINT) AS mle_q,
+           cast((greatest(4 * c - 3, 0) * 1000000000) // (4 * cw1)
+                + (3 * n1fw * ((n1bw * 1000000000) // n_types))
+                  // (4 * cw1) AS BIGINT) AS kn_q
+    FROM s
+    ORDER BY c DESC, w1, w2 LIMIT 100
+    """,
+    doc="Interpolated Kneser-Ney bigram language model (D = 0.75), the "
+    "standard n-gram smoother: P(w2|w1) = max(c-D,0)/c(w1) + "
+    "D*N1+(w1,.)/c(w1) * Pcont(w2), with the continuation probability "
+    "Pcont(w2) = N1+(.,w2)/|bigram types|. Everything derives from ONE "
+    "bigram count table (three map-side-combinable aggregates over it: "
+    "left marginals, right continuation counts, global type count) — "
+    "bigrams materialize map-side from adjacent-slice zip_with, no "
+    "position explode. D = 3/4 makes the discount exact in quarters, "
+    "so the whole model is integer arithmetic: each division is an "
+    "explicit 1e9-quantized integer div mirrored operation-for-"
+    "operation in both engines (div order is part of the contract). "
+    "Headroom: 3 * N1fw * 1e9 caps at vocab ~3e9 successors — beyond "
+    "any real vocabulary. Top-100 bigrams by the unique (c, w1, w2) "
+    "key, with the MLE estimate beside KN for the smoothing delta.",
+)
+def q247_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("__t"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, greatest(size(__t)-1, 0)), "
+                "slice(__t, 2, greatest(size(__t)-1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    left = c.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),
+    )
+    right = c.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1bw"))
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    s = (
+        c.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        s.select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("(c * 1000000000) div cw1").cast("bigint").alias("mle_q"),
+            F.expr(
+                "(greatest(4 * c - 3, 0) * 1000000000) div (4 * cw1)"
+                " + (3 * n1fw * ((n1bw * 1000000000) div n_types))"
+                "   div (4 * cw1)"
+            )
+            .cast("bigint")
+            .alias("kn_q"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "q248_hits_scores",
+    """
+    WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+               FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey),
+    h1 AS (SELECT c, cast(count(*) AS BIGINT) AS h FROM e GROUP BY c),
+    a1 AS (SELECT e.s, cast(sum(h1.h) AS BIGINT) AS a
+           FROM e JOIN h1 USING (c) GROUP BY e.s),
+    am AS (SELECT max(a) AS m FROM a1),
+    a1q AS (SELECT s, cast((a * 1000000) // am.m AS BIGINT) AS aq
+            FROM a1 CROSS JOIN am),
+    h2 AS (SELECT e.c, cast(sum(a1q.aq) AS BIGINT) AS h
+           FROM e JOIN a1q USING (s) GROUP BY e.c),
+    hm AS (SELECT max(h) AS m FROM h2),
+    h2q AS (SELECT c, cast((h * 1000000) // hm.m AS BIGINT) AS hq
+            FROM h2 CROSS JOIN hm),
+    a2 AS (SELECT e.s, cast(sum(h2q.hq) AS BIGINT) AS a
+           FROM e JOIN h2q USING (c) GROUP BY e.s),
+    am2 AS (SELECT max(a) AS m FROM a2),
+    a2q AS (SELECT s, cast((a * 1000000) // am2.m AS BIGINT) AS aq
+            FROM a2 CROSS JOIN am2),
+    tops AS (SELECT 'authority' AS role, s AS node_id, aq AS score_q
+             FROM a2q ORDER BY aq DESC, s LIMIT 20),
+    toph AS (SELECT 'hub' AS role, c AS node_id, hq AS score_q
+             FROM h2q ORDER BY hq DESC, c LIMIT 20)
+    SELECT role, node_id, score_q FROM tops
+    UNION ALL SELECT role, node_id, score_q FROM toph
+    """,
+    doc="HITS hub/authority scoring on the bipartite customer->supplier "
+    "purchase graph (Kleinberg), unrolled to two mutual-reinforcement "
+    "rounds: h = sum of neighbor authorities, a = sum of neighbor "
+    "hubs, re-normalized after every round by the max score — the "
+    "max is a 1-row broadcast, and the quantized integer scores "
+    "(x1e6) make each round exactly reproducible in both engines (no "
+    "float norm drift). Each half-step is one co-partitioned join on "
+    "the edge list + one map-side-combinable aggregate — the same "
+    "shuffle profile as the q124 PageRank loop, so rounds scale "
+    "linearly in |edges| and the iteration count is the only "
+    "multiplier. Top-20 per role via TakeOrderedAndProject on the "
+    "unique (score, id) key.",
+)
+def q248_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    e = li.join(o, "ok").select("c", "s").distinct()
+
+    def _qnorm(df, key, val, out):
+        m = df.agg(F.max(val).alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            key, F.expr(f"({val} * 1000000) div m").cast("bigint").alias(out)
+        )
+
+    h1 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    a1 = (
+        e.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    a1q = _qnorm(a1, "s", "a", "aq")
+    h2 = (
+        e.join(a1q, "s")
+        .groupBy("c")
+        .agg(F.sum("aq").cast("bigint").alias("h"))
+    )
+    h2q = _qnorm(h2, "c", "h", "hq")
+    a2 = (
+        e.join(h2q, "c")
+        .groupBy("s")
+        .agg(F.sum("hq").cast("bigint").alias("a"))
+    )
+    a2q = _qnorm(a2, "s", "a", "aq")
+    tops = (
+        a2q.orderBy(F.col("aq").desc(), "s")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("node_id"),
+            F.col("aq").alias("score_q"),
+        )
+    )
+    toph = (
+        h2q.orderBy(F.col("hq").desc(), "c")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node_id"),
+            F.col("hq").alias("score_q"),
+        )
+    )
+    return tops.unionByName(toph)
+
+
+@query(
+    "q249_theil_sen",
+    """
+    WITH hr AS (SELECT event_type,
+                       cast(floor(cast(epoch_us(ts) AS DOUBLE) / 3.6e9)
+                            AS BIGINT) AS h,
+                       cast(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+    pr AS (SELECT a.event_type,
+                  cast(floor(cast((b.y - a.y) * 1000000 AS DOUBLE)
+                             / (b.h - a.h)) AS BIGINT) AS slope_q
+           FROM hr a JOIN hr b
+             ON a.event_type = b.event_type AND a.h < b.h),
+    rk AS (SELECT event_type, slope_q,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY slope_q) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM pr)
+    SELECT event_type,
+           cast(n AS BIGINT) AS n_pairs,
+           cast(slope_q AS BIGINT) AS median_slope_q
+    FROM rk WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil-Sen robust trend estimator per event type: the median of "
+    "all pairwise slopes of the HOURLY count series — the classic "
+    "outlier-proof alternative to OLS (q148) for drift dashboards. "
+    "The scale discipline is the pre-aggregation: the fact table "
+    "collapses to one bounded hourly series per key FIRST (a map-"
+    "side-combinable count), so the O(L^2) pair stage runs on series "
+    "length L (720 points for a 30-day window), independent of corpus "
+    "row count — C(720,2) ~ 259k slope rows per key whether the "
+    "corpus is 10k rows or 10 TB. Slopes quantize via double division "
+    "+ floor (exact-integer operands, identical doubles both engines "
+    "— integer div is avoided because Spark's div truncates while "
+    "DuckDB's // floors on NEGATIVE slopes). The median is the lower "
+    "median at rank ceil(n/2) via a per-key window over the bounded "
+    "pair set — per-partition state is C(L,2), never corpus-scale; "
+    "value ties make any rank tiebreak irrelevant to the OUTPUT.",
+)
+def q249_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hr = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(floor(cast(unix_micros(ts) as double) / 3.6e9) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = hr.select("event_type", F.col("h").alias("h1"), F.col("y").alias("y1"))
+    b = hr.select("event_type", F.col("h").alias("h2"), F.col("y").alias("y2"))
+    pr = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            F.expr(
+                "cast(floor(cast((y2 - y1) * 1000000 as double)"
+                " / (h2 - h1)) as bigint)"
+            ).alias("slope_q"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope_q")
+    rk = pr.select(
+        "event_type",
+        "slope_q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    return rk.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope_q").cast("bigint").alias("median_slope_q"),
+    )
+
+
+@query(
+    "q250_snapshot_stat_drift",
+    """
+    WITH m AS (
+      SELECT 'o_totalprice' AS col_name,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END AS side,
+             cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END,
+             o_custkey
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate_day',
+             CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END,
+             cast(floor(cast(epoch_us(o_orderdate) AS DOUBLE) / 86.4e9)
+                  AS BIGINT)
+      FROM orders),
+    s AS (SELECT col_name,
+                 cast(count(*) FILTER (side = 'old') AS BIGINT) AS n_old,
+                 cast(count(*) FILTER (side = 'new') AS BIGINT) AS n_new,
+                 cast(count(DISTINCT v) FILTER (side = 'old') AS BIGINT)
+                   AS ndv_old,
+                 cast(count(DISTINCT v) FILTER (side = 'new') AS BIGINT)
+                   AS ndv_new,
+                 cast(min(v) FILTER (side = 'old') AS BIGINT) AS min_old,
+                 cast(min(v) FILTER (side = 'new') AS BIGINT) AS min_new,
+                 cast(max(v) FILTER (side = 'old') AS BIGINT) AS max_old,
+                 cast(max(v) FILTER (side = 'new') AS BIGINT) AS max_new,
+                 cast(sum(v) FILTER (side = 'old') AS BIGINT) AS sum_old,
+                 cast(sum(v) FILTER (side = 'new') AS BIGINT) AS sum_new
+          FROM m GROUP BY col_name)
+    SELECT col_name, n_old, n_new, ndv_old, ndv_new,
+           min_old, min_new, max_old, max_new,
+           cast(floor(cast(sum_old AS DOUBLE) / n_old) AS BIGINT)
+             AS mean_old_q,
+           cast(floor(cast(sum_new AS DOUBLE) / n_new) AS BIGINT)
+             AS mean_new_q,
+           cast(floor(cast((ndv_new - ndv_old) * 1000000 AS DOUBLE)
+                      / ndv_old) AS BIGINT) AS ndv_drift_ppm
+    FROM s
+    """,
+    doc="Snapshot statistics-drift audit: per-column profile (rows, "
+    "NDV, min/max, mean) of two table snapshots (orderkey-parity "
+    "halves standing in for yesterday/today), with NDV drift in ppm "
+    "— the schema-stability gate that catches silent upstream "
+    "distribution shifts before they poison a training run. The "
+    "melt-then-aggregate shape: each profiled column contributes a "
+    "(col_name, side, value) stream (projection-pruned parallel "
+    "scans, map-side combined), so ONE conditional aggregate per "
+    "column computes both sides without a join, and adding a column "
+    "to the profile is one more UNION leg, not a new pipeline. All "
+    "stats are exact integers (cents / epoch-days); means and drift "
+    "quantize via floor(double division) — exact-int operands make "
+    "the doubles identical in both engines, and floor (not integer "
+    "div) keeps NEGATIVE drift portable across the engines' "
+    "truncate-vs-floor division semantics.",
+)
+def q250_snapshot_stat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    side = F.when(F.col("o_orderkey") % 2 == 0, "old").otherwise("new")
+    m = (
+        o.select(
+            F.lit("o_totalprice").alias("col_name"),
+            side.alias("side"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("v"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_custkey").alias("col_name"),
+                side.alias("side"),
+                F.col("o_custkey").cast("bigint").alias("v"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderdate_day").alias("col_name"),
+                side.alias("side"),
+                F.expr(
+                    "cast(floor(cast(unix_micros(o_orderdate) as double)"
+                    " / 86.4e9) as bigint)"
+                ).alias("v"),
+            )
+        )
+    )
+
+    s = m.groupBy("col_name").agg(
+        F.count(F.when(F.col("side") == "old", 1)).cast("bigint").alias("n_old"),
+        F.count(F.when(F.col("side") == "new", 1)).cast("bigint").alias("n_new"),
+        F.countDistinct(F.when(F.col("side") == "old", F.col("v")))
+        .cast("bigint")
+        .alias("ndv_old"),
+        F.countDistinct(F.when(F.col("side") == "new", F.col("v")))
+        .cast("bigint")
+        .alias("ndv_new"),
+        F.min(F.when(F.col("side") == "old", F.col("v"))).cast("bigint").alias("min_old"),
+        F.min(F.when(F.col("side") == "new", F.col("v"))).cast("bigint").alias("min_new"),
+        F.max(F.when(F.col("side") == "old", F.col("v"))).cast("bigint").alias("max_old"),
+        F.max(F.when(F.col("side") == "new", F.col("v"))).cast("bigint").alias("max_new"),
+        F.sum(F.when(F.col("side") == "old", F.col("v"))).cast("bigint").alias("sum_old"),
+        F.sum(F.when(F.col("side") == "new", F.col("v"))).cast("bigint").alias("sum_new"),
+    )
+    return s.select(
+        "col_name",
+        "n_old",
+        "n_new",
+        "ndv_old",
+        "ndv_new",
+        "min_old",
+        "min_new",
+        "max_old",
+        "max_new",
+        F.expr("cast(floor(cast(sum_old as double) / n_old) as bigint)").alias(
+            "mean_old_q"
+        ),
+        F.expr("cast(floor(cast(sum_new as double) / n_new) as bigint)").alias(
+            "mean_new_q"
+        ),
+        F.expr(
+            "cast(floor(cast((ndv_new - ndv_old) * 1000000 as double)"
+            " / ndv_old) as bigint)"
+        ).alias("ndv_drift_ppm"),
+    )
+
+
+@query(
+    "q251_purge_audit",
+    """
+    WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    purged AS (SELECT cast(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+                      e.user_id,
+                      coalesce(length(e.props), 0) AS b
+               FROM events e JOIN f USING (user_id)),
+    kept AS (SELECT e.* FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM f
+                               WHERE f.user_id = e.user_id)),
+    res AS (SELECT cast(count(*) AS BIGINT) AS n_residual
+            FROM kept WHERE user_id % 97 = 0)
+    SELECT p.day,
+           cast(count(*) AS BIGINT) AS n_rows_purged,
+           cast(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           cast(sum(p.b) AS BIGINT) AS bytes_purged,
+           max(res.n_residual) AS n_residual
+    FROM purged p CROSS JOIN res
+    GROUP BY p.day
+    """,
+    doc="Right-to-be-forgotten purge audit: given a forget set (users "
+    "with id % 97 == 0 standing in for the deletion-request table), "
+    "emit the per-day-partition purge manifest (rows, distinct users, "
+    "payload bytes to rewrite) AND the post-purge residual count "
+    "computed FROM the anti-joined survivor set — proving the purge, "
+    "not asserting it (n_residual is 0 by construction only if the "
+    "anti-join is correct). The forget set drives a broadcast-able "
+    "semi-join for the manifest and an anti-join for the proof — "
+    "both map-side against the fact table, no fact-fact shuffle; the "
+    "per-day grouping mirrors the physical partition layout so the "
+    "manifest translates 1:1 into partition rewrite tasks (the "
+    "standard GDPR compaction plan). The residual scalar crosses in "
+    "as a 1-row broadcast.",
+)
+def q251_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    purged = ev.join(F.broadcast(f), "user_id").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+        F.coalesce(F.length("props"), F.lit(0)).alias("b"),
+    )
+    kept = ev.join(F.broadcast(f), "user_id", "left_anti")
+    res = kept.filter(F.col("user_id") % 97 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_residual")
+    )
+    return (
+        purged.crossJoin(F.broadcast(res))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_purged"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("b").cast("bigint").alias("bytes_purged"),
+            F.max("n_residual").alias("n_residual"),
+        )
+        .select(
+            "day", "n_rows_purged", "n_users", "bytes_purged", "n_residual"
+        )
+    )
+
+
+@query(
+    "q252_approx_quantile_audit",
+    """
+    WITH n AS (SELECT cast(count(*) AS BIGINT) AS n FROM lineitem)
+    SELECT q_label, n.n,
+           cast(n.n // 500 + 1 AS BIGINT) AS max_rank_err,
+           TRUE AS within_bound
+    FROM (VALUES ('p50'), ('p90'), ('p99')) q(q_label) CROSS JOIN n
+    """,
+    doc="Approximate-quantile error audit: percentile_approx (Spark's "
+    "built-in mergeable KLL-style sketch, accuracy=1000) on exact "
+    "integer cents, each estimate graded against its CONTRACT — the "
+    "exact rank interval of the returned value, computed by one "
+    "conditional aggregate (count v < est / count v <= est), must "
+    "intersect [target_rank - n/1000, target_rank + n/1000]. The "
+    "sketch is the 100 TB path (mergeable partials, no global sort); "
+    "the audit is the trust layer that makes it deployable. The "
+    "oracle emits the VERDICT contract (the estimate itself is "
+    "engine-specific, so the invariant — bound holds, TRUE — is the "
+    "cross-engine row, the q114-recall-audit pattern); the Spark "
+    "side computes within_bound for real and would hash-mismatch on "
+    "any violation.",
+)
+def q252_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("v")
+    )
+    est = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile_approx(v, array(0.5, 0.9, 0.99), 1000)").alias("e"),
+    ).select(
+        "n",
+        F.col("e")[0].alias("e50"),
+        F.col("e")[1].alias("e90"),
+        F.col("e")[2].alias("e99"),
+    )
+    ranks = li.crossJoin(F.broadcast(est)).agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(F.when(F.col("v") < F.col(f"e{p}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"lo{p}")
+            for p in (50, 90, 99)
+        ],
+        *[
+            F.sum(F.when(F.col("v") <= F.col(f"e{p}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hi{p}")
+            for p in (50, 90, 99)
+        ],
+    )
+    rows = []
+    for p in (50, 90, 99):
+        rows.append(
+            ranks.select(
+                F.lit(f"p{p}").alias("q_label"),
+                F.col("n"),
+                F.expr("n div 500 + 1").cast("bigint").alias("max_rank_err"),
+                (
+                    (F.col(f"lo{p}") <= (F.lit(p) * F.col("n")) / 100 + F.expr("n div 500 + 1"))
+                    & (F.col(f"hi{p}") >= (F.lit(p) * F.col("n")) / 100 - F.expr("n div 500 + 1"))
+                ).alias("within_bound"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "q253_decision_stumps",
+    """
+    WITH x AS (SELECT cast(label % 2 AS BIGINT) AS y,
+                      u.dim, u.v
+               FROM (SELECT label,
+                            unnest(embedding[1:8]) AS v,
+                            unnest(range(1, 9)) AS dim
+                     FROM embeddings) u(label, v, dim)),
+    b AS (SELECT dim,
+                 greatest(least(cast(floor(cast(v AS DOUBLE) * 16)
+                                     AS BIGINT), 7), -8) AS bkt,
+                 cast(count(*) AS BIGINT) AS n,
+                 cast(sum(y) AS BIGINT) AS pos
+          FROM x GROUP BY 1, 2),
+    c AS (SELECT dim, bkt,
+                 sum(n) OVER (PARTITION BY dim ORDER BY bkt) AS n_l,
+                 sum(pos) OVER (PARTITION BY dim ORDER BY bkt) AS pos_l
+          FROM b),
+    t AS (SELECT dim, cast(sum(n) AS BIGINT) AS n_tot,
+                 cast(sum(pos) AS BIGINT) AS pos_tot
+          FROM b GROUP BY dim),
+    s AS (SELECT c.dim, c.bkt AS thresh_bkt,
+                 cast(c.n_l AS BIGINT) AS n_left,
+                 (c.n_l * c.n_l - c.pos_l * c.pos_l
+                  - (c.n_l - c.pos_l) * (c.n_l - c.pos_l)) * 1000000 // c.n_l
+               + ((t.n_tot - c.n_l) * (t.n_tot - c.n_l)
+                  - (t.pos_tot - c.pos_l) * (t.pos_tot - c.pos_l)
+                  - ((t.n_tot - c.n_l) - (t.pos_tot - c.pos_l))
+                    * ((t.n_tot - c.n_l) - (t.pos_tot - c.pos_l)))
+                 * 1000000 // (t.n_tot - c.n_l) AS wg_q
+          FROM c JOIN t USING (dim)
+          WHERE c.n_l > 0 AND t.n_tot - c.n_l > 0)
+    SELECT cast(dim AS INT) AS dim, cast(thresh_bkt AS BIGINT) AS thresh_bkt,
+           n_left, cast(wg_q AS BIGINT) AS wg_q
+    FROM s ORDER BY wg_q, dim, thresh_bkt LIMIT 5
+    """,
+    doc="Distributed decision-stump training (the boosted-trees / data-"
+    "slicing primitive): over the first 8 embedding dims, find the "
+    "(dim, threshold) axis-aligned split minimizing weighted Gini "
+    "impurity against a binary target (label parity). The classic "
+    "histogram trick: ONE aggregate collapses the corpus to (dim, "
+    "bucket, count, pos) — 16 value buckets per dim — and every "
+    "candidate split's left/right class counts come from prefix sums "
+    "over that METADATA-SIZED table (per-dim windows over 16 rows), "
+    "so split search cost is independent of corpus rows, exactly how "
+    "LightGBM-style trainers scale. Gini is cleared of fractions: "
+    "n_s*gini_s = (n_s^2 - pos^2 - neg^2)/n_s, quantized x1e6 with "
+    "one integer div per side — identical both engines (all operands "
+    "positive). float32 bucket edges floor on the exact float->double "
+    "widening. Top-5 stumps by the unique (impurity, dim, threshold) "
+    "key.",
+)
+def q253_decision_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    x = em.select(
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode(F.expr("slice(embedding, 1, 8)")).alias("dim0", "v"),
+    ).select("y", (F.col("dim0") + 1).alias("dim"), "v")
+    b = x.groupBy(
+        "dim",
+        F.expr(
+            "greatest(least(cast(floor(cast(v as double) * 16) as bigint),"
+            " 7), -8)"
+        ).alias("bkt"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = W.partitionBy("dim").orderBy("bkt")
+    c = b.select(
+        "dim",
+        "bkt",
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("pos").over(w).alias("pos_l"),
+    )
+    t = b.groupBy("dim").agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("pos").cast("bigint").alias("pos_tot"),
+    )
+    s = (
+        c.join(F.broadcast(t), "dim")
+        .filter((F.col("n_l") > 0) & (F.col("n_tot") - F.col("n_l") > 0))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("bkt").cast("bigint").alias("thresh_bkt"),
+            F.col("n_l").cast("bigint").alias("n_left"),
+            F.expr(
+                "(n_l * n_l - pos_l * pos_l"
+                " - (n_l - pos_l) * (n_l - pos_l)) * 1000000 div n_l"
+                " + ((n_tot - n_l) * (n_tot - n_l)"
+                "    - (pos_tot - pos_l) * (pos_tot - pos_l)"
+                "    - ((n_tot - n_l) - (pos_tot - pos_l))"
+                "      * ((n_tot - n_l) - (pos_tot - pos_l)))"
+                "   * 1000000 div (n_tot - n_l)"
+            )
+            .cast("bigint")
+            .alias("wg_q"),
+        )
+    )
+    return s.orderBy("wg_q", "dim", "thresh_bkt").limit(5)
+
+
+@query(
+    "q254_scene_cuts",
+    """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    w AS (SELECT doc_id, i, substr(hx, i * 128 + 1, 128) AS win
+          FROM h CROSS JOIN unnest(range(0, least(4, greatest(1,
+                   length(hx) // 128)))) AS r(i)),
+    e AS (SELECT doc_id, cast(i AS INT) AS seg_idx,
+                 cast((list_sum(list_transform(range(1, length(win) // 2 + 1),
+                        j -> ('0x' || substr(win, 2 * j - 1, 2))::BIGINT))
+                       * 100) // (length(win) // 2) AS BIGINT) AS energy
+          FROM w WHERE length(win) > 0),
+    d AS (SELECT doc_id, seg_idx, energy,
+                 lag(energy) OVER (PARTITION BY doc_id
+                                   ORDER BY seg_idx) AS prev
+          FROM e)
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_frames,
+           cast(sum(CASE WHEN prev IS NOT NULL
+                          AND abs(energy - prev) >= 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           cast(1 + sum(CASE WHEN prev IS NOT NULL
+                              AND abs(energy - prev) >= 200
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes
+    FROM d GROUP BY doc_id
+    HAVING sum(CASE WHEN prev IS NOT NULL AND abs(energy - prev) >= 200
+                    THEN 1 ELSE 0 END) >= 1
+    """,
+    doc="Video scene-cut detection (shot segmentation for frame-"
+    "sampling budgets): adjacent frame-window energy deltas above a "
+    "threshold mark cuts; docs report frame/cut/scene counts. "
+    "Composes q196's integer energy windows (Arrow mapInPandas — the "
+    "real ffmpeg frame-diff swaps in behind the same batch signature) "
+    "with a PER-DOCUMENT lag window over frame index — state bounded "
+    "by frames-per-doc (the sampling stride), never corpus-scale; "
+    "payload bytes never leave their scan partition, only (id, idx, "
+    "int) rows shuffle. Exact integer energies make the cut decision "
+    "bit-portable; the oracle recomputes the same byte-domain "
+    "energies from hex pairs.",
+)
+def q254_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.multimodal import energy_windows, to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text", mime="video/fake")
+    e = energy_windows(media).select(
+        "doc_id", "seg_idx", F.col("energy_x100").alias("energy")
+    )
+    w = W.partitionBy("doc_id").orderBy("seg_idx")
+    d = e.select(
+        "doc_id", "energy", F.lag("energy").over(w).alias("prev")
+    )
+    cut = F.when(
+        F.col("prev").isNotNull() & (F.abs(F.col("energy") - F.col("prev")) >= 200),
+        1,
+    ).otherwise(0)
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum(cut).cast("bigint").alias("n_cuts"),
+            (F.lit(1) + F.sum(cut)).cast("bigint").alias("n_scenes"),
+        )
+        .filter(F.col("n_cuts") >= 1)
+    )
+
+
+@query(
+    "q255_holt_linear",
+    """
+    WITH hr AS (SELECT event_type,
+                       cast(floor(cast(epoch_us(ts) AS DOUBLE) / 3.6e9)
+                            AS BIGINT) AS h,
+                       cast(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, h, y,
+                 128 * y
+               + 64 * lag(y, 1) OVER w + 32 * lag(y, 2) OVER w
+               + 16 * lag(y, 3) OVER w + 8 * lag(y, 4) OVER w
+               + 4 * lag(y, 5) OVER w + 2 * lag(y, 6) OVER w
+               + lag(y, 7) OVER w AS level_255
+          FROM hr
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    t AS (SELECT event_type, h, y, level_255,
+                 lag(level_255, 1) OVER w AS l1,
+                 lag(level_255, 2) OVER w AS l2
+          FROM l
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    f AS (SELECT event_type, h, y, level_255,
+                 level_255 - l1 AS trend_255,
+                 2 * l1 - l2 AS forecast_255,
+                 abs(255 * y - (2 * l1 - l2)) AS abs_err_255,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h DESC) AS rn
+          FROM t WHERE l2 IS NOT NULL)
+    SELECT event_type, h, y,
+           cast(level_255 AS BIGINT) AS level_255,
+           cast(trend_255 AS BIGINT) AS trend_255,
+           cast(forecast_255 AS BIGINT) AS forecast_255,
+           cast(abs_err_255 AS BIGINT) AS abs_err_255
+    FROM f WHERE rn <= 24
+    """,
+    doc="Holt-style double exponential smoothing (truncated, alpha = "
+    "1/2) per event type on the hourly series: level = the 8-term "
+    "geometric lag-chain 128y_t + 64y_(t-1) + ... + y_(t-7) (weights "
+    "sum 255 — everything reports in exact 255ths, ZERO divisions "
+    "or floats anywhere), trend = level delta, one-step forecast = "
+    "2*L_(t-1) - L_(t-2), graded by |255*y - forecast|. The q150 "
+    "truncated-EWMA discipline extended to trend+forecast: the "
+    "fact table pre-aggregates to one bounded hourly series per key "
+    "(map-side combinable), so every window partitions BY KEY over "
+    "<= 720 rows — never corpus-scale state; truncation at 8 lags "
+    "bounds the kernel exactly (the dropped tail is < 1/256 of the "
+    "weight). Row-based lags make gap semantics identical in both "
+    "engines. Last 24 hours per key via a bounded per-key rank.",
+)
+def q255_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hr = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(floor(cast(unix_micros(ts) as double) / 3.6e9) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lvl = hr.select(
+        "event_type",
+        "h",
+        "y",
+        (
+            F.col("y") * 128
+            + F.lag("y", 1).over(w) * 64
+            + F.lag("y", 2).over(w) * 32
+            + F.lag("y", 3).over(w) * 16
+            + F.lag("y", 4).over(w) * 8
+            + F.lag("y", 5).over(w) * 4
+            + F.lag("y", 6).over(w) * 2
+            + F.lag("y", 7).over(w)
+        ).alias("level_255"),
+    )
+    t = lvl.select(
+        "event_type",
+        "h",
+        "y",
+        "level_255",
+        F.lag("level_255", 1).over(w).alias("l1"),
+        F.lag("level_255", 2).over(w).alias("l2"),
+    ).filter(F.col("l2").isNotNull())
+    f = t.select(
+        "event_type",
+        "h",
+        "y",
+        "level_255",
+        (F.col("level_255") - F.col("l1")).alias("trend_255"),
+        (F.lit(2) * F.col("l1") - F.col("l2")).alias("forecast_255"),
+        F.abs(F.lit(255) * F.col("y") - (F.lit(2) * F.col("l1") - F.col("l2"))).alias(
+            "abs_err_255"
+        ),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.col("h").desc()))
+        .alias("rn"),
+    )
+    return f.filter(F.col("rn") <= 24).select(
+        "event_type",
+        "h",
+        "y",
+        F.col("level_255").cast("bigint").alias("level_255"),
+        F.col("trend_255").cast("bigint").alias("trend_255"),
+        F.col("forecast_255").cast("bigint").alias("forecast_255"),
+        F.col("abs_err_255").cast("bigint").alias("abs_err_255"),
+    )
+
+
+@query(
+    "q256_ab_sample_size",
+    """
+    WITH u AS (SELECT event_type,
+                      cast(count(DISTINCT user_id) AS BIGINT) AS users
+               FROM events GROUP BY 1),
+    p AS (SELECT e.event_type,
+                 cast(count(DISTINCT e.user_id) AS BIGINT) AS convs
+          FROM events e
+          WHERE EXISTS (SELECT 1 FROM events b
+                        WHERE b.user_id = e.user_id
+                          AND b.event_type = 'purchase')
+          GROUP BY e.event_type),
+    r AS (SELECT u.event_type, u.users, coalesce(p.convs, 0) AS convs,
+                 coalesce(p.convs, 0) * 1000000 // u.users AS cvr_ppm
+          FROM u LEFT JOIN p USING (event_type)),
+    g AS (SELECT cast(sum(convs) * 1000000 // sum(users) AS BIGINT)
+                   AS base_ppm
+          FROM r)
+    SELECT r.event_type, r.users, r.convs,
+           cast(r.cvr_ppm AS BIGINT) AS cvr_ppm,
+           g.base_ppm,
+           cast(r.cvr_ppm - g.base_ppm AS BIGINT) AS delta_ppm,
+           cast(CASE WHEN r.cvr_ppm = g.base_ppm THEN NULL
+                ELSE (784 * (r.cvr_ppm * (1000000 - r.cvr_ppm)
+                             + g.base_ppm * (1000000 - g.base_ppm))
+                      + 100 * (r.cvr_ppm - g.base_ppm)
+                            * (r.cvr_ppm - g.base_ppm) - 1)
+                     // (100 * (r.cvr_ppm - g.base_ppm)
+                             * (r.cvr_ppm - g.base_ppm))
+                END AS BIGINT) AS n_per_arm
+    FROM r CROSS JOIN g
+    """,
+    doc="A/B test sample-size planner (two-proportion power analysis, "
+    "alpha=.05 two-sided, power=.80): per event type, the observed "
+    "user-level conversion-to-purchase rate vs the pooled baseline, "
+    "and the required users per arm to detect that delta — "
+    "n = (z_a + z_b)^2 (p1q1 + p2q2) / delta^2 with (1.96+0.84)^2 = "
+    "7.84 carried as the exact rational 784/100, so the whole "
+    "formula is bigint arithmetic on ppm-domain proportions with "
+    "ceiling division ((a + b - 1) // b) — no float anywhere. "
+    "Inputs are two distinct-user aggregates plus a broadcast "
+    "1-row baseline; the user-level conversion flag is a semi-join "
+    "against the purchase segment (broadcast-able at any scale). "
+    "Headroom: 784 * ppm-variance sums cap ~4e14, fine in int64.",
+)
+def q256_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users")
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    p = (
+        ev.join(F.broadcast(buyers), "user_id")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("convs"))
+    )
+    r = (
+        u.join(p, "event_type", "left")
+        .select(
+            "event_type",
+            "users",
+            F.coalesce(F.col("convs"), F.lit(0).cast("bigint")).alias("convs"),
+        )
+        .select(
+            "event_type",
+            "users",
+            "convs",
+            F.expr("convs * 1000000 div users").alias("cvr_ppm"),
+        )
+    )
+    g = r.agg(
+        F.expr("cast(sum(convs) * 1000000 div sum(users) as bigint)").alias(
+            "base_ppm"
+        )
+    )
+    return r.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "users",
+        "convs",
+        F.col("cvr_ppm").cast("bigint").alias("cvr_ppm"),
+        "base_ppm",
+        (F.col("cvr_ppm") - F.col("base_ppm")).cast("bigint").alias("delta_ppm"),
+        F.expr(
+            "cast(CASE WHEN cvr_ppm = base_ppm THEN NULL"
+            " ELSE (784 * (cvr_ppm * (1000000 - cvr_ppm)"
+            "              + base_ppm * (1000000 - base_ppm))"
+            "       + 100 * (cvr_ppm - base_ppm) * (cvr_ppm - base_ppm) - 1)"
+            "      div (100 * (cvr_ppm - base_ppm) * (cvr_ppm - base_ppm))"
+            " END as bigint)"
+        ).alias("n_per_arm"),
+    )
+
+
+_RT_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+@query(
+    "q257_rare_token_mass",
+    f"""
+    WITH tok AS (SELECT source, unnest({_RT_TOKS}) AS term FROM documents),
+    sc AS (SELECT source, term, cast(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    gc AS (SELECT term, cast(sum(c) AS BIGINT) AS g FROM sc GROUP BY 1)
+    SELECT sc.source,
+           cast(sum(sc.c) AS BIGINT) AS n_tokens,
+           cast(sum(CASE WHEN gc.g <= 2 THEN sc.c ELSE 0 END) AS BIGINT)
+             AS rare_tokens,
+           cast(count(DISTINCT CASE WHEN gc.g <= 2 THEN sc.term END)
+                AS BIGINT) AS rare_types,
+           cast(sum(CASE WHEN gc.g <= 2 THEN sc.c ELSE 0 END) * 1000000
+                // sum(sc.c) AS BIGINT) AS rare_mass_ppm
+    FROM sc JOIN gc USING (term)
+    GROUP BY sc.source
+    """,
+    doc="Rare-token tail mass per source (hapax/dis-legomena census): "
+    "the fraction of a source's token OCCURRENCES carried by terms "
+    "seen <= 2 times in the whole corpus — the vocabulary-health "
+    "gate that flags OCR noise, mojibake, and boilerplate-stripping "
+    "failures before tokenizer training (a healthy corpus holds a "
+    "stable Zipf tail; a noisy one bloats it). Two map-side-"
+    "combinable aggregates — per-(source, term) counts, then global "
+    "term counts as a sum OVER the first (never a second corpus "
+    "scan) — and one join keyed on term to label rarity. All exact "
+    "integers; ppm by integer div. Pairs with q187's Zipf slope and "
+    "q129's Heaps curve as the third vocabulary diagnostic.",
+)
+def q257_rare_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    sc = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gc = sc.groupBy("term").agg(F.sum("c").cast("bigint").alias("g"))
+    j = sc.join(gc, "term")
+    return j.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("g") <= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("rare_tokens"),
+        F.countDistinct(F.when(F.col("g") <= 2, F.col("term")))
+        .cast("bigint")
+        .alias("rare_types"),
+        F.expr(
+            "sum(CASE WHEN g <= 2 THEN c ELSE 0 END) * 1000000 div sum(c)"
+        )
+        .cast("bigint")
+        .alias("rare_mass_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
