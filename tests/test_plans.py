@@ -470,3 +470,51 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
     fact tables are scanned for stats + the exact join, nothing else."""
     df = _df(spark, sf_dir, "q212_join_size_estimate")
     assert P.num_broadcast_joins(df) >= 3
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q243_market_basket",      # basket-bounded pair agg; top-k not a Window
+        "q244_bitmap_audience",    # word-co-located joins, hash aggs only
+        "q245_record_linkage",     # blocked self-join, no windows
+        "q246_grid_spatial_join",  # cell-neighborhood join, no windows
+        "q247_kneser_ney",         # four hash aggs + broadcast type count
+        "q248_hits_scores",        # edge joins + max-broadcast renorms
+        "q249_theil_sen",          # windows per event_type (bounded series pairs)
+        "q250_snapshot_stat_drift",  # melt + one conditional agg, no windows
+        "q251_purge_audit",        # semi/anti joins + per-day agg
+        "q252_approx_quantile_audit",  # sketch agg + one conditional agg
+        "q253_decision_stumps",    # histogram prefix sums per dim
+        "q254_scene_cuts",         # lag per doc
+        "q255_holt_linear",        # lag-chain per event_type
+        "q256_ab_sample_size",     # distinct aggs + broadcast baseline
+        "q257_rare_token_mass",    # two hash aggs + term-keyed join
+    ],
+)
+def test_round6_queries_have_no_global_window(spark, sf_dir, name):
+    """Round-6 operators must never order the corpus under a
+    partition-less Window — every rank/lag partitions by a key whose
+    group size is bounded (doc frames, hourly series, histogram
+    buckets), so no single-task stage survives a 100x scale-up."""
+    assert P.global_windows(_df(spark, sf_dir, name)) == [], name
+
+
+def test_purge_forget_set_is_broadcast(spark, sf_dir):
+    """q251's forget set must broadcast into both the manifest semi-join
+    and the residual-proof anti-join — the fact table never shuffles."""
+    df = _df(spark, sf_dir, "q251_purge_audit")
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_market_basket_broadcasts_item_counts(spark, sf_dir):
+    """q243's item-support dim joins onto the pair table twice as a
+    broadcast (plus the 1-row basket count)."""
+    df = _df(spark, sf_dir, "q243_market_basket")
+    assert P.num_broadcast_joins(df) >= 3
+
+
+def test_hits_renorms_are_broadcast(spark, sf_dir):
+    """q248's per-round max-score scalars are 1-row broadcasts."""
+    df = _df(spark, sf_dir, "q248_hits_scores")
+    assert P.num_broadcast_joins(df) >= 3

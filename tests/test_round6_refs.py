@@ -1,0 +1,232 @@
+"""Round-6 reference tests: recompute each new operator's math with an
+independent Python implementation (driver-side, brute force where the
+Spark side blocks/buckets) and compare exactly.
+
+The DuckDB oracle is the per-commit differential gate; these tests
+guard against SHARED blind spots — a formula mistake mirrored into the
+oracle SQL passes the differential but fails here.
+"""
+
+from __future__ import annotations
+
+import calendar
+import math
+from collections import Counter, defaultdict
+from itertools import combinations
+
+from tytodb_spark.catalog import load_tables
+from tytodb_spark.queries import REGISTRY
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def test_market_basket_matches_brute_force(spark, sf_dir):
+    got = [
+        tuple(r[c] for c in ("item_a", "item_b", "n_ab", "n_a", "n_b",
+                             "conf_ab_ppm", "conf_ba_ppm", "lift_mils"))
+        for r in _rows(spark, sf_dir, "q243_market_basket")
+    ]
+    ps = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .selectExpr("l_orderkey as ok", "l_partkey as item")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = defaultdict(set)
+    for r in ps:
+        baskets[r["ok"]].add(r["item"])
+    n_orders = len(baskets)
+    item_n = Counter()
+    pair_n = Counter()
+    for items in baskets.values():
+        for i in items:
+            item_n[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] += 1
+    rules = []
+    for (a, b), nab in pair_n.items():
+        if nab < 2:
+            continue
+        na, nb = item_n[a], item_n[b]
+        rules.append(
+            (
+                a,
+                b,
+                nab,
+                na,
+                nb,
+                nab * 1000000 // na,
+                nab * 1000000 // nb,
+                nab * n_orders * 1000 // (na * nb),
+            )
+        )
+    rules.sort(key=lambda t: (-t[7], t[0], t[1]))
+    assert got == rules[:100]
+
+
+def test_bitmap_audience_matches_sets(spark, sf_dir):
+    got = {
+        (r["et1"], r["et2"]): (r["n_a"], r["n_b"], r["n_both"], r["jaccard_ppm"])
+        for r in _rows(spark, sf_dir, "q244_bitmap_audience")
+    }
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", "user_id")
+        .collect()
+    )
+    sets: dict[str, set] = defaultdict(set)
+    for r in ev:
+        sets[r["event_type"]].add(r["user_id"])
+    ref = {}
+    types = sorted(sets)
+    for a, b in combinations(types, 2):
+        both = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - both
+        ref[(a, b)] = (len(sets[a]), len(sets[b]), both, both * 1000000 // union)
+    assert got == ref
+
+
+def test_kneser_ney_matches_python(spark, sf_dir):
+    got = [
+        (r["w1"], r["w2"], r["c"], r["mle_q"], r["kn_q"])
+        for r in _rows(spark, sf_dir, "q247_kneser_ney")
+    ]
+    docs = load_tables(spark, sf_dir)["documents"].select("text").collect()
+    bg = Counter()
+    for r in docs:
+        t = [w for w in r["text"].lower().strip().split() if w]
+        for i in range(len(t) - 1):
+            bg[(t[i], t[i + 1])] += 1
+    cw1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (w1, w2), c in bg.items():
+        cw1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    n_types = len(bg)
+    ref = []
+    for (w1, w2), c in bg.items():
+        mle = c * 1000000000 // cw1[w1]
+        kn = max(4 * c - 3, 0) * 1000000000 // (4 * cw1[w1]) + (
+            3 * n1fw[w1] * (n1bw[w2] * 1000000000 // n_types)
+        ) // (4 * cw1[w1])
+        ref.append((w1, w2, c, mle, kn))
+    ref.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == ref[:100]
+
+
+def test_hits_matches_python(spark, sf_dir):
+    got = sorted(
+        (r["role"], r["node_id"], r["score_q"])
+        for r in _rows(spark, sf_dir, "q248_hits_scores")
+    )
+    t = load_tables(spark, sf_dir)
+    o = {r["o_orderkey"]: r["o_custkey"] for r in t["orders"].collect()}
+    edges = set()
+    for r in t["lineitem"].select("l_orderkey", "l_suppkey").collect():
+        if r["l_orderkey"] in o:
+            edges.add((o[r["l_orderkey"]], r["l_suppkey"]))
+    h1 = Counter()
+    for c, _s in edges:
+        h1[c] += 1
+    a1 = Counter()
+    for c, s in edges:
+        a1[s] += h1[c]
+    m = max(a1.values())
+    a1q = {s: v * 1000000 // m for s, v in a1.items()}
+    h2 = Counter()
+    for c, s in edges:
+        h2[c] += a1q[s]
+    m = max(h2.values())
+    h2q = {c: v * 1000000 // m for c, v in h2.items()}
+    a2 = Counter()
+    for c, s in edges:
+        a2[s] += h2q[c]
+    m = max(a2.values())
+    a2q = {s: v * 1000000 // m for s, v in a2.items()}
+    tops = sorted(a2q.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    toph = sorted(h2q.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ref = sorted(
+        [("authority", s, v) for s, v in tops]
+        + [("hub", c, v) for c, v in toph]
+    )
+    assert got == ref
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n_pairs"], r["median_slope_q"])
+        for r in _rows(spark, sf_dir, "q249_theil_sen")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts").collect()
+    hr = Counter()
+    for r in ev:
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 + r["ts"].microsecond
+        hr[(r["event_type"], math.floor(us / 3.6e9))] += 1
+    series: dict[str, list] = defaultdict(list)
+    for (et, h), y in sorted(hr.items()):
+        series[et].append((h, y))
+    ref = {}
+    for et, pts in series.items():
+        slopes = []
+        for (h1, y1), (h2, y2) in combinations(pts, 2):
+            slopes.append(math.floor((y2 - y1) * 1000000 / (h2 - h1)))
+        slopes.sort()
+        n = len(slopes)
+        ref[et] = (n, slopes[(n + 1) // 2 - 1])
+    assert got == ref
+
+
+def test_decision_stumps_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = [
+        (r["dim"], r["thresh_bkt"], r["n_left"], r["wg_q"])
+        for r in _rows(spark, sf_dir, "q253_decision_stumps")
+    ]
+    em = load_tables(spark, sf_dir)["embeddings"].select("embedding", "label").collect()
+    X = np.array([r["embedding"][:8] for r in em], dtype=np.float32).astype(np.float64)
+    y = np.array([r["label"] % 2 for r in em], dtype=np.int64)
+    cands = []
+    for d in range(8):
+        bkt = np.clip(np.floor(X[:, d] * 16).astype(np.int64), -8, 7)
+        for t in sorted(set(bkt.tolist()))[:-1]:
+            left = bkt <= t
+            n_l, n_r = int(left.sum()), int((~left).sum())
+            p_l, p_r = int(y[left].sum()), int(y[~left].sum())
+            wg = (n_l * n_l - p_l * p_l - (n_l - p_l) ** 2) * 1000000 // n_l + (
+                n_r * n_r - p_r * p_r - (n_r - p_r) ** 2
+            ) * 1000000 // n_r
+            cands.append((wg, d + 1, t, n_l))
+    cands.sort()
+    ref = [(d, t, n_l, wg) for wg, d, t, n_l in cands[:5]]
+    assert got == ref
+
+
+def test_grid_join_matches_brute_force(spark, sf_dir):
+    import hashlib
+
+    got = [
+        (r["id1"], r["id2"], r["d2"])
+        for r in _rows(spark, sf_dir, "q246_grid_spatial_join")
+    ]
+    cu = load_tables(spark, sf_dir)["customer"].select("c_custkey").collect()
+    pts = {}
+    for r in cu:
+        hx = hashlib.md5(str(r["c_custkey"]).encode()).hexdigest()
+        pts[r["c_custkey"]] = (
+            int(hx[:8], 16) % 180000,
+            int(hx[8:16], 16) % 360000,
+        )
+    pairs = []
+    ids = sorted(pts)
+    for a, b in combinations(ids, 2):
+        d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        if d2 <= 25_000_000:
+            pairs.append((d2, a, b))
+    pairs.sort()
+    ref = [(a, b, d2) for d2, a, b in pairs[:100]]
+    assert got == ref

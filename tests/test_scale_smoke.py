@@ -46,6 +46,14 @@ SCALE_SENSITIVE = [
     "q224_encoding_advisor",
     "q225_percent_rank_dist",
     "q234_source_fingerprint_matrix",  # 64x seed explode over shingles
+    # round 6: pair fan-outs whose candidate volume depends on fixture
+    # structure (basket sizes, grid density, bigram vocabulary, blocks)
+    "q243_market_basket",
+    "q245_record_linkage",
+    "q246_grid_spatial_join",
+    "q247_kneser_ney",
+    "q249_theil_sen",
+    "q257_rare_token_mass",
 ]
 
 
