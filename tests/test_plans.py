@@ -490,6 +490,9 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q255_holt_linear",        # lag-chain per event_type
         "q256_ab_sample_size",     # distinct aggs + broadcast baseline
         "q257_rare_token_mass",    # two hash aggs + term-keyed join
+        "q258_distinctive_terms",  # top-k window per source (vocab slice)
+        "q259_powerlaw_alpha",     # degree agg + 1-row MLE broadcast
+        "q260_burstiness_fano",    # two hash aggregates, no windows
     ],
 )
 def test_round6_queries_have_no_global_window(spark, sf_dir, name):

@@ -230,3 +230,78 @@ def test_grid_join_matches_brute_force(spark, sf_dir):
     pairs.sort()
     ref = [(a, b, d2) for d2, a, b in pairs[:100]]
     assert got == ref
+
+
+def test_distinctive_terms_match_python(spark, sf_dir):
+    got = [
+        (r["source"], r["term"], r["y_sw"], r["or_ppm"])
+        for r in _rows(spark, sf_dir, "q258_distinctive_terms")
+    ]
+    docs = load_tables(spark, sf_dir)["documents"].select("source", "text").collect()
+    sc = Counter()
+    for r in docs:
+        for w in r["text"].lower().strip().split():
+            if w:
+                sc[(r["source"], w)] += 1
+    n_s = Counter()
+    y_w = Counter()
+    n = 0
+    for (s, w), c in sc.items():
+        n_s[s] += c
+        y_w[w] += c
+        n += c
+    per_source: dict[str, list] = defaultdict(list)
+    for (s, w), c in sc.items():
+        if c < 3:
+            continue
+        orp = (c + 1) * ((n - n_s[s]) - (y_w[w] - c) + 1) * 1000000 // (
+            (n_s[s] - c + 1) * (y_w[w] - c + 1)
+        )
+        per_source[s].append((-orp, w, c))
+    ref = []
+    for s in per_source:
+        for negorp, w, c in sorted(per_source[s])[:10]:
+            ref.append((s, w, c, -negorp))
+    assert sorted(got) == sorted(ref)
+
+
+def test_powerlaw_alpha_matches_python(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q259_powerlaw_alpha")
+    ps = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .selectExpr("l_suppkey as supp", "l_partkey as part")
+        .distinct()
+        .collect()
+    )
+    deg = Counter()
+    for r in ps:
+        deg[r["supp"]] += 1
+    hist = Counter(deg.values())
+    tail = [d for d in deg.values() if d >= 2]
+    sum_ln_q = sum(math.floor(math.log(d / 2.0) * 1000000 + 0.5) for d in tail)
+    alpha = (
+        1000000 + len(tail) * 1000000000000 // sum_ln_q if sum_ln_q > 0 else None
+    )
+    assert sorted((r["degree"], r["n_nodes"]) for r in rows) == sorted(hist.items())
+    assert all(r["alpha_ppm"] == alpha and r["n_tail"] == len(tail) for r in rows)
+
+
+def test_fano_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n"], r["total_events"], r["mean_per_hour"], r["fano_x1e6"])
+        for r in _rows(spark, sf_dir, "q260_burstiness_fano")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts").collect()
+    hr = Counter()
+    for r in ev:
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 + r["ts"].microsecond
+        hr[(r["event_type"], math.floor(us / 3.6e9))] += 1
+    series: dict[str, list] = defaultdict(list)
+    for (et, _h), y in hr.items():
+        series[et].append(y)
+    ref = {}
+    for et, ys in series.items():
+        n, sy, syy = len(ys), sum(ys), sum(y * y for y in ys)
+        if n > 1 and sy > 0:
+            ref[et] = (n, sy, sy // n, (n * syy - sy * sy) * 1000000 // ((n - 1) * sy))
+    assert got == ref

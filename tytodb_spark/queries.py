@@ -13230,6 +13230,217 @@ def q257_rare_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DT_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+@query(
+    "q258_distinctive_terms",
+    f"""
+    WITH tok AS (SELECT source, unnest({_DT_TOKS}) AS term FROM documents),
+    sc AS (SELECT source, term, cast(count(*) AS BIGINT) AS y_sw
+           FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, cast(sum(y_sw) AS BIGINT) AS n_s
+           FROM sc GROUP BY 1),
+    gt AS (SELECT term, cast(sum(y_sw) AS BIGINT) AS y_w FROM sc GROUP BY 1),
+    n AS (SELECT cast(sum(y_sw) AS BIGINT) AS n FROM sc),
+    o AS (SELECT sc.source, sc.term, sc.y_sw,
+                 (sc.y_sw + 1) * ((n.n - st.n_s) - (gt.y_w - sc.y_sw) + 1)
+                   * 1000000
+                 // ((st.n_s - sc.y_sw + 1) * (gt.y_w - sc.y_sw + 1))
+                   AS or_ppm
+          FROM sc JOIN st USING (source) JOIN gt USING (term) CROSS JOIN n
+          WHERE sc.y_sw >= 3),
+    rk AS (SELECT source, term, y_sw, or_ppm,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY or_ppm DESC, term) AS rn
+           FROM o)
+    SELECT source, term, y_sw, cast(or_ppm AS BIGINT) AS or_ppm
+    FROM rk WHERE rn <= 10
+    """,
+    doc="Distinctive terms per source (the Fightin'-Words / keyness "
+    "census): for each source, the terms most over-represented vs the "
+    "REST of the corpus, scored by the Haldane-smoothed odds ratio "
+    "(y_sw+1)(rest_neg+1) / ((src_rest+1)(rest_pos+1)) — a 2x2 "
+    "contingency per (source, term), every cell derived from ONE "
+    "per-(source,term) count table plus its two marginals (source "
+    "totals broadcast, term totals term-keyed join) and the 1-row "
+    "grand total. The exact-integer odds ratio replaces the usual "
+    "log-odds z-score deliberately: rank order on a shared monotone "
+    "scale with ZERO libm calls, so the hash gate can't be flipped "
+    "by ln() ulp drift on arbitrary arguments. min-count 3 prunes "
+    "the smoothing-dominated tail. Per-source top-10 via a window "
+    "partitioned BY SOURCE over its vocabulary slice — state bounds "
+    "at |vocab per source|, never the corpus.",
+)
+def q258_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y_sw"))
+    )
+    st = sc.groupBy("source").agg(F.sum("y_sw").cast("bigint").alias("n_s"))
+    gt = sc.groupBy("term").agg(F.sum("y_sw").cast("bigint").alias("y_w"))
+    n = sc.agg(F.sum("y_sw").cast("bigint").alias("n"))
+    o = (
+        sc.filter(F.col("y_sw") >= 3)
+        .join(F.broadcast(st), "source")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "y_sw",
+            F.expr(
+                "(y_sw + 1) * ((n - n_s) - (y_w - y_sw) + 1) * 1000000"
+                " div ((n_s - y_sw + 1) * (y_w - y_sw + 1))"
+            ).alias("or_ppm"),
+        )
+    )
+    rk = o.select(
+        "source",
+        "term",
+        "y_sw",
+        "or_ppm",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("or_ppm").desc(), "term"))
+        .alias("rn"),
+    )
+    return rk.filter(F.col("rn") <= 10).select(
+        "source", "term", "y_sw", F.col("or_ppm").cast("bigint").alias("or_ppm")
+    )
+
+
+@query(
+    "q259_powerlaw_alpha",
+    """
+    WITH ps AS (SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+                FROM lineitem),
+    deg AS (SELECT supp, cast(count(*) AS BIGINT) AS d FROM ps GROUP BY supp),
+    f AS (SELECT d FROM deg WHERE d >= 2),
+    s AS (SELECT cast(count(*) AS BIGINT) AS n_tail,
+                 cast(sum(cast(floor(ln(d::DOUBLE / 2.0) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sum_ln_q
+          FROM f),
+    hist AS (SELECT d AS degree, cast(count(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY d)
+    SELECT hist.degree, hist.n_nodes, s.n_tail,
+           cast(CASE WHEN s.sum_ln_q > 0
+                THEN 1000000 + (s.n_tail * 1000000000000) // s.sum_ln_q
+                ELSE NULL END AS BIGINT) AS alpha_ppm
+    FROM hist CROSS JOIN s
+    ORDER BY hist.degree
+    """,
+    doc="Degree-distribution census + discrete power-law exponent "
+    "(Clauset-Shalizi-Newman MLE, alpha = 1 + n / sum ln(d/dmin), "
+    "dmin = 2) for the supplier side of the co-supply graph — the "
+    "heavy-tail diagnostic that decides whether degree-capped "
+    "blocking (q222) or skew salting (q58) is needed before any "
+    "pair fan-out. The degree table is one distinct + one count "
+    "aggregate; the MLE folds it to a 1-row sum. ln() appears only "
+    "on SMALL-INTEGER ratios d/2 (one constant per distinct degree, "
+    "each quantized floor(x*1e6 + 0.5) — the q222 ulp-safe-constant "
+    "argument), and alpha quantizes by integer division of exact "
+    "sums. Histogram rows carry the scalar alpha alongside (1-row "
+    "cross join) so one result table serves both the plot and the "
+    "fitted exponent.",
+)
+def q259_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    ).distinct()
+    deg = ps.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    s = deg.filter(F.col("d") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(
+            F.expr(
+                "cast(floor(ln(cast(d as double) / 2.0) * 1000000 + 0.5)"
+                " as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_ln_q"),
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return (
+        hist.crossJoin(F.broadcast(s))
+        .select(
+            "degree",
+            "n_nodes",
+            "n_tail",
+            F.expr(
+                "cast(CASE WHEN sum_ln_q > 0"
+                " THEN 1000000 + (n_tail * 1000000000000) div sum_ln_q"
+                " ELSE NULL END as bigint)"
+            ).alias("alpha_ppm"),
+        )
+        .orderBy("degree")
+    )
+
+
+@query(
+    "q260_burstiness_fano",
+    """
+    WITH hr AS (SELECT event_type,
+                       cast(floor(cast(epoch_us(ts) AS DOUBLE) / 3.6e9)
+                            AS BIGINT) AS h,
+                       cast(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 cast(count(*) AS BIGINT) AS n,
+                 cast(sum(y) AS BIGINT) AS sy,
+                 cast(sum(y * y) AS BIGINT) AS syy
+          FROM hr GROUP BY 1)
+    SELECT event_type, n, sy AS total_events,
+           cast(sy // n AS BIGINT) AS mean_per_hour,
+           cast((n * syy - sy * sy) * 1000000 // ((n - 1) * sy)
+                AS BIGINT) AS fano_x1e6
+    FROM s WHERE n > 1 AND sy > 0
+    """,
+    doc="Burstiness census (Fano factor, variance-to-mean ratio of the "
+    "hourly arrival counts) per event type: ~1e6 means Poisson-like "
+    "arrivals, >>1e6 means bursts — the dispersion gate that decides "
+    "whether a stream needs burst-aware rate limiting (q117) or "
+    "plain token buckets. Fano = [(n*syy - sy^2)/(n(n-1))] / (sy/n) "
+    "= (n*syy - sy^2) / ((n-1)*sy), computed here x1e6 entirely in "
+    "exact int64 from the three mergeable power sums (n, sum y, "
+    "sum y^2) over the pre-aggregated hourly series — two map-side-"
+    "combinable aggregates total, no window, no float. The hourly "
+    "pre-aggregation bounds the power-sum table at |keys| x |hours| "
+    "regardless of corpus rows.",
+)
+def q260_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hr = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(floor(cast(unix_micros(ts) as double) / 3.6e9) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    s = hr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.filter((F.col("n") > 1) & (F.col("sy") > 0)).select(
+        "event_type",
+        "n",
+        F.col("sy").alias("total_events"),
+        F.expr("sy div n").cast("bigint").alias("mean_per_hour"),
+        F.expr("(n * syy - sy * sy) * 1000000 div ((n - 1) * sy)")
+        .cast("bigint")
+        .alias("fano_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
