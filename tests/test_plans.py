@@ -493,6 +493,8 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q258_distinctive_terms",  # top-k window per source (vocab slice)
         "q259_powerlaw_alpha",     # degree agg + 1-row MLE broadcast
         "q260_burstiness_fano",    # two hash aggregates, no windows
+        "q261_padding_waste",      # broadcast spines + one hash agg
+        "q262_gate_ablation",      # flag columns + 16-cell hash agg
     ],
 )
 def test_round6_queries_have_no_global_window(spark, sf_dir, name):

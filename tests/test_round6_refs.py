@@ -305,3 +305,47 @@ def test_fano_matches_python(spark, sf_dir):
         if n > 1 and sy > 0:
             ref[et] = (n, sy, sy // n, (n * syy - sy * sy) * 1000000 // ((n - 1) * sy))
     assert got == ref
+
+
+def test_padding_waste_matches_python(spark, sf_dir):
+    got = sorted(
+        (r["cap"], r["len_bucket"], r["n_docs"], r["total_tokens"],
+         r["pad_tokens"], r["waste_ppm"])
+        for r in _rows(spark, sf_dir, "q261_padding_waste")
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("text").collect()
+    cells = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        nt = max(len([w for w in r["text"].lower().strip().split() if w]), 1)
+        p = nt.bit_length() - 1
+        for cap in (512, 1024, 2048):
+            waste = -(-nt // cap) * cap - nt
+            c = cells[(cap, p)]
+            c[0] += 1
+            c[1] += nt
+            c[2] += waste
+    ref = sorted(
+        (cap, p, n, tot, w, w * 1000000 // (tot + w))
+        for (cap, p), (n, tot, w) in cells.items()
+    )
+    assert got == ref
+
+
+def test_gate_ablation_matches_python(spark, sf_dir):
+    import re
+
+    got = sorted(
+        (r["mask"], r["g_short"], r["g_lang"], r["g_rep"], r["g_digit"], r["n_docs"])
+        for r in _rows(spark, sf_dir, "q262_gate_ablation")
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("text", "lang").collect()
+    cells = Counter()
+    for r in docs:
+        tk = [w for w in r["text"].lower().strip().split() if w]
+        g1 = 1 if len(tk) < 10 else 0
+        g2 = 1 if r["lang"] != "en" else 0
+        g3 = 1 if 2 * len(set(tk)) < len(tk) else 0
+        g4 = 1 if 5 * len(re.sub(r"[^0-9]", "", r["text"])) > len(r["text"]) else 0
+        cells[(g1 + 2 * g2 + 4 * g3 + 8 * g4, g1, g2, g3, g4)] += 1
+    ref = sorted((*k, n) for k, n in cells.items())
+    assert got == ref

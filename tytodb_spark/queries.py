@@ -13441,6 +13441,149 @@ def q260_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PW_TOKS = r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))"
+
+@query(
+    "q261_padding_waste",
+    f"""
+    WITH n AS (SELECT greatest({_PW_TOKS}, 1) AS nt FROM documents),
+    spine AS (SELECT p, (1::BIGINT << p) AS lo, (1::BIGINT << (p + 1)) AS hi
+              FROM (SELECT unnest(range(0, 17)) AS p)),
+    t AS (SELECT cap FROM (VALUES (512), (1024), (2048)) v(cap)),
+    b AS (SELECT t.cap, spine.p AS len_bucket, n.nt,
+                 ((n.nt + t.cap - 1) // t.cap) * t.cap - n.nt AS waste
+          FROM n JOIN spine ON n.nt >= spine.lo AND n.nt < spine.hi
+                 CROSS JOIN t)
+    SELECT cap, cast(len_bucket AS INT) AS len_bucket,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(nt) AS BIGINT) AS total_tokens,
+           cast(sum(waste) AS BIGINT) AS pad_tokens,
+           cast(sum(waste) * 1000000 // (sum(nt) + sum(waste)) AS BIGINT)
+             AS waste_ppm
+    FROM b GROUP BY cap, len_bucket
+    """,
+    doc="Sequence-length planning census (padding-waste audit): for "
+    "each candidate context length (512/1024/2048) and each power-of-"
+    "two document-length bucket, the exact tokens wasted by naive "
+    "pad-to-multiple batching — ceil(n/cap)*cap - n — as count and "
+    "ppm of the padded stream. This is the sizing study run before "
+    "choosing q84's packing parameters: buckets with high waste_ppm "
+    "are where concat-and-chunk packing pays. The length bucket "
+    "comes from a BROADCAST 17-row power-of-two spine (range join "
+    "on [2^p, 2^(p+1)) — exact integers, no log2() ulp risk), the "
+    "3 caps from a broadcast VALUES spine; one scan, one hash "
+    "aggregate on the (cap, bucket) key, everything else map-side.",
+)
+def q261_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        F.greatest(token_count(F.col("text")), F.lit(1)).cast("bigint").alias("nt")
+    )
+    spine = spark.range(0, 17).select(
+        F.col("id").cast("int").alias("p"),
+        F.expr("shiftleft(cast(1 as bigint), cast(id as int))").alias("lo"),
+        F.expr("shiftleft(cast(1 as bigint), cast(id as int) + 1)").alias("hi"),
+    )
+    caps = spark.range(1).select(
+        F.explode(F.array(F.lit(512), F.lit(1024), F.lit(2048))).alias("cap")
+    )
+    b = (
+        n.join(
+            F.broadcast(spine),
+            (F.col("nt") >= F.col("lo")) & (F.col("nt") < F.col("hi")),
+        )
+        .crossJoin(F.broadcast(caps))
+        .select(
+            "cap",
+            F.col("p").alias("len_bucket"),
+            "nt",
+            F.expr("((nt + cap - 1) div cap) * cap - nt").alias("waste"),
+        )
+    )
+    return b.groupBy("cap", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum("waste").cast("bigint").alias("pad_tokens"),
+        F.expr("sum(waste) * 1000000 div (sum(nt) + sum(waste))")
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+
+
+@query(
+    "q262_gate_ablation",
+    r"""
+    WITH g AS (SELECT
+        CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),
+                  '\s+'), x -> x <> '')) < 10 THEN 1 ELSE 0 END AS g_short,
+        CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS g_lang,
+        CASE WHEN 2 * len(list_distinct(list_filter(string_split_regex(
+                  lower(trim(text)), '\s+'), x -> x <> '')))
+                < len(list_filter(string_split_regex(lower(trim(text)),
+                  '\s+'), x -> x <> '')) THEN 1 ELSE 0 END AS g_rep,
+        CASE WHEN 5 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                > length(text) THEN 1 ELSE 0 END AS g_digit
+      FROM documents)
+    SELECT cast(g_short + 2 * g_lang + 4 * g_rep + 8 * g_digit AS INT)
+             AS mask,
+           cast(g_short AS INT) AS g_short, cast(g_lang AS INT) AS g_lang,
+           cast(g_rep AS INT) AS g_rep, cast(g_digit AS INT) AS g_digit,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="Quality-gate ablation census: every document evaluates all "
+    "four cleaning gates (too-short < 10 tokens, non-English, "
+    "repetitive 2*distinct < total tokens, digit-heavy > 20%) and "
+    "lands in one of 16 bitmask cells — the overlap matrix that "
+    "answers 'which gate uniquely kills what' (mask = single bit) "
+    "and 'what do gates agree on' (multi-bit masks) before anyone "
+    "tunes thresholds. ONE scan, one hash aggregate on a 16-value "
+    "key — the gates are flag columns, not filters, so the ablation "
+    "needs no per-gate re-scan (the naive 2^4-subset study is 16 "
+    "scans; this is one). All gates are exact integer decisions "
+    "(token counts, char counts) — no float threshold can disagree "
+    "across engines.",
+)
+def q262_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    g = docs.select(
+        F.when(F.size(tk) < 10, 1).otherwise(0).alias("g_short"),
+        F.when(F.col("lang") != "en", 1).otherwise(0).alias("g_lang"),
+        F.when(2 * F.size(F.array_distinct(tk)) < F.size(tk), 1)
+        .otherwise(0)
+        .alias("g_rep"),
+        F.when(
+            5 * F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+            > F.length(F.col("text")),
+            1,
+        )
+        .otherwise(0)
+        .alias("g_digit"),
+    )
+    return (
+        g.groupBy(
+            (
+                F.col("g_short")
+                + 2 * F.col("g_lang")
+                + 4 * F.col("g_rep")
+                + 8 * F.col("g_digit")
+            )
+            .cast("int")
+            .alias("mask"),
+            F.col("g_short").cast("int").alias("g_short"),
+            F.col("g_lang").cast("int").alias("g_lang"),
+            F.col("g_rep").cast("int").alias("g_rep"),
+            F.col("g_digit").cast("int").alias("g_digit"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
