@@ -54,6 +54,7 @@ SCALE_SENSITIVE = [
     "q247_kneser_ney",
     "q249_theil_sen",
     "q257_rare_token_mass",
+    "q264_lsh_tuning",  # 3 bandings x band-bucket pair fan-out
 ]
 
 

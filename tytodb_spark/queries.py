@@ -13584,6 +13584,285 @@ def q262_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q263_dp_quantile",
+    """
+    WITH b AS (SELECT least(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            // 1000000, 63) AS bin,
+                      cast(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1),
+    spine AS (SELECT unnest(range(0, 64)) AS bin),
+    f AS (SELECT spine.bin, coalesce(b.n, 0) AS n
+          FROM spine LEFT JOIN b ON spine.bin = b.bin),
+    c AS (SELECT bin, n,
+                 sum(n) OVER (ORDER BY bin) AS cum,
+                 sum(n) OVER () AS tot
+          FROM f),
+    s AS (SELECT bin, n,
+                 -abs(2 * cum - tot) * 250000 AS u_q,
+                 cast(floor(-ln(-ln(
+                     (('0x' || substr(md5('dpq:' || cast(bin AS VARCHAR)),
+                                      1, 13))::BIGINT + 0.5)
+                     / 4503599627370496.0)) * 1000000) AS BIGINT) AS g_q
+          FROM c)
+    SELECT cast(bin AS BIGINT) AS chosen_bin,
+           cast(bin * 1000000 + 500000 AS BIGINT) AS released_cents,
+           cast(n AS BIGINT) AS bin_count_true
+    FROM s ORDER BY u_q + g_q DESC, bin LIMIT 1
+    """,
+    doc="Differentially-private median release (exponential mechanism, "
+    "McSherry-Talwar; eps = 1): the order-value median is released as "
+    "a bin of a FIXED public 64-bin histogram ($10k cents bins — "
+    "data-independent bins are part of the DP contract), where each "
+    "bin's utility is -|rank_below - rank_above| (sensitivity 2) and "
+    "selection adds md5-seeded Gumbel noise (the Gumbel-max trick IS "
+    "the exponential mechanism), seeded per bin like q190 so retries "
+    "and speculative tasks cannot re-draw. The corpus collapses to a "
+    "64-row histogram in one aggregate; utilities are exact integers "
+    "x250000 (eps*u/2 scaled 1e6), the noise quantizes floor(x*1e6) "
+    "from a dyadic-exact uniform, and argmax is ORDER BY the integer "
+    "sum with a bin tiebreak. The prefix/total windows run on the "
+    "64-row metadata table — the same by-design exclusion as q220's "
+    "digit spine. Output: chosen bin, released midpoint, true count "
+    "(demo column; production publishes only the release).",
+)
+def q263_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 1000000"),
+            F.lit(63).cast("bigint"),
+        ).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = spark.range(0, 64).select(F.col("id").cast("bigint").alias("bin"))
+    f = spine.join(b, "bin", "left").select(
+        "bin", F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n")
+    )
+    c = f.select(
+        "bin",
+        "n",
+        F.sum("n").over(W.orderBy("bin")).alias("cum"),
+        F.sum("n").over(W.partitionBy()).alias("tot"),
+    )
+    s = c.select(
+        "bin",
+        "n",
+        (-F.abs(2 * F.col("cum") - F.col("tot")) * 250000).alias("u_q"),
+        F.expr(
+            "cast(floor(-ln(-ln("
+            " (conv(substr(md5('dpq:' || cast(bin as string)), 1, 13), 16, 10)"
+            "  + 0.5) / 4503599627370496.0)) * 1000000) as bigint)"
+        ).alias("g_q"),
+    )
+    return (
+        s.orderBy((F.col("u_q") + F.col("g_q")).desc(), "bin")
+        .limit(1)
+        .select(
+            F.col("bin").cast("bigint").alias("chosen_bin"),
+            (F.col("bin") * 1000000 + 500000).cast("bigint").alias(
+                "released_cents"
+            ),
+            F.col("n").cast("bigint").alias("bin_count_true"),
+        )
+    )
+
+
+def _q264_oracle() -> str:
+    values = ",\n                 ".join(f"({i}, {a}, {b})" for i, a, b in _MH64)
+    return f"""
+    WITH g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id, unnest(list_distinct({_NGRAMS(3)})) AS g
+                 FROM documents)),
+    h0 AS (SELECT doc_id,
+                  ('0x' || substr(md5(g), 1, 12))::BIGINT % {_MH_P} AS h0
+           FROM g),
+    e AS (SELECT doc_id, i, (a * h0 + b) % {_MH_P} AS h
+          FROM h0 CROSS JOIN (VALUES {values}) AS t(i, a, b)),
+    sig AS (SELECT doc_id, i, min(h) AS h FROM e GROUP BY doc_id, i),
+    cfg AS (SELECT * FROM (VALUES (16, 4), (8, 8), (4, 16)) c(nb, r)),
+    bk AS (SELECT cfg.nb, cfg.r, sig.doc_id, sig.i // cfg.r AS band,
+                  md5(string_agg(cast(sig.h AS VARCHAR), ','
+                                 ORDER BY sig.i)) AS bsig
+           FROM sig CROSS JOIN cfg
+           GROUP BY cfg.nb, cfg.r, sig.doc_id, sig.i // cfg.r),
+    pr AS (SELECT DISTINCT a.nb, a.r, a.doc_id AS d1, b.doc_id AS d2
+           FROM bk a JOIN bk b
+             ON a.nb = b.nb AND a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id)
+    SELECT cfg.nb AS n_bands, cfg.r AS rows_per_band,
+           cast(floor(pow(1.0 / cfg.nb, 1.0 / cfg.r) * 1000000 + 0.5)
+                AS BIGINT) AS s_curve_threshold_ppm,
+           cast(coalesce(p.n, 0) AS BIGINT) AS n_candidate_pairs
+    FROM cfg LEFT JOIN (SELECT nb, r, cast(count(*) AS BIGINT) AS n
+                        FROM pr GROUP BY 1, 2) p USING (nb, r)
+    """
+
+
+@query(
+    "q264_lsh_tuning",
+    None,  # oracle composed below (embeds the 64 hardcoded seeds)
+    doc="MinHash-LSH banding-parameter tuning curve: the SAME 64-lane "
+    "signature table (q234's one-md5-per-shingle multiply-mod family) "
+    "evaluated under three bandings (16x4, 8x8, 4x16), reporting each "
+    "config's s-curve threshold (1/b)^(1/r) and its ACTUAL distinct "
+    "candidate-pair volume on this corpus — the two numbers that "
+    "price recall vs join cost before a production dedup run (q42 "
+    "fixes one banding; this is how that banding gets chosen). Band "
+    "signatures are md5 over the in-band lane values in lane order "
+    "(order-deterministic agg), so bucket keys are portable; pair "
+    "volume per config is bounded by band-bucket sizes exactly as in "
+    "q42, and the signature table is |docs|x64 rows — built once, "
+    "shared by all three configs via one explode. The threshold "
+    "constants come from pow() on 3 fixed rationals (ulp-safe "
+    "constant set, the q222 argument).",
+)
+def q264_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("g"),
+    ).distinct()
+    h0 = g.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("bigint")
+            % _MH_P
+        ).alias("h0"),
+    )
+    lanes = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, a, b in _MH64
+        ]
+    )
+    e = h0.select("doc_id", "h0", F.explode(lanes).alias("l")).select(
+        "doc_id",
+        F.col("l.i").alias("i"),
+        ((F.col("l.a") * F.col("h0") + F.col("l.b")) % _MH_P).alias("h"),
+    )
+    sig = e.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
+    cfg = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(16).alias("nb"), F.lit(4).alias("r")),
+                F.struct(F.lit(8).alias("nb"), F.lit(8).alias("r")),
+                F.struct(F.lit(4).alias("nb"), F.lit(16).alias("r")),
+            )
+        ).alias("c")
+    ).select("c.nb", "c.r")
+    bk = (
+        sig.crossJoin(F.broadcast(cfg))
+        .groupBy("nb", "r", "doc_id", F.expr("i div r").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(i, h))),"
+                        " x -> cast(x.h as string))"
+                    ),
+                    ",",
+                )
+            ).alias("bsig")
+        )
+    )
+    a = bk.select("nb", "r", "band", "bsig", F.col("doc_id").alias("d1"))
+    b = bk.select("nb", "r", "band", "bsig", F.col("doc_id").alias("d2"))
+    pr = (
+        a.join(b, ["nb", "r", "band", "bsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("nb", "r", "d1", "d2")
+        .distinct()
+    )
+    p = pr.groupBy("nb", "r").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        cfg.join(p, ["nb", "r"], "left")
+        .select(
+            F.col("nb").alias("n_bands"),
+            F.col("r").alias("rows_per_band"),
+            F.expr(
+                "cast(floor(pow(1.0 / nb, 1.0 / r) * 1000000 + 0.5) as bigint)"
+            ).alias("s_curve_threshold_ppm"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                "n_candidate_pairs"
+            ),
+        )
+    )
+
+
+REGISTRY["q264_lsh_tuning"] = QueryDef(
+    fn=REGISTRY["q264_lsh_tuning"].fn,
+    oracle=_q264_oracle(),
+    doc=REGISTRY["q264_lsh_tuning"].doc,
+)
+
+
+@query(
+    "q265_join_fanout_guard",
+    """
+    WITH lc AS (SELECT l_orderkey AS k, cast(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, cast(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+    j AS (SELECT coalesce(lc.k, oc.k) AS k,
+                 coalesce(lc.c, 0) AS cl, coalesce(oc.c, 0) AS co
+          FROM lc FULL OUTER JOIN oc ON lc.k = oc.k)
+    SELECT 'orders*lineitem' AS join_name,
+           cast(max(cl) AS BIGINT) AS max_left_fanout,
+           cast(max(co) AS BIGINT) AS max_right_fanout,
+           cast(sum(cl * co) AS BIGINT) AS predicted_rows,
+           cast(sum(CASE WHEN cl > 0 AND co = 0 THEN cl ELSE 0 END)
+                AS BIGINT) AS left_orphan_rows,
+           cast(sum(CASE WHEN co > 0 AND cl = 0 THEN co ELSE 0 END)
+                AS BIGINT) AS right_orphan_rows
+    FROM j
+    """,
+    doc="Join fan-out guard (exact CBO primitive): before shipping an "
+    "orders-lineitem join, the per-key multiplicity profile of both "
+    "sides — max fan-out per side, EXACT predicted output cardinality "
+    "sum(c_left * c_right), and orphan volume each way — the numbers "
+    "that catch an accidental many-to-many (a duplicated key turns a "
+    "join into a cross product; this report prices it before the "
+    "shuffle runs). Two count aggregates + one full-outer merge on "
+    "the key profile tables — each |keys| rows, the minimal "
+    "sufficient statistic; the q212 HLL estimate is the sketch "
+    "version of exactly this. All exact integers.",
+)
+def q265_join_fanout_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cl")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("co")
+    )
+    j = lc.join(oc, "k", "full_outer").select(
+        F.coalesce(F.col("cl"), F.lit(0).cast("bigint")).alias("cl"),
+        F.coalesce(F.col("co"), F.lit(0).cast("bigint")).alias("co"),
+    )
+    agg = j.agg(
+        F.max("cl").cast("bigint").alias("max_left_fanout"),
+        F.max("co").cast("bigint").alias("max_right_fanout"),
+        F.sum(F.col("cl") * F.col("co")).cast("bigint").alias("predicted_rows"),
+        F.sum(F.when((F.col("cl") > 0) & (F.col("co") == 0), F.col("cl")).otherwise(0))
+        .cast("bigint")
+        .alias("left_orphan_rows"),
+        F.sum(F.when((F.col("co") > 0) & (F.col("cl") == 0), F.col("co")).otherwise(0))
+        .cast("bigint")
+        .alias("right_orphan_rows"),
+    )
+    return agg.select(
+        F.lit("orders*lineitem").alias("join_name"),
+        "max_left_fanout",
+        "max_right_fanout",
+        "predicted_rows",
+        "left_orphan_rows",
+        "right_orphan_rows",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
