@@ -56,6 +56,19 @@ QUERIES = [
     "q222_adamic_adar",
     "q228_kfold_auc",
     "q229_watermark_late_audit",
+    # round 6: basket-bounded pair rules, bitmap set algebra,
+    # cell-blocked spatial join, integer KN smoothing, Theil-Sen
+    # median-of-slopes, histogram-trick stump search, banded LSH
+    # tuning (order-deterministic band signatures), md5-seeded DP
+    # release (the most portability-sensitive new surfaces)
+    "q243_market_basket",
+    "q244_bitmap_audience",
+    "q246_grid_spatial_join",
+    "q247_kneser_ney",
+    "q249_theil_sen",
+    "q253_decision_stumps",
+    "q263_dp_quantile",
+    "q264_lsh_tuning",
 ]
 
 SETTINGS = [8, 32, 128]

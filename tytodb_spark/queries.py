@@ -13717,13 +13717,19 @@ def _q264_oracle() -> str:
     "constant set, the q222 argument).",
 )
 def q264_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tytodb_spark.operators.textual import word_ngrams
+    from tytodb_spark.operators.textual import spread, word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("g"),
-    ).distinct()
+    g = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias(
+                "g"
+            ),
+        )
+        .distinct()
+    )
     h0 = g.select(
         "doc_id",
         (
@@ -13731,42 +13737,53 @@ def q264_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _MH_P
         ).alias("h0"),
     )
-    lanes = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, a, b in _MH64
-        ]
-    )
-    e = h0.select("doc_id", "h0", F.explode(lanes).alias("l")).select(
-        "doc_id",
-        F.col("l.i").alias("i"),
-        ((F.col("l.a") * F.col("h0") + F.col("l.b")) % _MH_P).alias("h"),
-    )
-    sig = e.groupBy("doc_id", "i").agg(F.min("h").alias("h"))
-    cfg = spark.range(1).select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(16).alias("nb"), F.lit(4).alias("r")),
-                F.struct(F.lit(8).alias("nb"), F.lit(8).alias("r")),
-                F.struct(F.lit(4).alias("nb"), F.lit(16).alias("r")),
-            )
-        ).alias("c")
-    ).select("c.nb", "c.r")
-    bk = (
-        sig.crossJoin(F.broadcast(cfg))
-        .groupBy("nb", "r", "doc_id", F.expr("i div r").alias("band"))
+    # one signature-ARRAY row per doc: the 64 lane minima computed as 64
+    # map-side-combinable min() aggregates in ONE groupBy — the lane
+    # table is never exploded (the explode-then-min spelling shuffles
+    # |doc,gram| x 64 rows and measured 14 s at sf0.1; this shuffles 64
+    # partial minima per doc per map task)
+    arr = (
+        h0.groupBy("doc_id")
         .agg(
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(i, h))),"
-                        " x -> cast(x.h as string))"
-                    ),
-                    ",",
+            *[
+                F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MH_P).alias(
+                    f"h{i}"
                 )
-            ).alias("bsig")
+                for i, a, b in _MH64
+            ]
         )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i, _, _ in _MH64]).alias("hs"),
+        )
+        .localCheckpoint()
     )
+    parts = []
+    for nb, r in ((16, 4), (8, 8), (4, 16)):
+        parts.append(
+            arr.select(
+                F.lit(nb).alias("nb"),
+                F.lit(r).alias("r"),
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+                "hs",
+            ).select(
+                "nb",
+                "r",
+                "doc_id",
+                "band",
+                F.md5(
+                    F.array_join(
+                        F.expr(
+                            f"transform(slice(hs, band * {r} + 1, {r}),"
+                            " x -> cast(x as string))"
+                        ),
+                        ",",
+                    )
+                ).alias("bsig"),
+            )
+        )
+    bk = parts[0].unionByName(parts[1]).unionByName(parts[2])
     a = bk.select("nb", "r", "band", "bsig", F.col("doc_id").alias("d1"))
     b = bk.select("nb", "r", "band", "bsig", F.col("doc_id").alias("d2"))
     pr = (
@@ -13776,6 +13793,15 @@ def q264_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     p = pr.groupBy("nb", "r").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cfg = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(16).alias("nb"), F.lit(4).alias("r")),
+                F.struct(F.lit(8).alias("nb"), F.lit(8).alias("r")),
+                F.struct(F.lit(4).alias("nb"), F.lit(16).alias("r")),
+            )
+        ).alias("c")
+    ).select("c.nb", "c.r")
     return (
         cfg.join(p, ["nb", "r"], "left")
         .select(
