@@ -497,6 +497,9 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q262_gate_ablation",      # flag columns + 16-cell hash agg
         "q264_lsh_tuning",         # banded signature join, no windows
         "q265_join_fanout_guard",  # two key-profile aggs + full-outer merge
+        "q266_purge_cascade",      # broadcast semi-joins down the FK chain
+        "q267_dup_cluster_census", # two hash aggregates
+        "q268_embedding_norm_gate",  # power-sum broadcast + one agg
         # (q263 keeps its prefix window over the FIXED 64-bin public
         # histogram by design — same exclusion as q220's digit spine)
     ],

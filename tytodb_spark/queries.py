@@ -13889,6 +13889,214 @@ def q265_join_fanout_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q266_purge_cascade",
+    """
+    WITH f AS (SELECT c_custkey, c_nationkey FROM customer
+               WHERE c_custkey % 199 = 0),
+    fo AS (SELECT o.o_orderkey, f.c_nationkey
+           FROM orders o JOIN f ON o.o_custkey = f.c_custkey),
+    fl AS (SELECT fo.c_nationkey, cast(count(*) AS BIGINT) AS n_lineitems
+           FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+           GROUP BY 1),
+    oc AS (SELECT c_nationkey, cast(count(*) AS BIGINT) AS n_orders
+           FROM fo GROUP BY 1),
+    cc AS (SELECT c_nationkey, cast(count(*) AS BIGINT) AS n_customers
+           FROM f GROUP BY 1)
+    SELECT n.n_name AS nation,
+           cc.n_customers,
+           coalesce(oc.n_orders, 0) AS n_orders,
+           coalesce(fl.n_lineitems, 0) AS n_lineitems
+    FROM cc
+    JOIN nation n ON cc.c_nationkey = n.n_nationkey
+    LEFT JOIN oc USING (c_nationkey)
+    LEFT JOIN fl USING (c_nationkey)
+    """,
+    doc="Referential purge-cascade manifest (the multi-table GDPR "
+    "plan): a forget-set of customers fans out through the FK chain "
+    "customer -> orders -> lineitem, and the manifest reports rows "
+    "to delete per table per nation BEFORE any rewrite runs — the "
+    "cost estimate that schedules cascade deletes table-by-table. "
+    "The forget set drives broadcast-able semi-joins down the chain "
+    "(each fact table is scanned once, filtered map-side against the "
+    "keys inherited from the previous hop); grouping rides the "
+    "nation key carried from the root, so no fact-fact shuffle "
+    "exists anywhere. Complements q251 (single-table manifest + "
+    "residual proof) with the FK-transitive closure.",
+)
+def q266_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    na = _t(spark, sf_dir, "nation")
+    f = cu.filter(F.col("c_custkey") % 199 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    fo = o.join(
+        F.broadcast(f), o["o_custkey"] == f["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    fl = (
+        li.join(F.broadcast(fo), li["l_orderkey"] == fo["o_orderkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    )
+    oc = fo.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    cc = f.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        cc.join(F.broadcast(na), cc["c_nationkey"] == na["n_nationkey"])
+        .join(oc, "c_nationkey", "left")
+        .join(fl, "c_nationkey", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias(
+                "n_orders"
+            ),
+            F.coalesce(F.col("n_lineitems"), F.lit(0).cast("bigint")).alias(
+                "n_lineitems"
+            ),
+        )
+    )
+
+
+_DC_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+@query(
+    "q267_dup_cluster_census",
+    f"""
+    WITH k AS (SELECT md5(array_to_string(list_sort(list_distinct(
+                   {_DC_TOKS})), ' ')) AS content_key,
+                      length(text) AS b
+               FROM documents),
+    c AS (SELECT content_key,
+                 cast(count(*) AS BIGINT) AS sz,
+                 cast(sum(b) AS BIGINT) AS bytes_total,
+                 cast(min(b) AS BIGINT) AS bytes_keep
+          FROM k GROUP BY content_key),
+    h AS (SELECT sz AS cluster_size,
+                 cast(count(*) AS BIGINT) AS n_clusters,
+                 cast(sum(sz) AS BIGINT) AS n_docs,
+                 cast(sum(bytes_total - bytes_keep) AS BIGINT)
+                   AS bytes_saved
+          FROM c GROUP BY sz)
+    SELECT cluster_size, n_clusters, n_docs, bytes_saved
+    FROM h
+    """,
+    doc="Duplicate-cluster size census + dedup savings forecast: "
+    "documents group by their bag-of-words fingerprint (q45's "
+    "content key), and the histogram of cluster sizes prices a "
+    "keep-one dedup BEFORE it runs — docs removed = sum over "
+    "clusters of (size-1), bytes saved = cluster bytes minus the "
+    "kept (smallest) copy. Two hash aggregates end to end: "
+    "fingerprint -> cluster stats -> size histogram, every stage "
+    "map-side combinable, no window, no pair join — the census is "
+    "O(corpus) however skewed the dup distribution. The keep-one "
+    "policy (min bytes) is deterministic so the forecast is exact, "
+    "not an estimate; cross-check q40 (exact dedup) executes what "
+    "this query budgets.",
+)
+def q267_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    k = docs.select(
+        fingerprint(F.col("text")).alias("content_key"),
+        F.length("text").cast("bigint").alias("b"),
+    )
+    c = k.groupBy("content_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.sum("b").cast("bigint").alias("bytes_total"),
+        F.min("b").cast("bigint").alias("bytes_keep"),
+    )
+    return (
+        c.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("bytes_total") - F.col("bytes_keep"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+    )
+
+
+@query(
+    "q268_embedding_norm_gate",
+    """
+    WITH q AS (SELECT vec_id, label,
+                      cast(list_sum(list_transform(embedding,
+                           x -> cast(floor(cast(x AS DOUBLE) * 10000)
+                                     AS BIGINT)
+                                * cast(floor(cast(x AS DOUBLE) * 10000)
+                                       AS BIGINT)))
+                           AS BIGINT) AS n2
+               FROM embeddings),
+    s AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(n2) AS BIGINT) AS s1,
+                 cast(sum(n2 * n2 // 1000000) AS BIGINT) AS s2m
+          FROM q)
+    SELECT q.label,
+           cast(count(*) AS BIGINT) AS n_vecs,
+           cast(sum(CASE WHEN
+                  (q.n2 - s.s1 // s.n) * (q.n2 - s.s1 // s.n) // 1000000
+                  > 9 * (s.s2m // s.n
+                         - (s.s1 // s.n) * (s.s1 // s.n) // 1000000)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           cast(min(q.n2) AS BIGINT) AS min_n2,
+           cast(max(q.n2) AS BIGINT) AS max_n2,
+           cast(max(s.s1 // s.n) AS BIGINT) AS mean_n2
+    FROM q CROSS JOIN s
+    GROUP BY q.label
+    """,
+    doc="Embedding-norm hygiene gate: vectors whose squared-norm "
+    "z-score exceeds 3 (dead embeddings near zero, exploding ones "
+    "from a bad encoder batch) — the sanity filter run before any "
+    "ANN build or centroid fit trusts the vectors. Norms live in "
+    "the exact integer domain (floor(x*1e4) per coordinate, summed "
+    "squares in int64); mean and variance come from ONE power-sum "
+    "aggregate broadcast back as a single row, and the z^2 > 9 "
+    "decision is pure integer arithmetic (squares scaled //1e6 to "
+    "keep n2^2 inside int64 headroom — documented ceiling: per-"
+    "coordinate |x| < ~460 at 64 dims). One scan + one broadcast — "
+    "no second pass, no window.",
+)
+def q268_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "cast(aggregate(embedding, cast(0 as bigint),"
+            " (acc, x) -> acc"
+            "   + cast(floor(cast(x as double) * 10000) as bigint)"
+            "   * cast(floor(cast(x as double) * 10000) as bigint))"
+            " as bigint)"
+        ).alias("n2"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n2").cast("bigint").alias("s1"),
+        F.sum(F.expr("n2 * n2 div 1000000")).cast("bigint").alias("s2m"),
+    )
+    j = q.crossJoin(F.broadcast(s))
+    z2 = F.expr(
+        "CASE WHEN (n2 - s1 div n) * (n2 - s1 div n) div 1000000"
+        " > 9 * (s2m div n - (s1 div n) * (s1 div n) div 1000000)"
+        " THEN 1 ELSE 0 END"
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(z2).cast("bigint").alias("n_outliers"),
+        F.min("n2").cast("bigint").alias("min_n2"),
+        F.max("n2").cast("bigint").alias("max_n2"),
+        F.max(F.expr("s1 div n")).cast("bigint").alias("mean_n2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
