@@ -500,6 +500,8 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q266_purge_cascade",      # broadcast semi-joins down the FK chain
         "q267_dup_cluster_census", # two hash aggregates
         "q268_embedding_norm_gate",  # power-sum broadcast + one agg
+        "q269_simpson_detector",   # cell-table aggs + broadcast scalars
+        "q270_markov_accuracy",    # lead per user; argmax per type
         # (q263 keeps its prefix window over the FIXED 64-bin public
         # histogram by design — same exclusion as q220's digit spine)
     ],

@@ -14097,6 +14097,198 @@ def q268_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q269_simpson_detector",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+    o AS (SELECT o_orderpriority AS grp, c.c_nationkey AS stratum,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders JOIN c ON o_custkey = c_custkey),
+    cell AS (SELECT grp, stratum,
+                    cast(count(*) AS BIGINT) AS n,
+                    cast(sum(y) AS BIGINT) AS pos
+             FROM o GROUP BY 1, 2),
+    pooled AS (SELECT grp,
+                      cast(sum(pos) * 1000000 // sum(n) AS BIGINT) AS rate
+               FROM cell GROUP BY 1),
+    base AS (SELECT cast(sum(pos) * 1000000 // sum(n) AS BIGINT) AS rate
+             FROM cell),
+    strat_base AS (SELECT stratum,
+                          cast(sum(pos) * 1000000 // sum(n) AS BIGINT)
+                            AS rate
+                   FROM cell GROUP BY 1),
+    sgn AS (SELECT cell.grp, cell.stratum,
+                   CASE WHEN cell.pos * 1000000 // cell.n
+                             > strat_base.rate THEN 1
+                        WHEN cell.pos * 1000000 // cell.n
+                             < strat_base.rate THEN -1
+                        ELSE 0 END AS s
+            FROM cell JOIN strat_base USING (stratum)
+            WHERE cell.n >= 20),
+    agg AS (SELECT grp,
+                   cast(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_up,
+                   cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_down
+            FROM sgn GROUP BY 1)
+    SELECT p.grp, p.rate AS pooled_rate_ppm, b.rate AS base_rate_ppm,
+           a.n_up, a.n_down,
+           CASE WHEN p.rate > b.rate AND a.n_down > a.n_up THEN TRUE
+                WHEN p.rate < b.rate AND a.n_up > a.n_down THEN TRUE
+                ELSE FALSE END AS simpson_flag
+    FROM pooled p CROSS JOIN base b JOIN agg a ON p.grp = a.grp
+    """,
+    doc="Simpson's-paradox detector: for each order-priority group, "
+    "the POOLED fulfilled-rate delta vs the overall baseline is "
+    "compared against the per-stratum (nation) vote — if the pooled "
+    "direction contradicts the majority of within-stratum directions "
+    "(each stratum compared to its OWN base rate, min cell n=20), "
+    "the group is flagged as a confounding artifact, not a real "
+    "effect. This is the dashboard-integrity audit run before any "
+    "segmented metric ships. All rates are exact integer ppm; the "
+    "vote is a sign census, so no float comparison anywhere. Three "
+    "hash aggregates over the same (group, stratum) cell table + "
+    "broadcast scalars — the cell table is the one shuffle, "
+    "metadata-sized (|groups| x |strata|).",
+)
+def q269_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("c_nationkey").alias("stratum"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+    )
+    cell = o.groupBy("grp", "stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    pooled = cell.groupBy("grp").agg(
+        F.expr("sum(pos) * 1000000 div sum(n)").cast("bigint").alias("rate")
+    )
+    base = cell.agg(
+        F.expr("sum(pos) * 1000000 div sum(n)").cast("bigint").alias("brate")
+    )
+    strat_base = cell.groupBy("stratum").agg(
+        F.expr("sum(pos) * 1000000 div sum(n)").cast("bigint").alias("srate")
+    )
+    sgn = (
+        cell.filter(F.col("n") >= 20)
+        .join(F.broadcast(strat_base), "stratum")
+        .select(
+            "grp",
+            F.when(F.expr("pos * 1000000 div n") > F.col("srate"), 1)
+            .when(F.expr("pos * 1000000 div n") < F.col("srate"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    agg = sgn.groupBy("grp").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    return (
+        pooled.crossJoin(F.broadcast(base))
+        .join(agg, "grp")
+        .select(
+            "grp",
+            F.col("rate").alias("pooled_rate_ppm"),
+            F.col("brate").alias("base_rate_ppm"),
+            "n_up",
+            "n_down",
+            (
+                ((F.col("rate") > F.col("brate")) & (F.col("n_down") > F.col("n_up")))
+                | ((F.col("rate") < F.col("brate")) & (F.col("n_up") > F.col("n_down")))
+            ).alias("simpson_flag"),
+        )
+    )
+
+
+@query(
+    "q270_markov_accuracy",
+    """
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    p AS (SELECT event_type, nxt FROM s WHERE nxt IS NOT NULL),
+    t AS (SELECT event_type, nxt, cast(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+    pred AS (SELECT event_type, nxt AS predicted
+             FROM (SELECT event_type, nxt, n,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY n DESC, nxt) AS rn
+                   FROM t) WHERE rn = 1)
+    SELECT p.event_type,
+           max(pred.predicted) AS predicted,
+           cast(count(*) AS BIGINT) AS n_transitions,
+           cast(sum(CASE WHEN p.nxt = pred.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           cast(sum(CASE WHEN p.nxt = pred.predicted THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+    FROM p JOIN pred USING (event_type)
+    GROUP BY p.event_type
+    """,
+    doc="Markov next-event predictor + in-corpus accuracy: the "
+    "majority-next-event model (argmax row of q186's transition "
+    "matrix, deterministic tiebreak by event name) scored against "
+    "every observed transition — the baseline any sequence model "
+    "must beat, and the sanity number for session-flow dashboards. "
+    "Transitions come from per-user lead windows (bounded per-key "
+    "state); the model is |event types|^2 rows collapsing to one "
+    "argmax per type (a window over each type's <=|types| "
+    "candidate rows), and scoring is one broadcast join of the "
+    "|types|-row model back onto the transition stream + one hash "
+    "aggregate. Exact integer accuracy in ppm.",
+)
+def q270_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy("event_type", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pred = (
+        t.select(
+            "event_type",
+            "nxt",
+            F.row_number()
+            .over(
+                W.partitionBy("event_type").orderBy(F.col("n").desc(), "nxt")
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("nxt").alias("predicted"))
+    )
+    return (
+        s.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("predicted").alias("predicted"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            )
+            .cast("bigint")
+            .alias("accuracy_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
