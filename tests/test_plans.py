@@ -502,6 +502,8 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q268_embedding_norm_gate",  # power-sum broadcast + one agg
         "q269_simpson_detector",   # cell-table aggs + broadcast scalars
         "q270_markov_accuracy",    # lead per user; argmax per type
+        "q271_lang_confusion",     # map-side classify + cell table
+        "q272_split_leakage",      # gram-keyed pair join, no windows
         # (q263 keeps its prefix window over the FIXED 64-bin public
         # histogram by design — same exclusion as q220's digit spine)
     ],

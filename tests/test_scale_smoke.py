@@ -55,6 +55,7 @@ SCALE_SENSITIVE = [
     "q249_theil_sen",
     "q257_rare_token_mass",
     "q264_lsh_tuning",  # 3 bandings x band-bucket pair fan-out
+    "q272_split_leakage",  # cross-split gram join volume
 ]
 
 

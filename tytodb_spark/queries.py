@@ -14289,6 +14289,183 @@ def q270_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q271_lang_confusion",
+    None,  # oracle composed below (embeds the marker table via q46's CTE)
+    doc="Language-ID confusion matrix + per-class precision/recall: "
+    "the q46 marker-argmax classifier scored cell-by-cell against "
+    "the labeled lang column — the eval table that turns 'we have a "
+    "langid heuristic' into 'we know which pairs it confuses and "
+    "which direction'. One scan classifies map-side (the marker "
+    "hits are regexp counts, no shuffle), one hash aggregate builds "
+    "the |langs|^2 cell table, and the two marginals join back as "
+    "broadcasts — precision = cell/pred-total, recall = cell/true-"
+    "total, exact integer ppm. The eval composes the same production "
+    "classifier expression, so the matrix can never drift from what "
+    "the pipeline actually runs.",
+)
+def q271_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            lang_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tt = cells.groupBy("lang_true").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    pt = cells.groupBy("lang_pred").agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(tt), "lang_true")
+        .join(F.broadcast(pt), "lang_pred")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div n_true").cast("bigint").alias("recall_ppm"),
+            F.expr("n * 1000000 div n_pred")
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+    )
+
+
+def _q271_oracle() -> str:
+    from tytodb_spark.operators.textual import LANG_MARKERS
+
+    hits = _lang_hits_sql(LANG_MARKERS)
+    packs = ", ".join(
+        f"struct_pack(negs := -s_{lang}, l := '{lang}')" for lang in sorted(hits)
+    )
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in hits.items())
+    greatest = ", ".join(f"s_{lang}" for lang in sorted(hits))
+    return f"""
+    WITH pred AS (
+      SELECT lang AS lang_true,
+             CASE WHEN greatest({greatest}) < 1 THEN 'und'
+                  ELSE list_sort([{packs}])[1].l END AS lang_pred
+      FROM (SELECT lang, {scores} FROM documents)),
+    cells AS (SELECT lang_true, lang_pred, cast(count(*) AS BIGINT) AS n
+              FROM pred GROUP BY 1, 2),
+    tt AS (SELECT lang_true, cast(sum(n) AS BIGINT) AS n_true
+           FROM cells GROUP BY 1),
+    pt AS (SELECT lang_pred, cast(sum(n) AS BIGINT) AS n_pred
+           FROM cells GROUP BY 1)
+    SELECT c.lang_true, c.lang_pred, c.n,
+           cast(c.n * 1000000 // tt.n_true AS BIGINT) AS recall_ppm,
+           cast(c.n * 1000000 // pt.n_pred AS BIGINT) AS precision_ppm
+    FROM cells c JOIN tt USING (lang_true) JOIN pt USING (lang_pred)
+    """
+
+
+REGISTRY["q271_lang_confusion"] = QueryDef(
+    fn=REGISTRY["q271_lang_confusion"].fn,
+    oracle=_q271_oracle(),
+    doc=REGISTRY["q271_lang_confusion"].doc,
+)
+
+
+@query(
+    "q272_split_leakage",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   (strpos('0123456789abcdef',
+                           substr(md5(cast(doc_id AS VARCHAR)), 31, 1)) - 1)
+                   * 16
+                   + strpos('0123456789abcdef',
+                            substr(md5(cast(doc_id AS VARCHAR)), 32, 1)) - 1
+                     AS b
+            FROM documents)),
+    g AS (SELECT DISTINCT split, g FROM (
+            SELECT split, unnest({_NGRAMS(8)}) AS g FROM sp)),
+    m AS (SELECT split, cast(count(*) AS BIGINT) AS n_grams
+          FROM g GROUP BY 1),
+    ov AS (SELECT a.split AS split_a, b.split AS split_b,
+                  cast(count(*) AS BIGINT) AS n_shared
+           FROM g a JOIN g b ON a.g = b.g AND a.split < b.split
+           GROUP BY 1, 2)
+    SELECT ov.split_a, ov.split_b, ma.n_grams AS grams_a,
+           mb.n_grams AS grams_b, ov.n_shared,
+           cast(ov.n_shared * 1000000 // least(ma.n_grams, mb.n_grams)
+                AS BIGINT) AS leakage_ppm
+    FROM ov JOIN m ma ON ov.split_a = ma.split
+            JOIN m mb ON ov.split_b = mb.split
+    """,
+    doc="Train/val/test split-leakage matrix: for each split pair, the "
+    "count of exact word-8-grams present in BOTH — the audit that "
+    "catches eval contamination introduced by the split itself "
+    "(near-duplicate documents landing on opposite sides of the q69 "
+    "hash split). Grams dedupe per split first (one hash aggregate), "
+    "so the pair stage joins |distinct grams| rows on the gram key — "
+    "co-partitioned, never doc x doc; leakage normalizes by the "
+    "smaller side's gram count (ppm). At 100x the gram table is the "
+    "only large shuffle and it is exactly the q238 novelty-census "
+    "shape; a production run would hash grams to 64-bit before the "
+    "join (q238's remedy) — kept as raw strings here so the oracle "
+    "joins byte-identical keys. The FIX for flagged leakage is "
+    "cluster-aware splitting: split by q71's near-dup cluster id "
+    "instead of doc id.",
+)
+def q272_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(hexd), F.substring(md5, 31, 1)) - 1) * 16 + (
+        F.instr(F.lit(hexd), F.substring(md5, 32, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    sp = spread(
+        docs.select("doc_id", "text", split.alias("split")), "doc_id"
+    )
+    g = sp.select(
+        "split", F.explode(word_ngrams(F.col("text"), 8)).alias("g")
+    ).distinct()
+    m = g.groupBy("split").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    a = g.select(F.col("split").alias("split_a"), "g")
+    b = g.select(F.col("split").alias("split_b"), "g")
+    ov = (
+        a.join(b, "g")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        ov.join(
+            F.broadcast(m.select(F.col("split").alias("split_a"), F.col("n_grams").alias("grams_a"))),
+            "split_a",
+        )
+        .join(
+            F.broadcast(m.select(F.col("split").alias("split_b"), F.col("n_grams").alias("grams_b"))),
+            "split_b",
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "grams_a",
+            "grams_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 div least(grams_a, grams_b)")
+            .cast("bigint")
+            .alias("leakage_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
