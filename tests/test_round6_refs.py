@@ -349,3 +349,240 @@ def test_gate_ablation_matches_python(spark, sf_dir):
         cells[(g1 + 2 * g2 + 4 * g3 + 8 * g4, g1, g2, g3, g4)] += 1
     ref = sorted((*k, n) for k, n in cells.items())
     assert got == ref
+
+
+def test_record_linkage_matches_brute_force(spark, sf_dir):
+    got = [
+        (r["id1"], r["id2"], r["score_q"], r["agree_seg"], r["agree_bal"], r["agree_ord"])
+        for r in _rows(spark, sf_dir, "q245_record_linkage")
+    ]
+    t = load_tables(spark, sf_dir)
+    n_ord = Counter(r["o_custkey"] for r in t["orders"].collect())
+    recs = []
+    for r in t["customer"].collect():
+        cents = math.floor(r["c_acctbal"] * 100 + 0.5)
+        recs.append(
+            (r["c_custkey"], r["c_nationkey"], r["c_mktsegment"], cents,
+             math.floor(r["c_acctbal"] / 1000.0), n_ord.get(r["c_custkey"], 0))
+        )
+    pairs = []
+    for a, b in combinations(sorted(recs), 2):
+        if a[1] != b[1] or a[4] != b[4]:
+            continue
+        seg = 1 if a[2] == b[2] else 0
+        bal = 1 if abs(a[3] - b[3]) <= 5000 else 0
+        ordm = 1 if a[5] == b[5] else 0
+        score = (13863 if seg else -2231) + (16094 if bal else -1054) + (
+            9163 if ordm else -2877
+        )
+        if score >= 25000:
+            pairs.append((-score, a[0], b[0], seg, bal, ordm))
+    pairs.sort()
+    ref = [(i1, i2, -negs, s, ba, o) for negs, i1, i2, s, ba, o in pairs[:100]]
+    assert got == ref
+
+
+def test_holt_linear_matches_python(spark, sf_dir):
+    got = sorted(
+        (r["event_type"], r["h"], r["y"], r["level_255"], r["trend_255"],
+         r["forecast_255"], r["abs_err_255"])
+        for r in _rows(spark, sf_dir, "q255_holt_linear")
+    )
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts").collect()
+    hr = Counter()
+    for r in ev:
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 + r["ts"].microsecond
+        hr[(r["event_type"], math.floor(us / 3.6e9))] += 1
+    series: dict[str, list] = defaultdict(list)
+    for (et, h), y in sorted(hr.items()):
+        series[et].append((h, y))
+    ref = []
+    for et, pts in series.items():
+        ys = [y for _h, y in pts]
+        lv = [None] * len(ys)
+        for i in range(7, len(ys)):
+            lv[i] = sum(ys[i - k] * (128 >> k) for k in range(8))
+        rows = []
+        for i in range(9, len(ys)):
+            l1, l2 = lv[i - 1], lv[i - 2]
+            rows.append(
+                (et, pts[i][0], ys[i], lv[i], lv[i] - l1, 2 * l1 - l2,
+                 abs(255 * ys[i] - (2 * l1 - l2)))
+            )
+        ref.extend(rows[-24:])
+    assert got == sorted(ref)
+
+
+def test_purge_cascade_matches_python(spark, sf_dir):
+    got = {
+        r["nation"]: (r["n_customers"], r["n_orders"], r["n_lineitems"])
+        for r in _rows(spark, sf_dir, "q266_purge_cascade")
+    }
+    t = load_tables(spark, sf_dir)
+    nations = {r["n_nationkey"]: r["n_name"] for r in t["nation"].collect()}
+    f = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in t["customer"].collect()
+        if r["c_custkey"] % 199 == 0
+    }
+    cust_n = Counter(f.values())
+    fo = {}
+    ord_n = Counter()
+    for r in t["orders"].select("o_orderkey", "o_custkey").collect():
+        if r["o_custkey"] in f:
+            nk = f[r["o_custkey"]]
+            fo[r["o_orderkey"]] = nk
+            ord_n[nk] += 1
+    li_n = Counter()
+    for r in t["lineitem"].select("l_orderkey").collect():
+        if r["l_orderkey"] in fo:
+            li_n[fo[r["l_orderkey"]]] += 1
+    ref = {
+        nations[nk]: (cust_n[nk], ord_n.get(nk, 0), li_n.get(nk, 0))
+        for nk in cust_n
+    }
+    assert got == ref
+
+
+def test_lsh_tuning_matches_python(spark, sf_dir):
+    from tytodb_spark.queries import _MH64, _MH_P
+
+    got = {
+        (r["n_bands"], r["rows_per_band"]): (
+            r["s_curve_threshold_ppm"], r["n_candidate_pairs"])
+        for r in _rows(spark, sf_dir, "q264_lsh_tuning")
+    }
+    import hashlib
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text").collect()
+    sigs = {}
+    for r in docs:
+        toks = [w for w in r["text"].lower().strip().split() if w]
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not grams:
+            continue
+        h0s = [
+            int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % _MH_P
+            for g in grams
+        ]
+        sigs[r["doc_id"]] = [
+            min((a * h + b) % _MH_P for h in h0s) for _i, a, b in _MH64
+        ]
+    ref = {}
+    for nb, rr in ((16, 4), (8, 8), (4, 16)):
+        buckets = defaultdict(list)
+        for d, s in sigs.items():
+            for band in range(nb):
+                key = (band, tuple(s[band * rr:(band + 1) * rr]))
+                buckets[key].append(d)
+        pairs = set()
+        for ds in buckets.values():
+            for a, b in combinations(sorted(ds), 2):
+                pairs.add((a, b))
+        thr = math.floor((1.0 / nb) ** (1.0 / rr) * 1000000 + 0.5)
+        ref[(nb, rr)] = (thr, len(pairs))
+    assert got == ref
+
+
+def test_ab_sample_size_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["users"], r["convs"], r["cvr_ppm"], r["n_per_arm"])
+        for r in _rows(spark, sf_dir, "q256_ab_sample_size")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id").collect()
+    users: dict[str, set] = defaultdict(set)
+    for r in ev:
+        users[r["event_type"]].add(r["user_id"])
+    buyers = users.get("purchase", set())
+    stats = {}
+    tot_u = tot_c = 0
+    for et, us in users.items():
+        convs = len(us & buyers)
+        stats[et] = (len(us), convs, convs * 1000000 // len(us))
+        tot_u += len(us)
+        tot_c += convs
+    base = tot_c * 1000000 // tot_u
+    ref = {}
+    for et, (u, c, cvr) in stats.items():
+        if cvr == base:
+            n = None
+        else:
+            d = cvr - base
+            num = 784 * (cvr * (1000000 - cvr) + base * (1000000 - base))
+            n = (num + 100 * d * d - 1) // (100 * d * d)
+        ref[et] = (u, c, cvr, n)
+    assert got == ref
+
+
+def test_markov_accuracy_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["predicted"], r["n_transitions"], r["n_correct"],
+                          r["accuracy_ppm"])
+        for r in _rows(spark, sf_dir, "q270_markov_accuracy")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = []
+    for seq in by_user.values():
+        seq.sort()
+        for i in range(len(seq) - 1):
+            trans.append((seq[i][2], seq[i + 1][2]))
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for a, b in trans:
+        counts[a][b] += 1
+    pred = {
+        a: sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        for a, c in counts.items()
+    }
+    ref = {}
+    for a, c in counts.items():
+        n = sum(c.values())
+        correct = c[pred[a]]
+        ref[a] = (pred[a], n, correct, correct * 1000000 // n)
+    assert got == ref
+
+
+def test_simpson_detector_matches_python(spark, sf_dir):
+    got = {
+        r["grp"]: (r["pooled_rate_ppm"], r["base_rate_ppm"], r["n_up"],
+                   r["n_down"], r["simpson_flag"])
+        for r in _rows(spark, sf_dir, "q269_simpson_detector")
+    }
+    t = load_tables(spark, sf_dir)
+    nat = {r["c_custkey"]: r["c_nationkey"] for r in t["customer"].collect()}
+    cells: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in t["orders"].select("o_custkey", "o_orderpriority", "o_orderstatus").collect():
+        key = (r["o_orderpriority"], nat[r["o_custkey"]])
+        cells[key][0] += 1
+        cells[key][1] += 1 if r["o_orderstatus"] == "F" else 0
+    pooled: dict[str, list] = defaultdict(lambda: [0, 0])
+    strat: dict[int, list] = defaultdict(lambda: [0, 0])
+    tot = [0, 0]
+    for (g, s), (n, pos) in cells.items():
+        pooled[g][0] += n
+        pooled[g][1] += pos
+        strat[s][0] += n
+        strat[s][1] += pos
+        tot[0] += n
+        tot[1] += pos
+    base = tot[1] * 1000000 // tot[0]
+    ref = {}
+    for g in pooled:
+        pr = pooled[g][1] * 1000000 // pooled[g][0]
+        up = down = 0
+        for (gg, s), (n, pos) in cells.items():
+            if gg != g or n < 20:
+                continue
+            srate = strat[s][1] * 1000000 // strat[s][0]
+            cr = pos * 1000000 // n
+            if cr > srate:
+                up += 1
+            elif cr < srate:
+                down += 1
+        flag = (pr > base and down > up) or (pr < base and up > down)
+        ref[g] = (pr, base, up, down, flag)
+    assert got == ref
