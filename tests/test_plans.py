@@ -504,6 +504,8 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q270_markov_accuracy",    # lead per user; argmax per type
         "q271_lang_confusion",     # map-side classify + cell table
         "q272_split_leakage",      # gram-keyed pair join, no windows
+        "q273_neyman_allocation",  # power sums + broadcast total
+        "q274_broadcast_advisor",  # per-table aggs, unioned report
         # (q263 keeps its prefix window over the FIXED 64-bin public
         # histogram by design — same exclusion as q220's digit spine)
     ],

@@ -14466,6 +14466,136 @@ def q272_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q273_neyman_allocation",
+    """
+    WITH s AS (SELECT source,
+                      cast(count(*) AS BIGINT) AS n_docs,
+                      cast(sum(n_chars) AS BIGINT) AS sx,
+                      cast(sum(n_chars * n_chars) AS BIGINT) AS sxx
+               FROM documents GROUP BY 1),
+    v AS (SELECT source, n_docs,
+                 cast(floor(sqrt(
+                     cast(n_docs * sxx - sx * sx AS DOUBLE)
+                     / (cast(n_docs AS DOUBLE) * cast(n_docs AS DOUBLE))
+                 ) * 1000) AS BIGINT) AS sd_q
+          FROM s),
+    w AS (SELECT source, n_docs, sd_q, n_docs * sd_q AS wgt FROM v),
+    t AS (SELECT cast(sum(wgt) AS BIGINT) AS tw FROM w)
+    SELECT w.source, w.n_docs, w.sd_q,
+           cast(10000 * w.wgt // t.tw AS BIGINT) AS alloc
+    FROM w CROSS JOIN t
+    """,
+    doc="Neyman-optimal stratified-sampling allocation: a 10k-doc "
+    "labeling budget split across sources proportional to N_h * "
+    "sigma_h (strata with more internal variance get more samples — "
+    "the minimum-variance allocation for a fixed budget), with "
+    "document length as the proxy variance signal. One power-sum "
+    "aggregate per stratum (count, sum, sum-of-squares — all exact "
+    "int64), the population variance assembled in ONE fixed-order "
+    "double expression and quantized floor(sqrt(.)*1e3), weights and "
+    "the final allocation in pure integer arithmetic against the "
+    "broadcast weight total. Floor allocation under-fills by < "
+    "|strata| docs — the deficit goes to a deterministic remainder "
+    "pass at execution (q204's md5-rank reservoir per stratum "
+    "executes exactly this plan). Headroom: n*sxx needs n*E[x^2] "
+    "< 9e18 — quantize lengths to KB beyond ~1e9 docs/stratum.",
+)
+def q273_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    v = s.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "cast(floor(sqrt("
+            " cast(n_docs * sxx - sx * sx as double)"
+            " / (cast(n_docs as double) * cast(n_docs as double))"
+            ") * 1000) as bigint)"
+        ).alias("sd_q"),
+    )
+    w = v.select(
+        "source", "n_docs", "sd_q", (F.col("n_docs") * F.col("sd_q")).alias("wgt")
+    )
+    t = w.agg(F.sum("wgt").cast("bigint").alias("tw"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "sd_q",
+        F.expr("10000 * wgt div tw").cast("bigint").alias("alloc"),
+    )
+
+
+@query(
+    "q274_broadcast_advisor",
+    """
+    WITH sz AS (
+      SELECT 'region' AS tbl, cast(count(*) AS BIGINT) AS n_rows,
+             cast(sum(8 + length(r_name)) AS BIGINT) AS est_bytes
+      FROM region
+      UNION ALL
+      SELECT 'nation', cast(count(*) AS BIGINT),
+             cast(sum(8 + 4 + length(n_name)) AS BIGINT) FROM nation
+      UNION ALL
+      SELECT 'supplier', cast(count(*) AS BIGINT),
+             cast(sum(8 + 4 + 8 + length(s_name)) AS BIGINT) FROM supplier
+      UNION ALL
+      SELECT 'customer', cast(count(*) AS BIGINT),
+             cast(sum(8 + 4 + 8 + length(c_name) + length(c_mktsegment))
+                  AS BIGINT) FROM customer
+      UNION ALL
+      SELECT 'part', cast(count(*) AS BIGINT),
+             cast(sum(8 + 8 + length(p_name) + length(p_brand)
+                      + length(p_type)) AS BIGINT) FROM part)
+    SELECT tbl, n_rows, est_bytes,
+           (est_bytes <= 10485760) AS broadcastable,
+           CASE WHEN est_bytes <= 10485760 THEN 'broadcast'
+                ELSE 'shuffle' END AS join_strategy
+    FROM sz
+    """,
+    doc="Broadcast-join advisor (the CBO sizing primitive made "
+    "explicit): every dimension table's exact row count and "
+    "estimated in-memory bytes (fixed-width columns at declared "
+    "width + actual string lengths — the same arithmetic "
+    "spark.sql.autoBroadcastJoinThreshold applies to stats it "
+    "trusts), graded against the default 10 MB threshold into a "
+    "broadcast-vs-shuffle recommendation. One count+sum aggregate "
+    "per table (column-pruned scans), unioned into the advisory "
+    "report. This is the exhibit behind every F.broadcast() hint in "
+    "the registry: the decision is measurable, not folklore, and at "
+    "100 TB the same report (fed by ANALYZE stats instead of scans) "
+    "drives AQE's runtime join re-planning.",
+)
+def q274_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    defs = [
+        ("region", "8 + length(r_name)"),
+        ("nation", "8 + 4 + length(n_name)"),
+        ("supplier", "8 + 4 + 8 + length(s_name)"),
+        ("customer", "8 + 4 + 8 + length(c_name) + length(c_mktsegment)"),
+        ("part", "8 + 8 + length(p_name) + length(p_brand) + length(p_type)"),
+    ]
+    out = None
+    for tbl, expr in defs:
+        df = _t(spark, sf_dir, tbl).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr(expr)).cast("bigint").alias("est_bytes"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes")
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") <= 10485760).alias("broadcastable"),
+        F.when(F.col("est_bytes") <= 10485760, "broadcast")
+        .otherwise("shuffle")
+        .alias("join_strategy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
