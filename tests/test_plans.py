@@ -506,6 +506,7 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q272_split_leakage",      # gram-keyed pair join, no windows
         "q273_neyman_allocation",  # power sums + broadcast total
         "q274_broadcast_advisor",  # per-table aggs, unioned report
+        "q275_langid_margin",      # map-side scores + one hash agg
         # (q263 keeps its prefix window over the FIXED 64-bin public
         # histogram by design — same exclusion as q220's digit spine)
     ],

@@ -14596,6 +14596,68 @@ def q274_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q275_langid_margin",
+    None,  # oracle composed below (embeds the marker table)
+    doc="Language-ID confidence census: per predicted language, the "
+    "histogram of argmax MARGINS (best marker-hit count minus second "
+    "best, the classifier's confidence signal) bucketed 0 / 1 / 2 / "
+    "3+ — the router that decides which documents get the cheap "
+    "heuristic label and which escalate to a real langid model "
+    "(margin 0 = coin flip, route to the expensive path). Scores, "
+    "argmax, and margins are all exact integer regexp counts "
+    "computed map-side (the same production expressions as q46/"
+    "q271), then one hash aggregate on the (pred, bucket) key. "
+    "Confidence-routing composition: q271 says WHERE the heuristic "
+    "is wrong; this says how often it KNOWS it's unsure.",
+)
+def q275_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import lang_id, lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    arr = F.array_sort(F.array(*[scores[lang] for lang in sorted(scores)]))
+    n = len(scores)
+    margin = F.element_at(arr, n) - F.element_at(arr, n - 1)
+    b = docs.select(
+        lang_id("text").alias("lang_pred"),
+        F.least(margin, F.lit(3)).cast("int").alias("margin_bucket"),
+    )
+    return b.groupBy("lang_pred", "margin_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def _q275_oracle() -> str:
+    from tytodb_spark.operators.textual import LANG_MARKERS
+
+    hits = _lang_hits_sql(LANG_MARKERS)
+    packs = ", ".join(
+        f"struct_pack(negs := -s_{lang}, l := '{lang}')" for lang in sorted(hits)
+    )
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in hits.items())
+    arr = ", ".join(f"s_{lang}" for lang in sorted(hits))
+    n = len(hits)
+    return f"""
+    WITH sc AS (SELECT {scores} FROM documents),
+    p AS (SELECT CASE WHEN greatest({arr}) < 1 THEN 'und'
+                      ELSE list_sort([{packs}])[1].l END AS lang_pred,
+                 list_sort([{arr}])[{n}] - list_sort([{arr}])[{n - 1}]
+                   AS margin
+          FROM sc)
+    SELECT lang_pred, cast(least(margin, 3) AS INT) AS margin_bucket,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY 1, 2
+    """
+
+
+REGISTRY["q275_langid_margin"] = QueryDef(
+    fn=REGISTRY["q275_langid_margin"].fn,
+    oracle=_q275_oracle(),
+    doc=REGISTRY["q275_langid_margin"].doc,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
