@@ -586,3 +586,21 @@ def test_simpson_detector_matches_python(spark, sf_dir):
         flag = (pr > base and down > up) or (pr < base and up > down)
         ref[g] = (pr, base, up, down, flag)
     assert got == ref
+
+
+def test_decile_concentration_bounds_hold(spark, sf_dir):
+    row = _rows(spark, sf_dir, "q276_decile_concentration")[0]
+    rev = Counter()
+    for r in load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        rev[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    vals = sorted(rev.values(), reverse=True)
+    n = len(vals)
+    k = -(-n // 10)
+    total = sum(vals)
+    true_share_ppm = sum(vals[:k]) * 1000000 // total
+    assert row["n_customers"] == n and row["k_top"] == k
+    assert row["share_lo_ppm"] <= true_share_ppm <= row["share_hi_ppm"]
+    # bounds are bucket-tight: within one $10k bucket's worth of the truth
+    assert row["share_hi_ppm"] - row["share_lo_ppm"] <= k * 1000000 * 1000000 // total

@@ -14658,6 +14658,98 @@ REGISTRY["q275_langid_margin"] = QueryDef(
 )
 
 
+@query(
+    "q276_decile_concentration",
+    """
+    WITH rev AS (SELECT o_custkey,
+                        cast(sum(cast(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders GROUP BY 1),
+    b AS (SELECT cents // 1000000 AS bkt,
+                 cast(count(*) AS BIGINT) AS n_cust,
+                 cast(sum(cents) AS BIGINT) AS rev_sum
+          FROM rev GROUP BY 1),
+    c AS (SELECT bkt, n_cust, rev_sum,
+                 sum(n_cust) OVER (ORDER BY bkt DESC) AS cum_n,
+                 sum(rev_sum) OVER (ORDER BY bkt DESC) AS cum_rev,
+                 sum(n_cust) OVER () AS n,
+                 sum(rev_sum) OVER () AS total
+          FROM b),
+    t AS (SELECT bkt, n_cust, rev_sum, cum_n, cum_rev, n, total,
+                 (n + 9) // 10 AS k
+          FROM c WHERE cum_n >= (n + 9) // 10
+          ORDER BY bkt DESC LIMIT 1)
+    SELECT cast(n AS BIGINT) AS n_customers,
+           cast(k AS BIGINT) AS k_top,
+           cast(bkt AS BIGINT) AS t_star_bucket,
+           cast(((cum_rev - rev_sum)
+                 + (k - (cum_n - n_cust)) * (bkt * 1000000))
+                * 1000000 // total AS BIGINT) AS share_lo_ppm,
+           cast(((cum_rev - rev_sum)
+                 + least((k - (cum_n - n_cust)) * ((bkt + 1) * 1000000 - 1),
+                         rev_sum))
+                * 1000000 // total AS BIGINT) AS share_hi_ppm
+    FROM t
+    """,
+    doc="Top-decile revenue concentration WITHOUT a global sort: "
+    "per-customer revenue collapses into $10k value buckets (one "
+    "hash aggregate), cumulative counts from the top find the bucket "
+    "t* where the k = ceil(n/10) richest customers land, and the "
+    "top-decile revenue share is reported as EXACT LOWER AND UPPER "
+    "BOUNDS (the k-th customer's within-bucket position is the only "
+    "unknown, so the bounds assume bucket-min / bucket-max for the "
+    "partial bucket — honest precision at bucket resolution, "
+    "tightened by halving the bucket width, never by ordering the "
+    "corpus). The window runs over the ~60-row bucket table (the "
+    "q263/q220 metadata-spine exclusion class); everything else is "
+    "exact integer ppm. The distributional complement of q233's "
+    "Gini scalar: Gini says HOW concentrated, this says WHO holds "
+    "it.",
+)
+def q276_decile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = rev.groupBy(F.expr("cents div 1000000").alias("bkt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("rev_sum"),
+    )
+    c = b.select(
+        "bkt",
+        "n_cust",
+        "rev_sum",
+        F.sum("n_cust").over(W.orderBy(F.col("bkt").desc())).alias("cum_n"),
+        F.sum("rev_sum").over(W.orderBy(F.col("bkt").desc())).alias("cum_rev"),
+        F.sum("n_cust").over(W.partitionBy()).alias("n"),
+        F.sum("rev_sum").over(W.partitionBy()).alias("total"),
+    )
+    t = (
+        c.withColumn("k", F.expr("(n + 9) div 10"))
+        .filter(F.col("cum_n") >= F.col("k"))
+        .orderBy(F.col("bkt").desc())
+        .limit(1)
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("k").cast("bigint").alias("k_top"),
+        F.col("bkt").cast("bigint").alias("t_star_bucket"),
+        F.expr(
+            "cast(((cum_rev - rev_sum)"
+            " + (k - (cum_n - n_cust)) * (bkt * 1000000))"
+            " * 1000000 div total as bigint)"
+        ).alias("share_lo_ppm"),
+        F.expr(
+            "cast(((cum_rev - rev_sum)"
+            " + least((k - (cum_n - n_cust)) * ((bkt + 1) * 1000000 - 1),"
+            "         rev_sum))"
+            " * 1000000 div total as bigint)"
+        ).alias("share_hi_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
