@@ -508,7 +508,8 @@ def test_join_size_estimate_broadcasts_scalars(spark, sf_dir):
         "q274_broadcast_advisor",  # per-table aggs, unioned report
         "q275_langid_margin",      # map-side scores + one hash agg
         # (q263 keeps its prefix window over the FIXED 64-bin public
-        # histogram by design — same exclusion as q220's digit spine)
+        # histogram by design — same exclusion as q220's digit spine;
+        # q276 likewise windows only its ~60-row value-bucket table)
     ],
 )
 def test_round6_queries_have_no_global_window(spark, sf_dir, name):
