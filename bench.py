@@ -40,6 +40,36 @@ def _warm_python_workers(spark) -> None:
     df.mapInPandas(_ident, "id long").count()
 
 
+def _committed_clean(repo: str, relpath: str) -> bool:
+    """True iff relpath exists, is tracked in HEAD, and has no local
+    modifications — i.e. it is a prior round's committed artifact that a
+    fresh bench run must not clobber. Untracked or locally-modified
+    files (this round's in-flight artifact) return False and may be
+    overwritten freely. Fails open (False) if git is unavailable."""
+    import subprocess
+
+    if not os.path.exists(os.path.join(repo, relpath)):
+        return False
+    try:
+        tracked = (
+            subprocess.run(
+                ["git", "-C", repo, "ls-files", "--error-unmatch", relpath],
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+        if not tracked:
+            return False
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--", relpath],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        return dirty == ""
+    except OSError:
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -113,15 +143,26 @@ def main() -> None:
     # The driver's BENCH_r{N}.json keeps only the tail of long stdout
     # lines, losing a third of the per-query numbers. Persist the full
     # dict to a committed artifact: bench_local_r{N}.json where N =
-    # 1 + max existing BENCH_r* round (i.e. the round in flight).
+    # 1 + max existing BENCH_r*/CORRECTNESS_r* round. The driver
+    # occasionally skips committing a round's artifacts, and deriving N
+    # from BENCH_r* alone then aliased a new run onto the PREVIOUS
+    # round's bench_local file, destroying its history (this clobbered
+    # round-5's artifact mid-round-6). Guard: never overwrite a
+    # bench_local_r{N} that is committed-clean in git — that file
+    # belongs to a finished run; bump past it instead. An explicit
+    # SPARK_GRAFT_BENCH_ROUND env var overrides detection entirely.
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
             for f in os.listdir(repo)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            if (m := re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f))
         ]
-        n = max(rounds, default=0) + 1
+        env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+        n = int(env_round) if env_round else max(rounds, default=0) + 1
+        if not env_round:
+            while _committed_clean(repo, f"bench_local_r{n:02d}.json"):
+                n += 1
         with open(os.path.join(repo, f"bench_local_r{n:02d}.json"), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError as e:

@@ -171,6 +171,13 @@ def test_theil_sen_matches_python(spark, sf_dir):
         series[et].append((h, y))
     ref = {}
     for et, pts in series.items():
+        if len(pts) < 2:
+            # The query's implicit n_pairs >= 1 behavior: an event type
+            # with a single hourly point yields no pairwise slopes and
+            # is omitted from the result — mirror that here instead of
+            # crashing on slopes[-1] of an empty list if a fixture
+            # change ever produces such a series.
+            continue
         slopes = []
         for (h1, y1), (h2, y2) in combinations(pts, 2):
             slopes.append(math.floor((y2 - y1) * 1000000 / (h2 - h1)))
@@ -317,7 +324,9 @@ def test_padding_waste_matches_python(spark, sf_dir):
     cells = defaultdict(lambda: [0, 0, 0])
     for r in docs:
         nt = max(len([w for w in r["text"].lower().strip().split() if w]), 1)
-        p = nt.bit_length() - 1
+        # Top spine bucket is clamped open-ended: documents past
+        # 131071 tokens land in p=16, mirroring the query's clamp.
+        p = min(nt.bit_length() - 1, 16)
         for cap in (512, 1024, 2048):
             waste = -(-nt // cap) * cap - nt
             c = cells[(cap, p)]

@@ -11909,10 +11909,15 @@ REGISTRY["q242_merkle_root"] = QueryDef(
     "supports join back on the pair's own keys (item_a, then item_b — "
     "two co-partitioned hash joins; the item-count dim broadcasts "
     "when it fits). All rule metrics are exact integer arithmetic: "
-    "conf = n_ab*1e6 div n_a, lift = n_ab*N*1e3 div (n_a*n_b) — the "
-    "x1000 lift quantum keeps n_ab*N*1e3 inside bigint headroom out "
-    "to ~1e12 baskets (quantize coarser beyond). Top-100 by the "
-    "unique (lift, a, b) key via TakeOrderedAndProject.",
+    "conf = n_ab*1e6 div n_a, lift = n_ab*N*1e3 div (n_a*n_b). "
+    "Headroom bound, stated precisely: n_ab*N*1e3 needs n_ab*N <= "
+    "9.2e15 to stay in int64 — at N=1e9 baskets that allows pair "
+    "support to ~9.2e6; at N=1e12 only ~9.2e3, and high-support "
+    "pairs are exactly the ones association rules surface, so beyond "
+    "~1e9 baskets pre-divide instead: lift = (n_ab*1000 div n_a) * N "
+    "div n_b, mirroring the quantization-order change in the oracle. "
+    "Top-100 by the unique (lift, a, b) key via "
+    "TakeOrderedAndProject.",
 )
 def q243_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -13447,7 +13452,9 @@ _PW_TOKS = r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> 
     "q261_padding_waste",
     f"""
     WITH n AS (SELECT greatest({_PW_TOKS}, 1) AS nt FROM documents),
-    spine AS (SELECT p, (1::BIGINT << p) AS lo, (1::BIGINT << (p + 1)) AS hi
+    spine AS (SELECT p, (1::BIGINT << p) AS lo,
+                     CASE WHEN p = 16 THEN 9223372036854775807
+                          ELSE (1::BIGINT << (p + 1)) END AS hi
               FROM (SELECT unnest(range(0, 17)) AS p)),
     t AS (SELECT cap FROM (VALUES (512), (1024), (2048)) v(cap)),
     b AS (SELECT t.cap, spine.p AS len_bucket, n.nt,
@@ -13470,9 +13477,12 @@ _PW_TOKS = r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> 
     "choosing q84's packing parameters: buckets with high waste_ppm "
     "are where concat-and-chunk packing pays. The length bucket "
     "comes from a BROADCAST 17-row power-of-two spine (range join "
-    "on [2^p, 2^(p+1)) — exact integers, no log2() ulp risk), the "
-    "3 caps from a broadcast VALUES spine; one scan, one hash "
-    "aggregate on the (cap, bucket) key, everything else map-side.",
+    "on [2^p, 2^(p+1)) — exact integers, no log2() ulp risk; the "
+    "TOP bucket p=16 is clamped open-ended to max-bigint so "
+    "documents past 131071 tokens land in it instead of silently "
+    "dropping out of the census), the 3 caps from a broadcast "
+    "VALUES spine; one scan, one hash aggregate on the (cap, "
+    "bucket) key, everything else map-side.",
 )
 def q261_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tytodb_spark.operators.textual import token_count
@@ -13484,7 +13494,10 @@ def q261_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.range(0, 17).select(
         F.col("id").cast("int").alias("p"),
         F.expr("shiftleft(cast(1 as bigint), cast(id as int))").alias("lo"),
-        F.expr("shiftleft(cast(1 as bigint), cast(id as int) + 1)").alias("hi"),
+        F.expr(
+            "case when id = 16 then 9223372036854775807"
+            " else shiftleft(cast(1 as bigint), cast(id as int) + 1) end"
+        ).alias("hi"),
     )
     caps = spark.range(1).select(
         F.explode(F.array(F.lit(512), F.lit(1024), F.lit(2048))).alias("cap")
@@ -14037,14 +14050,15 @@ def q267_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     s AS (SELECT cast(count(*) AS BIGINT) AS n,
                  cast(sum(n2) AS BIGINT) AS s1,
-                 cast(sum(n2 * n2 // 1000000) AS BIGINT) AS s2m
+                 cast(sum((n2 // 1000) * (n2 // 1000)) AS BIGINT) AS s2m
           FROM q)
     SELECT q.label,
            cast(count(*) AS BIGINT) AS n_vecs,
            cast(sum(CASE WHEN
-                  (q.n2 - s.s1 // s.n) * (q.n2 - s.s1 // s.n) // 1000000
+                  (abs(q.n2 - s.s1 // s.n) // 1000)
+                  * (abs(q.n2 - s.s1 // s.n) // 1000)
                   > 9 * (s.s2m // s.n
-                         - (s.s1 // s.n) * (s.s1 // s.n) // 1000000)
+                         - (s.s1 // s.n // 1000) * (s.s1 // s.n // 1000))
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            cast(min(q.n2) AS BIGINT) AS min_n2,
            cast(max(q.n2) AS BIGINT) AS max_n2,
@@ -14059,10 +14073,16 @@ def q267_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact integer domain (floor(x*1e4) per coordinate, summed "
     "squares in int64); mean and variance come from ONE power-sum "
     "aggregate broadcast back as a single row, and the z^2 > 9 "
-    "decision is pure integer arithmetic (squares scaled //1e6 to "
-    "keep n2^2 inside int64 headroom — documented ceiling: per-"
-    "coordinate |x| < ~460 at 64 dims). One scan + one broadcast — "
-    "no second pass, no window.",
+    "decision is pure integer arithmetic. Headroom: values are scaled "
+    "BEFORE squaring ((n2 div 1000)^2, never n2*n2 div 1e6, which "
+    "overflows int64 once n2 > ~3e9, i.e. unquantized norm ~5.5 — "
+    "common for unnormalized encoders). With the pre-scaled spelling "
+    "the per-row bound is n2 <= ~3e12 (|x| <= ~21 per coordinate at "
+    "64 dims) and the s2m sum holds to ~1e6 such rows per 9.2e18 of "
+    "int64 range; abs() precedes every integer divide so Spark's "
+    "truncate-toward-zero div and DuckDB's flooring // agree on "
+    "negative deviations. One scan + one broadcast — no second pass, "
+    "no window.",
 )
 def q268_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
@@ -14080,12 +14100,15 @@ def q268_embedding_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n2").cast("bigint").alias("s1"),
-        F.sum(F.expr("n2 * n2 div 1000000")).cast("bigint").alias("s2m"),
+        F.sum(F.expr("(n2 div 1000) * (n2 div 1000)"))
+        .cast("bigint")
+        .alias("s2m"),
     )
     j = q.crossJoin(F.broadcast(s))
     z2 = F.expr(
-        "CASE WHEN (n2 - s1 div n) * (n2 - s1 div n) div 1000000"
-        " > 9 * (s2m div n - (s1 div n) * (s1 div n) div 1000000)"
+        "CASE WHEN (abs(n2 - s1 div n) div 1000)"
+        " * (abs(n2 - s1 div n) div 1000)"
+        " > 9 * (s2m div n - (s1 div n div 1000) * (s1 div n div 1000))"
         " THEN 1 ELSE 0 END"
     )
     return j.groupBy("label").agg(
