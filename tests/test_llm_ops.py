@@ -2036,3 +2036,44 @@ def test_kcore_matches_python_peeling(spark):
     expect = {u: len(adj[u] & alive) for u in alive}
     assert got == expect
     assert set(got) == set(range(5)) | set(range(40, 44))  # both cliques
+def test_water_fill_caps_matches_brute_force(spark):
+    # Skewed fixtures exercise both branches the uniform documents
+    # fixture cannot: small keys kept whole below the water line, and
+    # the keep-all fallback when the budget covers the corpus.
+    from pyspark.sql import Row
+
+    from tytodb_spark.operators.sampling import water_fill_caps
+
+    cases = [
+        [1, 1, 1, 1000],          # tiny keys whole, giant capped
+        [5, 10, 20, 40, 80],      # geometric spread
+        [7],                      # single key
+        [100, 100, 100],          # uniform
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        [999999999, 1, 1],        # extreme skew
+    ]
+    for dens in ((1, 2), (9, 10), (1, 10), (1, 1)):
+        num, den = dens
+        for ts in cases:
+            rows = [Row(k=f"k{i}", t=t) for i, t in enumerate(ts)]
+            df = spark.createDataFrame(rows)
+            got = {
+                r["k"]: (r["tokens"], r["cap"], r["kept_tokens"], r["keep_ppm"])
+                for r in water_fill_caps(df, "k", "t", num, den).collect()
+            }
+            b = sum(ts) * num // den
+            # reference: largest c with sum(min(t, c)) <= b, by binary
+            # search on the monotone allocated(c)
+            lo, hi = 0, max(ts)
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if sum(min(t, mid) for t in ts) <= b:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            cap = lo
+            ref = {
+                f"k{i}": (t, cap, min(t, cap), min(t, cap) * 1000000 // t)
+                for i, t in enumerate(ts)
+            }
+            assert got == ref, (ts, dens, got, ref)

@@ -351,3 +351,57 @@ def poisson_bootstrap_ci(
             "ci_ok"
         ),
     )
+
+
+def water_fill_caps(tok: DataFrame, key_col: str, t_col: str, budget_num: int = 1, budget_den: int = 2) -> DataFrame:
+    """Exact integer water-filling: largest common per-key cap ``c`` with
+    sum(min(t_k, c)) <= B, where B = total * budget_num // budget_den —
+    the budget split that keeps small keys whole and caps large ones at
+    one shared level (pretraining domain mixing, fair-share quota
+    assignment).
+
+    Closed-form solve over a |keys|-row metadata frame (the only global
+    window in the plan is over that tiny frame): keys sort ascending by
+    t, prefix sums find the FIRST rank where keeping this key whole
+    exceeds B (pfx_prev + remaining * t > B); the cap at that rank is
+    (B - pfx_prev) div remaining. If every rank fits, the budget covers
+    the corpus and cap = max(t) (keep-all). Correctness argument for
+    picking the first infeasible rank: allocated(c) = pfx_prev +
+    remaining*c is nondecreasing and continuous across segment
+    boundaries, and feasibility of rank i-1 guarantees the candidate
+    lands >= t_{i-1}, so the segment is unique.
+
+    Returns one row per key: (key, tokens, cap, kept_tokens, keep_ppm).
+    """
+    tot = tok.agg(
+        F.sum(t_col).cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.expr(f"sum({t_col}) * {budget_num} div {budget_den}")
+        .cast("bigint")
+        .alias("__b"),
+    )
+    wo = W.orderBy(t_col, key_col)
+    r = tok.crossJoin(F.broadcast(tot)).select(
+        F.col(t_col).alias("__t"),
+        "__n",
+        "__b",
+        F.row_number().over(wo).alias("__rn"),
+        F.sum(t_col).over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("__pfx"),
+    )
+    c = r.agg(
+        F.expr(
+            "coalesce("
+            " min_by((__b - (__pfx - __t)) div (__n - __rn + 1), __rn)"
+            "   FILTER (WHERE __pfx - __t + (__n - __rn + 1) * __t > __b),"
+            " max(__t))"
+        ).alias("cap")
+    )
+    return tok.crossJoin(F.broadcast(c)).select(
+        F.col(key_col),
+        F.col(t_col).cast("bigint").alias("tokens"),
+        F.col("cap").cast("bigint").alias("cap"),
+        F.least(t_col, "cap").cast("bigint").alias("kept_tokens"),
+        F.expr(f"least({t_col}, cap) * 1000000 div {t_col}")
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )

@@ -14800,6 +14800,406 @@ def q276_decile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q277_recursive_closure",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey // 10 AS anc,
+             cast(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part WHERE p_partkey >= 1
+      UNION ALL
+      SELECT node, anc // 10 AS anc, cents FROM anc WHERE anc >= 1
+    )
+    SELECT cast(anc AS BIGINT) AS ancestor,
+           cast(count(*) AS BIGINT) AS n_desc,
+           cast(sum(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY anc
+    """,
+    doc="Recursive-CTE parity: transitive-closure rollup over an "
+    "implicit digit-decade hierarchy (parent(k) = k div 10, root 0 — "
+    "the BOM/org-chart shape without needing an explicit edge table). "
+    "For every internal node: descendant count and exact subtree "
+    "retail-price rollup in cents. Spark has no WITH RECURSIVE, so "
+    "the engine side runs the textbook iterative-fixpoint expansion: "
+    "each level derives (node, anc div 10) from the previous level, "
+    "eagerly checkpointed (executor-local, O(N) rows/level) so "
+    "lineage stays flat, looping until the frontier empties — depth "
+    "is log10(max key), so ~7 rounds at 1e7 parts and 13 at 1e13; "
+    "each round is one narrow map + the final census is one hash "
+    "aggregate on ancestor. The oracle is genuine WITH RECURSIVE in "
+    "DuckDB — the differential proves the loop reproduces real "
+    "recursive-CTE semantics, not an approximation of them.",
+)
+def q277_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+    base = pt.select(
+        F.col("p_partkey").alias("node"),
+        F.expr("p_partkey div 10").alias("anc"),
+        F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    levels = [base]
+    cur = base
+    # Fixpoint loop: bounded at log10(max key) rounds; the hard cap of
+    # 20 exists only as a runaway guard (int64 keys exhaust at 19
+    # digits). Each level materializes eagerly so the union's lineage
+    # is flat and isEmpty() never recomputes prior levels.
+    for _ in range(20):
+        cur = (
+            cur.filter(F.col("anc") >= 1)
+            .select("node", F.expr("anc div 10").alias("anc"), "cents")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+        levels.append(cur)
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionByName(lv)
+    return closure.groupBy(F.col("anc").alias("ancestor")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+        F.sum("cents").cast("bigint").alias("subtree_cents"),
+    )
+
+
+@query(
+    "q278_twap",
+    """
+    WITH e AS (SELECT user_id,
+                      epoch_us(ts) AS t,
+                      event_id,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events),
+    iv AS (SELECT user_id, x,
+                  lead(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) - t AS dt
+           FROM e)
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_intervals,
+           cast(sum(dt) AS BIGINT) AS span_us,
+           cast(sum(x * dt) // sum(dt) AS BIGINT) AS twap_q
+    FROM iv WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average (TWAP) per user over irregular samples: "
+    "each value holds until the next observation (LOCF weighting), so "
+    "the mean is sum(x*dt)/sum(dt) — the correct average for metrics "
+    "sampled on activity, where the naive row mean over-weights bursts "
+    "(the classic VWAP/TWAP distinction). Values live in exact cents, "
+    "gaps in exact microseconds from one lead() per user (bounded "
+    "per-key window state, no corpus-scale ordering), so sum(x*dt) is "
+    "an exact int64 — headroom: max|cents| x user-span_us <= 9.2e18, "
+    "i.e. ~$10M values over a 30-year span; quantize coarser beyond. "
+    "Zero-length intervals (same-timestamp ties) carry zero weight and "
+    "are dropped before the aggregate in both engines. One shuffle on "
+    "user_id serves the window and the final aggregate.",
+)
+def q278_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("x"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    iv = e.select(
+        "user_id", "x", (F.lead("t").over(w) - F.col("t")).alias("dt")
+    )
+    return (
+        iv.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("span_us"),
+            F.expr("sum(x * dt) div sum(dt)").cast("bigint").alias("twap_q"),
+        )
+    )
+
+
+@query(
+    "q279_token_budget_mix",
+    r"""
+    WITH tok AS (SELECT source,
+                        cast(sum(len(list_filter(string_split_regex(
+                             lower(trim(text)), '\s+'), x -> x <> '')))
+                             AS BIGINT) AS t
+                 FROM documents GROUP BY source),
+    tot AS (SELECT cast(sum(t) AS BIGINT) AS total,
+                   cast(count(*) AS BIGINT) AS n,
+                   cast(sum(t) // 2 AS BIGINT) AS b
+            FROM tok),
+    r AS (SELECT source, t, total, n, b,
+                 row_number() OVER (ORDER BY t, source) AS rn,
+                 sum(t) OVER (ORDER BY t, source
+                              ROWS UNBOUNDED PRECEDING) AS pfx
+          FROM tok CROSS JOIN tot),
+    c AS (SELECT coalesce(
+                   min_by((b - (pfx - t)) // (n - rn + 1), rn)
+                     FILTER (WHERE pfx - t + (n - rn + 1) * t > b),
+                   max(t)) AS cap
+          FROM r)
+    SELECT tok.source,
+           cast(tok.t AS BIGINT) AS tokens,
+           cast(c.cap AS BIGINT) AS cap,
+           cast(least(tok.t, c.cap) AS BIGINT) AS kept_tokens,
+           cast(least(tok.t, c.cap) * 1000000 // tok.t AS BIGINT)
+             AS keep_ppm
+    FROM tok CROSS JOIN c
+    """,
+    doc="Pretraining-mix water-filling: allocate a 50%-of-corpus token "
+    "budget across sources by finding the largest integer per-source "
+    "cap c with sum(min(tokens_s, c)) <= B — small sources keep "
+    "everything, large sources are capped at one common level (the "
+    "'water line'), the standard budget split that maximizes the "
+    "minimum per-source representation. Closed-form exact solve, no "
+    "search: sources sort ascending by tokens (a |sources|-row "
+    "metadata frame — the global window is over ~10 rows, not the "
+    "corpus), prefix sums identify the first rank where keeping this "
+    "source whole would blow the budget (pfx_prev + remaining*t > B), "
+    "and the cap is (B - pfx_prev) div remaining at that rank — "
+    "selected by min_by(cand, rank) FILTER, keep-all max(t) fallback "
+    "when the budget covers the corpus. All integer; the token "
+    "counts are one scan + one per-source aggregate.",
+)
+def q279_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import water_fill_caps
+    from tytodb_spark.operators.textual import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("t")
+    )
+    return water_fill_caps(tok, "source", "t")
+
+
+@query(
+    "q280_hrw_shards",
+    """
+    WITH k AS (SELECT doc_id FROM documents),
+    a AS (SELECT doc_id,
+                 cast(list_max(list_transform(range(0, 8), s ->
+                        ('0x' || substr(md5(doc_id || ':' || s), 1, 8))
+                          ::BIGINT * 16 + s)) % 16 AS BIGINT) AS s8,
+                 cast(list_max(list_transform(range(0, 9), s ->
+                        ('0x' || substr(md5(doc_id || ':' || s), 1, 8))
+                          ::BIGINT * 16 + s)) % 16 AS BIGINT) AS s9
+          FROM k)
+    SELECT 'shards8' AS cfg, s8 AS shard,
+           cast(count(*) AS BIGINT) AS n_keys
+    FROM a GROUP BY s8
+    UNION ALL
+    SELECT 'shards9' AS cfg, s9 AS shard,
+           cast(count(*) AS BIGINT) AS n_keys
+    FROM a GROUP BY s9
+    UNION ALL
+    SELECT 'moved' AS cfg, cast(-1 AS BIGINT) AS shard,
+           cast(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys
+    FROM a
+    """,
+    doc="Rendezvous (highest-random-weight) hashing shard audit: every "
+    "key's shard is argmax over shards of md5(key:shard) — the "
+    "coordination-free consistent-placement scheme where growing the "
+    "cluster from 8 to 9 shards moves EXACTLY the keys whose new "
+    "shard wins (expected 1/9 of keys), versus mod-hashing's 8/9. "
+    "Output: per-shard balance census under both configs plus the "
+    "moved-key count that proves the minimal-movement property. The "
+    "argmax is branch-free and tie-proof both engines: weight*16 + "
+    "shard packs the comparison into one bigint (weights are 32-bit "
+    "md5 prefixes via the portable conv/substr family), so max() %% "
+    "16 IS the winning shard — no max_by tie ambiguity, no explode; "
+    "per-row array math stays JVM/vectorized, and the census is one "
+    "hash aggregate per config over |keys| rows.",
+)
+def q280_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def _assign(n: int, out: str):
+        return F.expr(
+            f"cast(array_max(transform(sequence(0, {n - 1}), s ->"
+            f" cast(conv(substr(md5(concat(cast(doc_id as string), ':',"
+            f" cast(s as string))), 1, 8), 16, 10) as bigint) * 16"
+            f" + s)) % 16 as bigint)"
+        ).alias(out)
+
+    a = docs.select(_assign(8, "s8"), _assign(9, "s9")).localCheckpoint(
+        eager=False
+    )
+    c8 = a.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    c9 = a.groupBy(F.col("s9").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    moved = a.agg(
+        F.sum(F.expr("case when s8 <> s9 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_keys")
+    )
+    return (
+        c8.select(F.lit("shards8").alias("cfg"), "shard", "n_keys")
+        .unionByName(
+            c9.select(F.lit("shards9").alias("cfg"), "shard", "n_keys")
+        )
+        .unionByName(
+            moved.select(
+                F.lit("moved").alias("cfg"),
+                F.lit(-1).cast("bigint").alias("shard"),
+                "n_keys",
+            )
+        )
+    )
+
+
+@query(
+    "q281_lpm_match",
+    """
+    WITH k AS (SELECT c_custkey, cast(c_custkey AS VARCHAR) AS ks
+               FROM customer),
+    px AS (SELECT DISTINCT unnest(list_transform(range(1, 4),
+                  i -> substr(ks, 1, cast(i AS INT)))) AS p
+           FROM k),
+    routes AS (SELECT p FROM px
+               WHERE length(p) = 1
+                  OR ('0x' || substr(md5(p), 1, 2))::BIGINT % 4 < 2),
+    cand AS (SELECT k.c_custkey, k.ks, r.p
+             FROM (SELECT c_custkey, ks,
+                          unnest(list_transform(range(1, 4),
+                            i -> substr(ks, 1, cast(i AS INT)))) AS p
+                   FROM k) k
+             JOIN routes r USING (p)),
+    best AS (SELECT c_custkey, ks, max(length(p)) AS plen
+             FROM cand GROUP BY c_custkey, ks)
+    SELECT substr(ks, 1, cast(plen AS INT)) AS route,
+           cast(plen AS INT) AS plen,
+           cast(count(*) AS BIGINT) AS n_cust
+    FROM best GROUP BY 1, 2
+    """,
+    doc="Longest-prefix-match join (IP routing / phone-rating shape): "
+    "every customer key matches the LONGEST route prefix present in a "
+    "route dimension, built here from digit prefixes of length 1-3 "
+    "with an md5-portable coin deciding which length-2/3 prefixes "
+    "exist (length-1 prefixes are the default routes, so every key "
+    "matches). The scalable LPM recipe: explode each key into its <= "
+    "3 bounded candidate prefixes (fan-out = max prefix length, "
+    "constant), broadcast-join the route dim, take max(length) per "
+    "key — never a theta/LIKE join, never a per-route scan; the same "
+    "plan serves CIDR tables or tariff prefixes at any corpus size "
+    "because the shuffle is one hash aggregate on the key. Census "
+    "output: matched route, its length, customers behind it.",
+)
+def q281_lpm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    k = cu.select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("ks")
+    )
+    pref = F.expr(
+        "transform(sequence(1, 3), i -> substr(ks, 1, i))"
+    )
+    px = k.select(F.explode(pref).alias("p")).distinct()
+    routes = px.filter(
+        (F.length("p") == 1)
+        | (
+            F.expr("cast(conv(substr(md5(p), 1, 2), 16, 10) as bigint)")
+            % 4
+            < 2
+        )
+    )
+    cand = k.select("c_custkey", "ks", F.explode(pref).alias("p")).join(
+        F.broadcast(routes), "p"
+    )
+    best = cand.groupBy("c_custkey", "ks").agg(
+        F.max(F.length("p")).alias("plen")
+    )
+    return best.groupBy(
+        F.expr("substr(ks, 1, plen)").alias("route"),
+        F.col("plen").cast("int").alias("plen"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+
+
+@query(
+    "q282_hbos_outliers",
+    """
+    WITH xq AS (SELECT vec_id, label, i AS dim,
+                       greatest(-8, least(7,
+                         cast(floor(cast(embedding[i] AS DOUBLE) * 16)
+                              AS BIGINT))) AS b
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(range(1, 9)) AS i)),
+    n AS (SELECT cast(count(*) AS BIGINT) AS n FROM embeddings),
+    hist AS (SELECT dim, b, cast(count(*) AS BIGINT) AS cnt
+             FROM xq GROUP BY dim, b),
+    sc AS (SELECT xq.vec_id, xq.label,
+                  cast(sum(cast(floor(ln(n.n::DOUBLE / hist.cnt::DOUBLE)
+                                      * 1000) AS BIGINT)) AS BIGINT)
+                    AS hbos_q
+           FROM xq JOIN hist USING (dim, b) CROSS JOIN n
+           GROUP BY xq.vec_id, xq.label)
+    SELECT vec_id, cast(label AS INT) AS label, hbos_q
+    FROM sc ORDER BY hbos_q DESC, vec_id LIMIT 20
+    """,
+    doc="HBOS (histogram-based outlier score) over the first 8 "
+    "embedding dims: per-dim equi-width histograms (16 clipped "
+    "buckets), per-vector score = sum of -log(bin frequency) — the "
+    "linear-time density-based outlier detector that needs no "
+    "pairwise distances and no model fit, the standard first-pass "
+    "anomaly gate before expensive per-row inspection. The histogram "
+    "is a 128-row broadcast dim (8 dims x 16 bins), so scoring is "
+    "one broadcast join over the exploded (vec, dim) frame + one "
+    "hash aggregate per vector; per-term scores quantize as "
+    "floor(ln(N/cnt)*1e3) of integer counts (<= 128 distinct "
+    "constants — ulp-safe), so vector scores are exact int64 sums. "
+    "Top-20 via TakeOrderedAndProject on the unique (score, vec_id) "
+    "key.",
+)
+def q282_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf"))
+        .filter(F.col("pos") < 8)
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.greatest(
+                F.lit(-8),
+                F.least(
+                    F.lit(7),
+                    F.floor(F.col("xf").cast("double") * 16).cast("bigint"),
+                ),
+            ).alias("b"),
+        )
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hist = xq.groupBy("dim", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    sc = (
+        xq.join(F.broadcast(hist), ["dim", "b"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        F.col("n").cast("double") / F.col("cnt").cast("double")
+                    )
+                    * 1000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("hbos_q")
+        )
+    )
+    return (
+        sc.select("vec_id", F.col("label").cast("int").alias("label"), "hbos_q")
+        .orderBy(F.col("hbos_q").desc(), "vec_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
