@@ -538,3 +538,42 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
     """q248's per-round max-score scalars are 1-row broadcasts."""
     df = _df(spark, sf_dir, "q248_hits_scores")
     assert P.num_broadcast_joins(df) >= 3
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q277_recursive_closure",  # narrow per-level maps + one hash agg
+        "q278_twap",               # lead per user; agg on same key
+        "q280_hrw_shards",         # per-row argmax arrays + hash aggs
+        "q281_lpm_match",          # bounded prefix explode + broadcast routes
+        "q282_hbos_outliers",      # broadcast histogram; top-k not a Window
+        "q284_group_split_assign", # content-key joins + census agg
+        "q285_markov_removal",     # per-user windows; chain solve on tiny frames
+        "q287_density_ratio_weights",  # bucket agg + broadcast total
+        "q288_ngram_loops",        # (doc, gram) hash agg + per-doc max
+        # Excluded by design: q279/q289 window only metadata-sized
+        # frames (|sources| rows, duration-histogram days — the q263/
+        # q276 exclusion); q283 partitions per probe in the documented
+        # brute-force audit regime (q41's carve-out); q286 returns a
+        # memory-sink table whose plan is the sink scan.
+    ],
+)
+def test_round7_queries_have_no_global_window(spark, sf_dir, name):
+    """Round-7 operators must never order the corpus under a
+    partition-less Window (same contract as the round-6 suite)."""
+    assert P.global_windows(_df(spark, sf_dir, name)) == [], name
+
+
+def test_hbos_histogram_is_broadcast(spark, sf_dir):
+    """q282's 128-row histogram must broadcast onto the exploded
+    (vec, dim) frame — scoring is map-side, never a shuffled join."""
+    df = _df(spark, sf_dir, "q282_hbos_outliers")
+    assert P.num_broadcast_joins(df) >= 2  # histogram + N scalar
+
+
+def test_lpm_routes_are_broadcast(spark, sf_dir):
+    """q281's route dim must broadcast — the LPM join never shuffles
+    the exploded key-prefix frame."""
+    df = _df(spark, sf_dir, "q281_lpm_match")
+    assert P.num_broadcast_joins(df) >= 1

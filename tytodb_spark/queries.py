@@ -15200,6 +15200,628 @@ def q282_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q283_sq8_recall",
+    """
+    WITH c AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        greatest(-128, least(127,
+                          cast(floor(cast(x AS DOUBLE) * 127) AS BIGINT))))
+                        AS qa,
+                      list_transform(embedding, x ->
+                        cast(floor(cast(x AS DOUBLE) * 1000000) AS BIGINT))
+                        AS ea
+               FROM embeddings),
+    p AS (SELECT vec_id AS pid, qa AS pqa, ea AS pea FROM c
+          WHERE vec_id % 97 = 0),
+    d AS (SELECT p.pid, c.vec_id,
+                 cast(list_sum(list_transform(range(1, len(c.qa) + 1),
+                      i -> c.qa[i] * p.pqa[i])) AS BIGINT) AS dq8,
+                 cast(list_sum(list_transform(range(1, len(c.ea) + 1),
+                      i -> c.ea[i] * p.pea[i])) AS BIGINT) AS dex
+          FROM c CROSS JOIN p WHERE c.vec_id <> p.pid),
+    r AS (SELECT pid, vec_id,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY dq8 DESC, vec_id) AS rq,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY dex DESC, vec_id) AS re
+          FROM d),
+    m AS (SELECT pid,
+                 cast(sum(CASE WHEN rq <= 10 AND re <= 10
+                               THEN 1 ELSE 0 END) AS BIGINT) AS matched
+          FROM r GROUP BY pid)
+    SELECT matched AS n_matched, cast(count(*) AS BIGINT) AS n_probes
+    FROM m GROUP BY matched
+    """,
+    doc="Scalar-quantization recall audit: int8-quantize the embedding "
+    "table (clip(floor(x*127)) per coordinate — the SQ8 codec every "
+    "vector store offers as its 4x-memory-saving default) and measure "
+    "recall@10 of quantized-dot top-k against the exact ranking for a "
+    "deterministic ~1% probe set (vec_id %% 97). The census of probes "
+    "per matched-count is the go/no-go table for enabling SQ8 in the "
+    "ANN serving tier. Both rankings are exact integer dots "
+    "(reference side quantizes at 1e6 — float-sum order can't flip "
+    "it) with vec_id tie-breaks, so the recall number is bit-stable "
+    "at any parallelism. Brute-force probe x corpus is the AUDIT "
+    "regime (the q114 pattern): probes are a broadcast dim, the scan "
+    "is one pass, and production top-k would come from q57's IVF "
+    "with this census as its acceptance gate.",
+)
+def q283_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> greatest(cast(-128 as bigint),"
+            " least(cast(127 as bigint),"
+            " cast(floor(cast(x as double) * 127) as bigint))))"
+        ).alias("qa"),
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(floor(cast(x as double) * 1000000) as bigint))"
+        ).alias("ea"),
+    )
+    p = c.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("qa").alias("pqa"),
+        F.col("ea").alias("pea"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qa, pqa, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("dq8"),
+            F.expr(
+                "aggregate(zip_with(ea, pea, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("dex"),
+        )
+    )
+    wq = W.partitionBy("pid").orderBy(F.col("dq8").desc(), "vec_id")
+    we = W.partitionBy("pid").orderBy(F.col("dex").desc(), "vec_id")
+    r = d.select(
+        "pid",
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(we).alias("re"),
+    )
+    m = r.groupBy("pid").agg(
+        F.sum(F.expr("case when rq <= 10 and re <= 10 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("matched")
+    )
+    return m.groupBy(F.col("matched").alias("n_matched")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+
+
+@query(
+    "q284_group_split_assign",
+    f"""
+    WITH k AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct(
+                          {_DC_TOKS})), ' ')) AS ck
+               FROM documents),
+    can AS (SELECT ck, cast(min(doc_id) AS BIGINT) AS canon
+            FROM k GROUP BY ck),
+    a AS (SELECT k.doc_id, k.ck,
+                 CASE WHEN ('0x' || substr(md5(cast(can.canon AS VARCHAR)),
+                            1, 8))::BIGINT % 10 < 8 THEN 'train'
+                      WHEN ('0x' || substr(md5(cast(can.canon AS VARCHAR)),
+                            1, 8))::BIGINT % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM k JOIN can USING (ck)),
+    leak AS (SELECT cast(count(*) AS BIGINT) AS n_leaky FROM (
+               SELECT ck FROM a GROUP BY ck
+               HAVING count(DISTINCT split) > 1) x)
+    SELECT split,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(count(DISTINCT ck) AS BIGINT) AS n_clusters,
+           max(leak.n_leaky) AS n_leaky_clusters
+    FROM a CROSS JOIN leak GROUP BY split
+    """,
+    doc="Leakage-safe train/val/test assignment: documents are split "
+    "by the md5 of their duplicate-cluster CANONICAL id (min doc_id "
+    "per bag-of-words content key), not their own id — so exact "
+    "duplicates can never straddle splits, which is the root cause "
+    "q272's leakage audit exists to catch (hash-split on raw doc_id "
+    "leaks every duplicated document across the boundary). 80/10/10 "
+    "via the portable md5 %% 10 family. Output: per-split document "
+    "and cluster census plus an in-query verification column counting "
+    "clusters spanning >1 split — structurally zero here, and the "
+    "oracle recomputes it rather than trusting it. Plan: one content-"
+    "key aggregate, one join back on the key, one census aggregate — "
+    "all three shuffles on the same content-key spine.",
+)
+def q284_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    k = docs.select("doc_id", fingerprint(F.col("text")).alias("ck"))
+    can = k.groupBy("ck").agg(F.min("doc_id").cast("bigint").alias("canon"))
+    a = k.join(can, "ck").select(
+        "doc_id",
+        "ck",
+        F.expr(
+            "case when cast(conv(substr(md5(cast(canon as string)), 1, 8),"
+            " 16, 10) as bigint) % 10 < 8 then 'train'"
+            " when cast(conv(substr(md5(cast(canon as string)), 1, 8),"
+            " 16, 10) as bigint) % 10 = 8 then 'val'"
+            " else 'test' end"
+        ).alias("split"),
+    )
+    leak = (
+        a.groupBy("ck")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky"))
+    )
+    return (
+        a.crossJoin(F.broadcast(leak))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("ck").cast("bigint").alias("n_clusters"),
+            F.max("n_leaky").alias("n_leaky_clusters"),
+        )
+    )
+
+
+@query(
+    "q285_markov_removal",
+    """
+    WITH ev AS (SELECT user_id, event_type AS et,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events),
+    fp AS (SELECT user_id, min(rn) AS prn FROM ev
+           WHERE et = 'purchase' GROUP BY user_id),
+    mx AS (SELECT user_id, max(rn) AS mrn FROM ev GROUP BY user_id),
+    kept AS (SELECT ev.user_id, ev.et, ev.rn
+             FROM ev JOIN mx USING (user_id) LEFT JOIN fp USING (user_id)
+             WHERE ev.rn <= coalesce(fp.prn, mx.mrn)),
+    nx AS (SELECT user_id, et, rn,
+                  lead(et) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+           FROM kept),
+    tr AS (SELECT et AS s, coalesce(nxt, 'end') AS t FROM nx
+           WHERE et <> 'purchase'
+           UNION ALL
+           SELECT 'start' AS s, et AS t FROM nx WHERE rn = 1),
+    cnt AS (SELECT s, t, cast(count(*) AS BIGINT) AS c FROM tr GROUP BY s, t),
+    tot AS (SELECT s, cast(sum(c) AS BIGINT) AS n FROM cnt GROUP BY s),
+    tm AS (SELECT cnt.s, cnt.t, cast(cnt.c * 1000000 // tot.n AS BIGINT) AS p
+           FROM cnt JOIN tot USING (s)),
+    chans AS (SELECT DISTINCT event_type AS ch FROM events
+              WHERE event_type <> 'purchase'
+              UNION ALL SELECT '__none__' AS ch),
+    tt AS (SELECT chans.ch, tm.s, tm.t, tm.p FROM chans CROSS JOIN tm
+           WHERE tm.s <> chans.ch AND tm.t <> chans.ch
+           UNION ALL
+           SELECT chans.ch, x.s, x.s AS t, cast(1000000 AS BIGINT) AS p
+           FROM chans CROSS JOIN (SELECT 'purchase' AS s
+                                  UNION ALL SELECT 'end' AS s) x),
+    v0 AS (SELECT ch, 'start' AS st, cast(1000000 AS BIGINT) AS v
+           FROM chans),
+    v1 AS (SELECT tt.ch, tt.t AS st,
+                  cast(sum(v0.v * tt.p) // 1000000 AS BIGINT) AS v
+           FROM v0 JOIN tt ON v0.ch = tt.ch AND v0.st = tt.s
+           GROUP BY tt.ch, tt.t),
+    v2 AS (SELECT tt.ch, tt.t AS st,
+                  cast(sum(v1.v * tt.p) // 1000000 AS BIGINT) AS v
+           FROM v1 JOIN tt ON v1.ch = tt.ch AND v1.st = tt.s
+           GROUP BY tt.ch, tt.t),
+    v3 AS (SELECT tt.ch, tt.t AS st,
+                  cast(sum(v2.v * tt.p) // 1000000 AS BIGINT) AS v
+           FROM v2 JOIN tt ON v2.ch = tt.ch AND v2.st = tt.s
+           GROUP BY tt.ch, tt.t),
+    v4 AS (SELECT tt.ch, tt.t AS st,
+                  cast(sum(v3.v * tt.p) // 1000000 AS BIGINT) AS v
+           FROM v3 JOIN tt ON v3.ch = tt.ch AND v3.st = tt.s
+           GROUP BY tt.ch, tt.t),
+    pb AS (SELECT v AS base FROM v4
+           WHERE ch = '__none__' AND st = 'purchase')
+    SELECT c.ch AS channel,
+           cast(pb.base AS BIGINT) AS p_base_ppm,
+           cast(coalesce(v4.v, 0) AS BIGINT) AS p_removed_ppm,
+           cast((pb.base - coalesce(v4.v, 0)) * 1000000 // pb.base
+                AS BIGINT) AS removal_ppm
+    FROM (SELECT ch FROM chans WHERE ch <> '__none__') c
+    CROSS JOIN pb
+    LEFT JOIN v4 ON v4.ch = c.ch AND v4.st = 'purchase'
+    """,
+    doc="Markov removal-effect attribution: journeys (truncated at "
+    "first purchase) fit a first-order chain with absorbing "
+    "'purchase'/'end' states; each channel's credit is how much the "
+    "4-step start->purchase absorption probability DROPS when every "
+    "transition through that channel is deleted (mass dies, no "
+    "renormalization — the standard removal-effect definition that "
+    "first/last-touch models q160/q219 cannot express because it "
+    "prices a channel's mid-path role). The 4-step horizon is unrolled "
+    "as four vector-matrix products over a |states|^2 ppm-quantized "
+    "transition table — every product is (v*p) summed in int64 then "
+    "div 1e6, so both engines agree bit-for-bit. The ONLY corpus-"
+    "scale work is the per-user ordering window + one pair count; the "
+    "chain solve runs on a metadata-sized frame replicated once per "
+    "removed channel (|channels|+1 copies of a ~7x7 table).",
+)
+def q285_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = _t(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.unix_micros("ts"), F.col("event_id")
+            )
+        )
+        .alias("rn"),
+    )
+    fp = (
+        ev.filter(F.col("et") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    mx = ev.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    kept = (
+        ev.join(mx, "user_id")
+        .join(fp, "user_id", "left")
+        .filter(F.col("rn") <= F.coalesce("prn", "mrn"))
+    )
+    nx = kept.select(
+        "user_id",
+        "et",
+        "rn",
+        F.lead("et")
+        .over(W.partitionBy("user_id").orderBy("rn"))
+        .alias("nxt"),
+    )
+    tr = (
+        nx.filter(F.col("et") != "purchase")
+        .select(F.col("et").alias("s"), F.coalesce("nxt", F.lit("end")).alias("t"))
+        .unionByName(
+            nx.filter(F.col("rn") == 1).select(
+                F.lit("start").alias("s"), F.col("et").alias("t")
+            )
+        )
+    )
+    cnt = tr.groupBy("s", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    tm = cnt.join(tot, "s").select(
+        "s", "t", F.expr("c * 1000000 div n").cast("bigint").alias("p")
+    )
+    chans = (
+        ev0.select(F.col("event_type").alias("ch"))
+        .filter(F.col("ch") != "purchase")
+        .distinct()
+        .unionByName(
+            ev0.sparkSession.range(1).select(F.lit("__none__").alias("ch"))
+        )
+    )
+    loops = ev0.sparkSession.createDataFrame(
+        [("purchase",), ("end",)], "s string"
+    )
+    tt = (
+        chans.crossJoin(tm)
+        .filter((F.col("s") != F.col("ch")) & (F.col("t") != F.col("ch")))
+        .select("ch", "s", "t", "p")
+        .unionByName(
+            chans.crossJoin(loops).select(
+                "ch",
+                "s",
+                F.col("s").alias("t"),
+                F.lit(1000000).cast("bigint").alias("p"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = chans.select(
+        "ch", F.lit("start").alias("st"), F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(4):
+        vr = v.select(
+            F.col("ch").alias("vch"),
+            F.col("st").alias("vst"),
+            F.col("v").alias("vv"),
+        )
+        v = (
+            vr.join(
+                tt,
+                (F.col("vch") == F.col("ch")) & (F.col("vst") == F.col("s")),
+            )
+            .groupBy("ch", F.col("t").alias("st"))
+            .agg(F.expr("cast(sum(vv * p) div 1000000 as bigint)").alias("v"))
+        )
+    v4 = v.filter(F.col("st") == "purchase").select("ch", "v")
+    pb = v4.filter(F.col("ch") == "__none__").select(
+        F.col("v").alias("base")
+    )
+    return (
+        chans.filter(F.col("ch") != "__none__")
+        .crossJoin(F.broadcast(pb))
+        .join(F.broadcast(v4), "ch", "left")
+        .select(
+            F.col("ch").alias("channel"),
+            F.col("base").cast("bigint").alias("p_base_ppm"),
+            F.coalesce("v", F.lit(0)).cast("bigint").alias("p_removed_ppm"),
+            F.expr("(base - coalesce(v, 0)) * 1000000 div base")
+            .cast("bigint")
+            .alias("removal_ppm"),
+        )
+    )
+
+
+@query(
+    "q286_stream_sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(value as {DEC})) as double) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="STREAMING gap-based sessionization: q35's session_window "
+    "aggregate run as a real Structured Streaming job (file source -> "
+    "4 micro-batches -> availableNow drain -> memory sink). Sessions "
+    "are the one windowed shape where cross-batch state is NON-"
+    "trivial: a session straddling micro-batches must be MERGED by "
+    "the state store (open sessions extend and coalesce as adjacent "
+    "events arrive), unlike tumbling windows where rows add into "
+    "fixed buckets — this is the stateful-merge path the q34/q136/"
+    "q193 suite doesn't exercise. Complete-mode drain emits every "
+    "merged session, so the stream result provably equals the batch "
+    "aggregate; the oracle is q35's lag/cumsum reconstruction, which "
+    "checks BOTH the streaming merge and the session semantics. "
+    "streaming/windows.py stream_session_windows.",
+)
+def q286_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.windows import stream_session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return stream_session_windows(spark, ev, gap="30 minutes")
+
+
+@query(
+    "q287_density_ratio_weights",
+    """
+    WITH b AS (SELECT n_chars // 100 AS bkt,
+                      CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t
+               FROM documents),
+    s AS (SELECT bkt,
+                 cast(count(*) AS BIGINT) AS n_src,
+                 cast(sum(is_t) AS BIGINT) AS n_tgt
+          FROM b GROUP BY bkt),
+    tot AS (SELECT cast(sum(n_src) AS BIGINT) AS ns,
+                   cast(sum(n_tgt) AS BIGINT) AS nt
+            FROM s)
+    SELECT s.bkt AS bucket, s.n_src, s.n_tgt,
+           cast(s.n_tgt * tot.ns * 1000000 // (tot.nt * s.n_src)
+                AS BIGINT) AS w_ppm,
+           cast(least(s.n_tgt * tot.ns * 1000000 // (tot.nt * s.n_src),
+                      10000000) AS BIGINT) AS w_clipped_ppm
+    FROM s CROSS JOIN tot
+    """,
+    doc="Density-ratio importance weights for distribution matching "
+    "(the DSIR/DoReMi-lite move): reweight the full corpus so its "
+    "length profile matches a curated target slice (src0), with "
+    "per-bucket weight = (target density)/(source density) — "
+    "documents in buckets the target favors are up-sampled, "
+    "over-represented junk lengths are down-weighted, and w=0 "
+    "buckets are absent from the target entirely. Weights are exact "
+    "integer ppm (n_tgt*NS*1e6 div (NT*n_src) — headroom n_tgt*NS <= "
+    "9.2e12 at ppm scale, i.e. fine to ~3e6 target docs x 3e6 corpus "
+    "buckets; pre-divide beyond) plus the standard 10x clip that "
+    "bounds sampling variance. One scan, one bucket aggregate, one "
+    "broadcast total — the weight table is metadata-sized and joins "
+    "back onto the corpus as a broadcast dim at apply time.",
+)
+def q287_density_ratio_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        F.expr("n_chars div 100").alias("bkt"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_t"),
+    )
+    s = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.sum("is_t").cast("bigint").alias("n_tgt"),
+    )
+    tot = s.agg(
+        F.sum("n_src").cast("bigint").alias("ns"),
+        F.sum("n_tgt").cast("bigint").alias("nt"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("bkt").alias("bucket"),
+        "n_src",
+        "n_tgt",
+        F.expr("n_tgt * ns * 1000000 div (nt * n_src)")
+        .cast("bigint")
+        .alias("w_ppm"),
+        F.expr(
+            "least(n_tgt * ns * 1000000 div (nt * n_src),"
+            " cast(10000000 as bigint))"
+        )
+        .cast("bigint")
+        .alias("w_clipped_ppm"),
+    )
+
+
+@query(
+    "q288_ngram_loops",
+    rf"""
+    WITH g AS (SELECT doc_id, source, unnest({_NGRAMS(8)}) AS g
+               FROM documents),
+    c AS (SELECT doc_id, source, g, cast(count(*) AS BIGINT) AS reps
+          FROM g GROUP BY 1, 2, 3),
+    m AS (SELECT doc_id, source, max(reps) AS max_reps
+          FROM c GROUP BY 1, 2)
+    SELECT source,
+           cast(least(max_reps, 5) AS BIGINT) AS loop_bucket,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM m GROUP BY 1, 2
+    """,
+    doc="Degenerate-loop detector: the maximum repeat count of any "
+    "single 8-gram WITHIN each document — the signature of broken "
+    "generations and templated spam that q95's distinct/total "
+    "repetition ratio misses when the loop is long (a doc repeating "
+    "one 50-token paragraph 4x has high distinct-token ratio but "
+    "max_reps=4). Census per source of docs by loop bucket (clipped "
+    "at 5+: the decision is binary past that). Plan: one explode + "
+    "one (doc, gram) hash aggregate + one per-doc max — the (doc, "
+    "gram) key is the only wide shuffle, map-side combinable, and "
+    "never leaves the per-doc domain, so it scales with corpus "
+    "tokens, not vocabulary.",
+)
+def q288_ngram_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    g = spread(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.explode(word_ngrams(F.col("text"), 8)).alias("g"),
+    )
+    c = g.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("reps")
+    )
+    m = c.groupBy("doc_id", "source").agg(F.max("reps").alias("max_reps"))
+    return m.groupBy(
+        "source",
+        F.least("max_reps", F.lit(5)).cast("bigint").alias("loop_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+@query(
+    "q289_kaplan_meier",
+    """
+    WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    tmax AS (SELECT max(epoch_us(ts)) AS tm FROM events),
+    pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s0.t0
+           GROUP BY e.user_id),
+    du AS (SELECT s0.user_id,
+                  CASE WHEN pu.tp IS NOT NULL
+                       THEN (pu.tp - s0.t0) // 86400000000
+                       ELSE (tmax.tm - s0.t0) // 86400000000 END AS d,
+                  CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM s0 LEFT JOIN pu ON s0.user_id = pu.user_id
+           CROSS JOIN tmax),
+    h AS (SELECT d, cast(count(*) AS BIGINT) AS n_at,
+                 cast(sum(ev) AS BIGINT) AS d_events
+          FROM du GROUP BY d),
+    r AS (SELECT d, d_events,
+                 sum(n_at) OVER (ORDER BY d DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n_risk
+          FROM h),
+    km AS (SELECT d, n_risk, d_events,
+                  cast(d_events * 1000000 // n_risk AS BIGINT)
+                    AS hazard_ppm,
+                  cast(floor(ln(cast(n_risk - d_events AS DOUBLE)
+                                / cast(n_risk AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS loghaz_q
+           FROM r WHERE d_events > 0 AND n_risk > d_events)
+    SELECT cast(d AS BIGINT) AS day,
+           cast(n_risk AS BIGINT) AS n_risk,
+           d_events,
+           hazard_ppm,
+           cast(sum(loghaz_q) OVER (ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_loghaz_q
+    FROM km
+    """,
+    doc="Kaplan-Meier survival analysis of signup -> first purchase: "
+    "per-user durations (right-censored at the observation horizon "
+    "for never-purchasers), the daily risk table (n_risk via reverse "
+    "cumulative sum over the duration histogram — a |days|-row "
+    "metadata frame, so the global window is bounded, never "
+    "corpus-scale), exact integer hazards, and the KM curve carried "
+    "in LOG space as an integer cumsum of floor(ln((n-d)/n)*1e6) — "
+    "the survival estimate is exp(cum/1e6) but the CUMSUM is what "
+    "ships, because integer sums are bit-stable across engines and "
+    "parallelism while a cumulative float product is not (ln of a "
+    "ratio of two small integers has bounded distinct inputs — the "
+    "q206 idf quantization argument). Days with zero events or with "
+    "S hitting 0 are excluded per the standard KM tie handling.",
+)
+def q289_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("t0"))
+    )
+    tmax = ev.agg(F.max(t_us).alias("tm"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t_us.alias("tpe"))
+        .join(s0, "user_id")
+        .filter(F.col("tpe") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tpe").alias("tp"))
+    )
+    du = (
+        s0.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.expr(
+                "case when tp is not null then (tp - t0) div 86400000000"
+                " else (tm - t0) div 86400000000 end"
+            ).alias("d"),
+            F.expr("case when tp is not null then 1 else 0 end").alias("ev"),
+        )
+    )
+    h = du.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("ev").cast("bigint").alias("d_events"),
+    )
+    wdesc = W.orderBy(F.col("d").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    r = h.select(
+        "d", "d_events", F.sum("n_at").over(wdesc).alias("n_risk")
+    )
+    km = r.filter(
+        (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events"))
+    ).select(
+        "d",
+        "n_risk",
+        "d_events",
+        F.expr("d_events * 1000000 div n_risk").cast("bigint").alias(
+            "hazard_ppm"
+        ),
+        F.expr(
+            "cast(floor(ln(cast(n_risk - d_events as double)"
+            " / cast(n_risk as double)) * 1000000) as bigint)"
+        ).alias("loghaz_q"),
+    )
+    wasc = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return km.select(
+        F.col("d").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "d_events",
+        "hazard_ppm",
+        F.sum("loghaz_q").over(wasc).cast("bigint").alias("cum_loghaz_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------

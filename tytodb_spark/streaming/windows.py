@@ -183,3 +183,44 @@ def stream_sliding_window_counts(
         return spark.table(name)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+def stream_session_windows(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "30 minutes",
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Run gap-based sessionization as a real streaming job: stage the
+    input as parquet (several files → several micro-batches), readStream
+    it back, aggregate with the built-in `session_window` stateful
+    operator, drain with availableNow into a memory sink, return the
+    sink table.
+
+    This is the one windowed shape where cross-batch state is
+    NON-TRIVIAL: a session that straddles micro-batches must be merged
+    by the state store (open sessions extend as adjacent events arrive),
+    unlike tumbling windows where batch rows simply add into fixed
+    buckets. Complete output mode emits every merged session at drain
+    end, so the result provably equals the batch `session_windows`
+    aggregate — which is what the declared oracle asserts.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_stream_sess_")
+    name = f"tyto_sess_{uuid.uuid4().hex[:12]}"
+    try:
+        # few staged files: each file is micro-batch planning overhead
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                session_windows(stream, gap=gap)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
