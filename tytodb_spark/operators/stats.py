@@ -494,3 +494,53 @@ def grouped_quantiles(
             .alias(name)
         )
     return j.groupBy("grp", "n").agg(*aggs)
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_col: Column,
+    value_int: Column,
+    weight_int: Column,
+    quantiles: list[tuple[str, int, int]],
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Exact per-group WEIGHTED quantiles: the value at cumulative-
+    weight rank ⌈W·p⌉, where each row contributes ``weight_int`` units
+    of mass — the token-weighted/quantity-weighted generalization of
+    `grouped_quantiles` (which is this with weight 1). Same scale
+    shape: per-(group, value) weight sums, bucketed distributed prefix
+    sums, one conditional min aggregate per quantile; no corpus-scale
+    sort or single-task stage anywhere.
+
+    ``quantiles``: [(output_name, num, den), ...], p = num/den.
+    Output: (grp, w_total, <name>...) — values in input integer units.
+    """
+    counts = (
+        df.select(
+            group_col.alias("grp"),
+            value_int.alias("v"),
+            weight_int.cast("bigint").alias("w"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
+    )
+    pre = with_prefix_sums(counts, bucket_width, ["cnt"], group_cols=["grp"])
+    tot = counts.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("w_total")
+    )
+    j = pre.join(tot, "grp")
+    aggs = []
+    for name, num, den in quantiles:
+        r = F.expr(f"(w_total * {num} + {den} - 1) div {den}")
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("pre_cnt") < r)
+                    & (r <= F.col("pre_cnt") + F.col("cnt")),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    return j.groupBy("grp", "w_total").agg(*aggs)

@@ -15822,6 +15822,480 @@ def q289_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q290_weighted_median",
+    """
+    WITH c AS (SELECT l_returnflag AS grp,
+                      cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS v,
+                      cast(floor(l_quantity + 0.5) AS BIGINT) AS w
+               FROM lineitem),
+    g AS (SELECT grp, v, cast(sum(w) AS BIGINT) AS cnt
+          FROM c GROUP BY 1, 2),
+    p AS (SELECT grp, v, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT grp, cast(sum(cnt) AS BIGINT) AS w_total
+          FROM g GROUP BY 1)
+    SELECT p.grp, t.w_total,
+           cast(min(CASE WHEN pre < (w_total * 1 + 3) // 4
+                          AND (w_total * 1 + 3) // 4 <= pre + cnt
+                         THEN v END) AS BIGINT) AS p25,
+           cast(min(CASE WHEN pre < (w_total * 1 + 1) // 2
+                          AND (w_total * 1 + 1) // 2 <= pre + cnt
+                         THEN v END) AS BIGINT) AS p50,
+           cast(min(CASE WHEN pre < (w_total * 3 + 3) // 4
+                          AND (w_total * 3 + 3) // 4 <= pre + cnt
+                         THEN v END) AS BIGINT) AS p75
+    FROM p JOIN t USING (grp) GROUP BY p.grp, t.w_total
+    """,
+    doc="Exact WEIGHTED quantiles per group: the price at cumulative-"
+    "QUANTITY rank ceil(W*p) — every unit of quantity is one vote, so "
+    "a 40-unit line outweighs a 1-unit line (the volume-weighted "
+    "median that q59/q209's row quantiles misstate whenever weight "
+    "correlates with value). Engine side: operators/stats.py "
+    "grouped_weighted_quantiles — per-(group, value) weight sums, "
+    "bucket-partitioned distributed prefix sums (NO partition-less "
+    "ordering of the fact table), one conditional min per quantile; "
+    "the oracle spells the same CDF with a plain per-group window, "
+    "which DuckDB may single-thread but the differential only needs "
+    "for values. All three quantiles come from ONE pass over the "
+    "count table.",
+)
+def q290_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_weighted_quantiles(
+        li,
+        F.col("l_returnflag"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"),
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)"),
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)],
+        bucket_width=100000,
+    ).select(
+        F.col("grp"), "w_total", "p25", "p50", "p75"
+    )
+
+
+@query(
+    "q291_funnel_windows",
+    """
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) >= s.t
+            AND epoch_us(e.ts) <= s.t + 604800000000
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= c.t
+            AND epoch_us(e.ts) <= c.t + 2592000000000
+          GROUP BY e.user_id),
+    n AS (SELECT cast((SELECT count(*) FROM s) AS BIGINT) AS ns,
+                 cast((SELECT count(*) FROM c) AS BIGINT) AS nc,
+                 cast((SELECT count(*) FROM p) AS BIGINT) AS np)
+    SELECT stage, n_users,
+           cast(n_users * 1000000 // ns AS BIGINT) AS conv_ppm
+    FROM (SELECT 1 AS stage, ns AS n_users, ns FROM n
+          UNION ALL SELECT 2, nc, ns FROM n
+          UNION ALL SELECT 3, np, ns FROM n) x
+    """,
+    doc="Time-constrained funnel: signup -> first click WITHIN 7 days "
+    "-> first purchase WITHIN 30 days of that click. Unlike q82's "
+    "ordered-containment funnel, each stage has a max-delay window "
+    "anchored at the PREVIOUS stage's qualifying event (the product-"
+    "analytics definition: late conversions don't count, and the "
+    "clock restarts at each stage). Each stage is one aggregate + "
+    "one co-partitioned join on user_id — the same shuffle key end "
+    "to end, so Catalyst reuses the partitioning; conversion ppm is "
+    "exact integer against the stage-1 cohort.",
+)
+def q291_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("ts0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", t_us.alias("tc"))
+        .join(s, "user_id")
+        .filter(
+            (F.col("tc") >= F.col("ts0"))
+            & (F.col("tc") <= F.col("ts0") + F.lit(604800000000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("tc0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t_us.alias("tp"))
+        .join(c, "user_id")
+        .filter(
+            (F.col("tp") >= F.col("tc0"))
+            & (F.col("tp") <= F.col("tc0") + F.lit(2592000000000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp0"))
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit(1).alias("stage"), F.col("n").alias("n_users")
+    )
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit(2).alias("stage"), F.col("n").alias("n_users")
+    )
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit(3).alias("stage"), F.col("n").alias("n_users")
+    )
+    base = s.agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    return (
+        ns.unionByName(nc)
+        .unionByName(np_)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            F.expr("n_users * 1000000 div ns").cast("bigint").alias(
+                "conv_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "q292_audience_cosine",
+    """
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, cast(count(*) AS BIGINT) AS n
+           FROM ue GROUP BY 1),
+    pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+                  cast(count(*) AS BIGINT) AS n_both
+           FROM ue a JOIN ue b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT pr.et_a, pr.et_b, sa.n AS n_a, sb.n AS n_b, pr.n_both,
+           cast(floor(cast(pr.n_both AS DOUBLE)
+                      / (sqrt(cast(sa.n AS DOUBLE))
+                         * sqrt(cast(sb.n AS DOUBLE))) * 1000000)
+                AS BIGINT) AS cosine_ppm
+    FROM pr JOIN sz sa ON pr.et_a = sa.event_type
+            JOIN sz sb ON pr.et_b = sb.event_type
+    """,
+    doc="Audience-overlap cosine between event types (set cosine = "
+    "|A n B| / sqrt(|A||B|)) — the co-engagement matrix behind "
+    "'users who do X also do Y' surfaces and behavior-segment "
+    "merges. Per-user pair fan-out is bounded by the event-type "
+    "vocabulary (<= C(5,2) pairs/user here; never |users|^2): the "
+    "distinct (user, type) frame self-joins on user_id, and both "
+    "sides arrive on the same shuffle key. Sizes join back by type "
+    "key (broadcast dims), and the single float expression (one "
+    "division by a sqrt product in fixed order) quantizes to ppm "
+    "over exact integer set sizes.",
+)
+def q292_audience_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    sz = ue.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = ue.select("user_id", F.col("event_type").alias("et_a"))
+    b = ue.select("user_id", F.col("event_type").alias("et_b"))
+    pr = (
+        a.join(b, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pr.join(
+            F.broadcast(
+                sz.select(F.col("event_type").alias("et_a"), F.col("n").alias("n_a"))
+            ),
+            "et_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col("event_type").alias("et_b"), F.col("n").alias("n_b"))
+            ),
+            "et_b",
+        )
+        .select(
+            "et_a",
+            "et_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "cast(floor(cast(n_both as double)"
+                " / (sqrt(cast(n_a as double)) * sqrt(cast(n_b as double)))"
+                " * 1000000) as bigint)"
+            ).alias("cosine_ppm"),
+        )
+    )
+
+
+@query(
+    "q293_range_boundaries",
+    """
+    WITH c AS (SELECT cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS v
+               FROM lineitem),
+    g AS (SELECT v, cast(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+    p AS (SELECT v, cnt,
+                 coalesce(sum(cnt) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT cast(sum(cnt) AS BIGINT) AS n FROM g),
+    q AS (SELECT i, min(CASE WHEN pre < (n * i + 31) // 32
+                          AND (n * i + 31) // 32 <= pre + cnt
+                         THEN v END) AS cut
+          FROM p CROSS JOIN t
+          CROSS JOIN (SELECT unnest(range(1, 32)) AS i)
+          GROUP BY i),
+    cuts AS (SELECT list(cut ORDER BY i) AS ca FROM q),
+    asn AS (SELECT len(list_filter(cuts.ca, x -> c.v > x)) AS part, c.v
+            FROM c CROSS JOIN cuts)
+    SELECT cast(part AS INT) AS part,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(min(v) AS BIGINT) AS v_min,
+           cast(max(v) AS BIGINT) AS v_max,
+           cast(count(*) * 32 * 1000000 // max(t.n) AS BIGINT)
+             AS fill_ppm
+    FROM asn CROSS JOIN t GROUP BY part
+    """,
+    doc="Range-partition planner + balance audit: exact 1/32 rank "
+    "boundaries of the sort key (the job Spark's RangePartitioner "
+    "does by sampling, done here EXACTLY via the q209 bucket-"
+    "partitioned CDF machinery — no corpus sort, no sampling error), "
+    "then every row is assigned its partition by counting boundary "
+    "values below it (a 31-element broadcast array scanned per row, "
+    "branch-free) and the census reports per-partition row counts "
+    "and fill factor vs ideal (1e6 ppm = perfectly balanced; heavy "
+    "duplicate keys surface as >1e6 partitions that a planner would "
+    "split by a secondary key). This is the pre-flight check before "
+    "any global sort / sorted-write at scale.",
+)
+def q293_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "v"
+        )
+    )
+    cuts_wide = grouped_quantiles(
+        v.select(F.lit(0).alias("g"), "v"),
+        F.col("g"),
+        F.col("v"),
+        [(f"c{i:02d}", i, 32) for i in range(1, 32)],
+        bucket_width=100000,
+    )
+    cuts = cuts_wide.select(
+        F.array(*[F.col(f"c{i:02d}") for i in range(1, 32)]).alias("ca"),
+        F.col("n"),
+    )
+    asn = v.crossJoin(F.broadcast(cuts)).select(
+        F.expr("size(filter(ca, x -> v > x))").alias("part"), "v", "n"
+    )
+    return asn.groupBy(F.col("part").cast("int").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("v").cast("bigint").alias("v_min"),
+        F.max("v").cast("bigint").alias("v_max"),
+        F.expr("count(*) * 32 * 1000000 div max(n)")
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
+
+
+@query(
+    "q294_vopt_histogram",
+    """
+    WITH x AS (SELECT greatest(0, least(63,
+                 cast(floor((cast(embedding[1] AS DOUBLE) + 2.0) * 16)
+                      AS BIGINT))) AS b
+               FROM embeddings),
+    f0 AS (SELECT b, cast(count(*) AS BIGINT) AS f FROM x GROUP BY b),
+    spine AS (SELECT unnest(range(0, 64)) AS b),
+    f AS (SELECT spine.b, coalesce(f0.f, 0) AS f
+          FROM spine LEFT JOIN f0 USING (b)),
+    pf AS (SELECT b, f,
+                  sum(f) OVER (ORDER BY b
+                               ROWS UNBOUNDED PRECEDING) AS p1,
+                  sum(f * f) OVER (ORDER BY b
+                                   ROWS UNBOUNDED PRECEDING) AS p2
+           FROM f),
+    seg AS (SELECT i.b AS i, j.b AS j,
+                   (j.p2 - coalesce(ip.p2, 0))
+                   - (j.p1 - coalesce(ip.p1, 0))
+                     * (j.p1 - coalesce(ip.p1, 0))
+                     // (j.b - i.b + 1) AS cost
+            FROM pf i JOIN pf j ON i.b <= j.b
+            LEFT JOIN pf ip ON ip.b = i.b - 1),
+    dp1 AS (SELECT j, cost AS c FROM seg WHERE i = 0),
+    dp2 AS (SELECT seg.j,
+                   min((dp1.c + seg.cost) * 100 + dp1.j) AS k
+            FROM dp1 JOIN seg ON seg.i = dp1.j + 1
+            GROUP BY seg.j),
+    dp3 AS (SELECT seg.j,
+                   min((dp2.k // 100 + seg.cost) * 100 + dp2.j) AS k
+            FROM dp2 JOIN seg ON seg.i = dp2.j + 1
+            GROUP BY seg.j),
+    dp4 AS (SELECT min((dp3.k // 100 + seg.cost) * 100 + dp3.j) AS k
+            FROM dp3 JOIN seg ON seg.i = dp3.j + 1
+            WHERE seg.j = 63),
+    bt3 AS (SELECT dp4.k // 100 AS total, dp4.k % 100 AS b3 FROM dp4),
+    bt2 AS (SELECT bt3.total, bt3.b3, dp3.k % 100 AS b2
+            FROM bt3 JOIN dp3 ON dp3.j = bt3.b3),
+    bt1 AS (SELECT bt2.total, bt2.b3, bt2.b2, dp2.k % 100 AS b1
+            FROM bt2 JOIN dp2 ON dp2.j = bt2.b2)
+    SELECT cast(4 AS INT) AS k,
+           cast(total AS BIGINT) AS total_cost_q,
+           cast(b1 AS INT) AS b1, cast(b2 AS INT) AS b2,
+           cast(b3 AS INT) AS b3
+    FROM bt1
+    """,
+    doc="V-optimal histogram (Jagadish et al.) solved EXACTLY by "
+    "dynamic programming in both engines: partition the 64-bin "
+    "frequency vector of embedding dim 1 into k=4 buckets minimizing "
+    "total within-bucket SSE of frequencies — the histogram a "
+    "cost-based optimizer keeps for selectivity estimation, where "
+    "equi-width wastes bins on flat regions. The DP runs over "
+    "METADATA: prefix sums of f and f^2 give every segment cost as "
+    "exact integer arithmetic (floor-quantized s2 - s1^2 div cnt — "
+    "f^2 sums need N <= ~3e9 rows per bin before int64 pressure), "
+    "and the three unrolled DP layers are joins over a 64x64 cost "
+    "table with argmin backtracking packed as cost*100 + split "
+    "(deterministic min, no max_by tie ambiguity). ONE corpus-scale "
+    "stage exists: the initial bin count. Output: optimal cost and "
+    "the three split positions.",
+)
+def q294_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.expr(
+            "greatest(cast(0 as bigint), least(cast(63 as bigint),"
+            " cast(floor((cast(element_at(embedding, 1) as double) + 2.0)"
+            " * 16) as bigint)))"
+        ).alias("b")
+    )
+    f0 = x.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    spine = emb.sparkSession.range(0, 64).select(F.col("id").alias("b"))
+    f = spine.join(f0, "b", "left").select(
+        "b", F.coalesce("f", F.lit(0)).cast("bigint").alias("f")
+    )
+    wp = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    pf = f.select(
+        "b",
+        "f",
+        F.sum("f").over(wp).alias("p1"),
+        F.sum(F.col("f") * F.col("f")).over(wp).alias("p2"),
+    ).localCheckpoint(eager=False)
+    pi = pf.select(
+        (F.col("b") + 1).alias("bi"),
+        F.col("p1").alias("q1"),
+        F.col("p2").alias("q2"),
+    )
+    seg = (
+        pf.select(F.col("b").alias("j"), "p1", "p2")
+        .crossJoin(
+            pf.select(F.col("b").alias("i")).unionByName(
+                spine.limit(0).select(F.col("b").alias("i"))
+            )
+        )
+        .filter(F.col("i") <= F.col("j"))
+        .join(pi, F.col("bi") == F.col("i"), "left")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("p2") - F.coalesce("q2", F.lit(0)))
+                - F.expr(
+                    "(p1 - coalesce(q1, 0)) * (p1 - coalesce(q1, 0))"
+                    " div (j - i + 1)"
+                )
+            ).alias("cost"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dp1 = seg.filter(F.col("i") == 0).select("j", F.col("cost").alias("c"))
+    d1 = dp1.select(F.col("j").alias("pj"), "c")
+    dp2 = (
+        seg.join(d1, F.col("i") == F.col("pj") + 1)
+        .groupBy("j")
+        .agg(F.min(F.expr("(c + cost) * 100 + pj")).alias("k"))
+    )
+    d2 = dp2.select(F.col("j").alias("pj"), F.col("k").alias("pk"))
+    dp3 = (
+        seg.join(d2, F.col("i") == F.col("pj") + 1)
+        .groupBy("j")
+        .agg(F.min(F.expr("(pk div 100 + cost) * 100 + pj")).alias("k"))
+    )
+    d3 = dp3.select(F.col("j").alias("pj"), F.col("k").alias("pk"))
+    dp4 = (
+        seg.filter(F.col("j") == 63)
+        .join(d3, F.col("i") == F.col("pj") + 1)
+        .agg(F.min(F.expr("(pk div 100 + cost) * 100 + pj")).alias("k"))
+    )
+    bt3 = dp4.select(
+        F.expr("k div 100").alias("total"), F.expr("k % 100").alias("b3")
+    )
+    bt2 = bt3.join(
+        F.broadcast(dp3.select(F.col("j").alias("b3"), F.expr("k % 100").alias("b2"))),
+        "b3",
+    )
+    bt1 = bt2.join(
+        F.broadcast(dp2.select(F.col("j").alias("b2"), F.expr("k % 100").alias("b1"))),
+        "b2",
+    )
+    return bt1.select(
+        F.lit(4).cast("int").alias("k"),
+        F.col("total").cast("bigint").alias("total_cost_q"),
+        F.col("b1").cast("int").alias("b1"),
+        F.col("b2").cast("int").alias("b2"),
+        F.col("b3").cast("int").alias("b3"),
+    )
+
+
+@query(
+    "q295_stream_enrich",
+    f"""
+    SELECT epoch_us(e.ts) // 86400000000 AS day_idx,
+           cast(n.n_regionkey AS INT) AS region,
+           cast(count(*) AS BIGINT) AS n_events,
+           cast(sum(cast(e.value AS {DEC})) AS DOUBLE) AS total_value
+    FROM events e JOIN nation n
+      ON cast(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="STREAM-STATIC enrichment join + keyed rollup: the serving-"
+    "pipeline staple where a fact stream joins a broadcast dimension "
+    "(nation -> region here) with NO stream-stream state — each "
+    "micro-batch joins map-side, and the only streaming state is the "
+    "rollup aggregate itself (mergeable counts/DECIMAL sums, the "
+    "q136 family). Distinct from q66/q156, which exercise the "
+    "stateful two-stream path; this is the shape that should NEVER "
+    "pay that state cost. Complete-mode availableNow drain makes the "
+    "result equal the batch join+aggregate — the oracle. "
+    "streaming/windows.py stream_enriched_rollup.",
+)
+def q295_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.streaming.windows import stream_enriched_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    return stream_enriched_rollup(spark, ev, na)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------

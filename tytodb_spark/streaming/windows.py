@@ -224,3 +224,50 @@ def stream_session_windows(
         return spark.table(name)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+def stream_enriched_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    dim: DataFrame,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Stream-STATIC enrichment join + keyed rollup: the standard
+    serving-pipeline shape where a fact stream joins a slowly-changing
+    dimension that fits in memory. The dim side is broadcast — each
+    micro-batch joins map-side with NO stream-stream state (unlike
+    q66/q156), so the only streaming state is the rollup aggregate.
+
+    events are keyed to the dim via user_id % 25 = n_nationkey (the
+    fixture's synthetic FK); the rollup counts per (day index, region).
+    Complete-mode drain makes the result equal the batch aggregate —
+    the declared oracle.
+    """
+    staging = tempfile.mkdtemp(prefix="tyto_stream_enrich_")
+    name = f"tyto_enrich_{uuid.uuid4().hex[:12]}"
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(f"{staging}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{staging}/in")
+        enriched = stream.join(
+            F.broadcast(dim),
+            (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
+        )
+        agg = enriched.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+            F.col("n_regionkey").cast("int").alias("region"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        with pinned_state_partitions(spark, state_partitions):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{staging}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
