@@ -555,15 +555,17 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q290_weighted_median",    # bucket-partitioned CDF windows only
         "q291_funnel_windows",     # per-stage aggregates + user_id joins
         "q292_audience_cosine",    # user-bounded pair agg + broadcast sizes
+        "q296_rfm_segments",       # per-dim CDF windows; cuts broadcast
+        "q297_ccnet_buckets",      # per-lang CDF windows; cuts broadcast
         # Excluded by design: q279/q289/q294 window only metadata-sized
         # frames (|sources| rows, duration-histogram days, the 64-bin
         # spine — the q263/q276 exclusion); q293 is single-group
         # grouped_quantiles, so Catalyst constant-folds the literal
         # group key out of the BUCKET-SUBTOTAL offset window (still
-        # metadata-sized: one row per value bucket); q283 partitions
-        # per probe in the documented brute-force audit regime (q41's
-        # carve-out); q286/q295 return memory-sink tables whose plan
-        # is the sink scan.
+        # metadata-sized: one row per value bucket); q283/q298/q299
+        # partition per probe in the documented brute-force audit
+        # regime (q41's carve-out); q286/q295 return memory-sink
+        # tables whose plan is the sink scan.
     ],
 )
 def test_round7_queries_have_no_global_window(spark, sf_dir, name):

@@ -56,6 +56,15 @@ SCALE_SENSITIVE = [
     "q257_rare_token_mass",
     "q264_lsh_tuning",  # 3 bandings x band-bucket pair fan-out
     "q272_split_leakage",  # cross-split gram join volume
+    # round 7: the iterative fixpoint loop (level count = key depth),
+    # the probe x corpus brute-force audit, the (doc, gram) repeat
+    # census, and the streaming session-merge drain — all volumes
+    # fixture-structure-dependent
+    "q277_recursive_closure",
+    "q283_sq8_recall",
+    "q288_ngram_loops",
+    "q286_stream_sessionize",
+    "q285_markov_removal",
 ]
 
 

@@ -16296,6 +16296,368 @@ def q295_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enriched_rollup(spark, ev, na)
 
 
+@query(
+    "q296_rfm_segments",
+    """
+    WITH rfm AS (SELECT o_custkey,
+                        cast(max(epoch_us(o_orderdate)) AS BIGINT) AS r,
+                        cast(count(*) AS BIGINT) AS f,
+                        cast(sum(cast(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)) AS BIGINT) AS m
+                 FROM orders GROUP BY o_custkey),
+    m0 AS (SELECT o_custkey, 'r' AS dim, r AS v FROM rfm
+           UNION ALL SELECT o_custkey, 'f', f FROM rfm
+           UNION ALL SELECT o_custkey, 'm', m FROM rfm),
+    g AS (SELECT dim, v, cast(count(*) AS BIGINT) AS cnt
+          FROM m0 GROUP BY 1, 2),
+    p AS (SELECT dim, v, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY dim ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT dim, cast(sum(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    q AS (SELECT p.dim, i,
+                 min(CASE WHEN pre < (n * i + 2) // 3
+                       AND (n * i + 2) // 3 <= pre + cnt
+                          THEN v END) AS cut
+          FROM p JOIN t USING (dim)
+          CROSS JOIN (SELECT unnest(range(1, 3)) AS i)
+          GROUP BY 1, 2),
+    cuts AS (SELECT dim,
+                    min(CASE WHEN i = 1 THEN cut END) AS c1,
+                    min(CASE WHEN i = 2 THEN cut END) AS c2
+             FROM q GROUP BY dim),
+    sc AS (SELECT m0.o_custkey, m0.dim,
+                  CASE WHEN m0.v <= cuts.c1 THEN 1
+                       WHEN m0.v <= cuts.c2 THEN 2 ELSE 3 END AS s
+           FROM m0 JOIN cuts USING (dim)),
+    pv AS (SELECT o_custkey,
+                  max(CASE WHEN dim = 'r' THEN s END) AS r_score,
+                  max(CASE WHEN dim = 'f' THEN s END) AS f_score,
+                  max(CASE WHEN dim = 'm' THEN s END) AS m_score
+           FROM sc GROUP BY o_custkey)
+    SELECT cast(r_score AS INT) AS r_score,
+           cast(f_score AS INT) AS f_score,
+           cast(m_score AS INT) AS m_score,
+           cast(count(*) AS BIGINT) AS n_cust
+    FROM pv GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation with EXACT tercile boundaries: "
+    "recency (last order time), frequency (order count), monetary "
+    "(lifetime cents) each score 1-3 at exact rank-ceil(n*p) "
+    "terciles, giving the classic 27-cell segment census. The three "
+    "dimensions melt into one (dim, value) frame so a SINGLE "
+    "grouped-CDF pass (operators/stats.py machinery, prefix sums "
+    "partitioned per dim — never a corpus sort) prices all six cuts; "
+    "cuts broadcast back, scores pivot with max(case), census is one "
+    "27-key aggregate. Tie policy is <= on both engines, so boundary "
+    "customers land deterministically.",
+)
+def q296_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).cast("bigint").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("m"),
+    ).localCheckpoint(eager=False)
+    m0 = (
+        rfm.select("o_custkey", F.lit("r").alias("dim"), F.col("r").alias("v"))
+        .unionByName(
+            rfm.select("o_custkey", F.lit("f").alias("dim"), F.col("f").alias("v"))
+        )
+        .unionByName(
+            rfm.select("o_custkey", F.lit("m").alias("dim"), F.col("m").alias("v"))
+        )
+    )
+    cuts = grouped_quantiles(
+        m0.select(F.col("dim").alias("g"), "v"),
+        F.col("g"),
+        F.col("v"),
+        [("c1", 1, 3), ("c2", 2, 3)],
+        bucket_width=1000000,
+    ).select(F.col("grp").alias("dim"), "c1", "c2")
+    sc = m0.join(F.broadcast(cuts), "dim").select(
+        "o_custkey",
+        "dim",
+        F.expr(
+            "case when v <= c1 then 1 when v <= c2 then 2 else 3 end"
+        ).alias("s"),
+    )
+    pv = sc.groupBy("o_custkey").agg(
+        F.max(F.expr("case when dim = 'r' then s end")).alias("r_score"),
+        F.max(F.expr("case when dim = 'f' then s end")).alias("f_score"),
+        F.max(F.expr("case when dim = 'm' then s end")).alias("m_score"),
+    )
+    return pv.groupBy(
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+
+
+@query(
+    "q297_ccnet_buckets",
+    rf"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS term
+                 FROM documents),
+    v AS (SELECT term, cast(count(*) AS BIGINT) AS c FROM tok
+          GROUP BY term),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS s FROM v),
+    d AS (SELECT tok.doc_id, tok.lang,
+                 cast(sum(cast(floor(-ln(v.c::DOUBLE / tot.s::DOUBLE)
+                                     * 1000000) AS BIGINT))
+                      // count(*) AS BIGINT) AS nll_q
+          FROM tok JOIN v USING (term) CROSS JOIN tot
+          GROUP BY tok.doc_id, tok.lang),
+    g AS (SELECT lang, nll_q AS v, cast(count(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2),
+    p AS (SELECT lang, v, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT lang, cast(sum(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    q AS (SELECT p.lang, i,
+                 min(CASE WHEN pre < (n * i + 2) // 3
+                       AND (n * i + 2) // 3 <= pre + cnt
+                          THEN v END) AS cut
+          FROM p JOIN t USING (lang)
+          CROSS JOIN (SELECT unnest(range(1, 3)) AS i)
+          GROUP BY 1, 2),
+    cuts AS (SELECT lang,
+                    min(CASE WHEN i = 1 THEN cut END) AS c1,
+                    min(CASE WHEN i = 2 THEN cut END) AS c2
+             FROM q GROUP BY lang)
+    SELECT d.lang,
+           CASE WHEN d.nll_q <= cuts.c1 THEN 'head'
+                WHEN d.nll_q <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(d.nll_q) // count(*) AS BIGINT) AS mean_nll_q
+    FROM d JOIN cuts USING (lang)
+    GROUP BY 1, 2
+    """,
+    doc="CCNet-style head/middle/tail quality split: per-document "
+    "mean unigram NLL (integer micro-nats — floor(-ln(c/s)*1e6) per "
+    "token summed then divided, so the per-doc score is an exact "
+    "int64, unlike q105's rounded float mean) bucketed at PER-"
+    "LANGUAGE exact terciles — the split CCNet uses to stage "
+    "pretraining data by fluency, computed per language because NLL "
+    "scales are not comparable across languages. Terciles come from "
+    "the grouped-CDF machinery partitioned by lang (no corpus sort); "
+    "the census reports per-(lang, bucket) doc counts and mean "
+    "micro-nat NLL. Three shuffles total: term counts, per-doc "
+    "aggregate, census.",
+)
+def q297_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = spread(docs.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    v = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = v.agg(F.sum("c").cast("bigint").alias("s"))
+    d = (
+        tok.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(-ln(cast(c as double)"
+                " / cast(s as double)) * 1000000) as bigint))"
+                " div count(*) as bigint)"
+            ).alias("nll_q")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cuts = grouped_quantiles(
+        d.select(F.col("lang").alias("g"), F.col("nll_q").alias("v")),
+        F.col("g"),
+        F.col("v"),
+        [("c1", 1, 3), ("c2", 2, 3)],
+        bucket_width=100000,
+    ).select(F.col("grp").alias("lang"), "c1", "c2")
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy(
+            "lang",
+            F.expr(
+                "case when nll_q <= c1 then 'head'"
+                " when nll_q <= c2 then 'middle' else 'tail' end"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("cast(sum(nll_q) div count(*) as bigint)").alias(
+                "mean_nll_q"
+            ),
+        )
+    )
+
+
+@query(
+    "q298_mrl_recall",
+    """
+    WITH c AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        cast(floor(cast(x AS DOUBLE) * 1000000) AS BIGINT))
+                        AS ea
+               FROM embeddings),
+    p AS (SELECT vec_id AS pid, ea AS pea FROM c WHERE vec_id % 97 = 0),
+    d AS (SELECT p.pid, c.vec_id,
+                 cast(list_sum(list_transform(range(1, 17),
+                      i -> c.ea[i] * p.pea[i])) AS BIGINT) AS d16,
+                 cast(list_sum(list_transform(range(1, len(c.ea) + 1),
+                      i -> c.ea[i] * p.pea[i])) AS BIGINT) AS d64
+          FROM c CROSS JOIN p WHERE c.vec_id <> p.pid),
+    r AS (SELECT pid, vec_id,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY d16 DESC, vec_id) AS r16,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY d64 DESC, vec_id) AS r64
+          FROM d),
+    m AS (SELECT pid,
+                 cast(sum(CASE WHEN r16 <= 10 AND r64 <= 10
+                               THEN 1 ELSE 0 END) AS BIGINT) AS matched
+          FROM r GROUP BY pid)
+    SELECT matched AS n_matched, cast(count(*) AS BIGINT) AS n_probes
+    FROM m GROUP BY matched
+    """,
+    doc="Matryoshka (MRL) truncation audit: recall@10 of the 16-dim "
+    "PREFIX dot-product ranking against the full 64-dim exact "
+    "ranking for the deterministic 1% probe set — the acceptance "
+    "gate for serving truncated embeddings at 4x less memory and "
+    "bandwidth (the MRL paper's operational promise; embeddings NOT "
+    "trained with matryoshka loss fail exactly this census, which is "
+    "the point of running it). Same exact-integer audit regime as "
+    "q283: quantized dots, vec_id tie-breaks, probes broadcast, one "
+    "corpus scan.",
+)
+def q298_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(floor(cast(x as double) * 1000000) as bigint))"
+        ).alias("ea"),
+    )
+    p = c.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("ea").alias("pea")
+    )
+    d = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(slice(ea, 1, 16), slice(pea, 1, 16),"
+                " (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("d16"),
+            F.expr(
+                "aggregate(zip_with(ea, pea, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("d64"),
+        )
+    )
+    w16 = W.partitionBy("pid").orderBy(F.col("d16").desc(), "vec_id")
+    w64 = W.partitionBy("pid").orderBy(F.col("d64").desc(), "vec_id")
+    r = d.select(
+        "pid",
+        F.row_number().over(w16).alias("r16"),
+        F.row_number().over(w64).alias("r64"),
+    )
+    m = r.groupBy("pid").agg(
+        F.sum(F.expr("case when r16 <= 10 and r64 <= 10 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("matched")
+    )
+    return m.groupBy(F.col("matched").alias("n_matched")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+
+
+@query(
+    "q299_maxsim_retrieval",
+    """
+    WITH c AS (SELECT vec_id,
+                      list_transform(range(0, 8), k ->
+                        list_transform(range(1, 9), i ->
+                          cast(floor(cast(embedding[cast(k * 8 + i AS INT)]
+                                          AS DOUBLE) * 10000) AS BIGINT)))
+                        AS sub
+               FROM embeddings),
+    p AS (SELECT vec_id AS pid, sub AS psub FROM c
+          WHERE vec_id % 499 = 0),
+    s AS (SELECT p.pid, c.vec_id,
+                 cast(list_sum(list_transform(p.psub, pv ->
+                        list_max(list_transform(c.sub, dv ->
+                          list_sum(list_transform(range(1, 9),
+                            i -> pv[i] * dv[i]))))))
+                      AS BIGINT) AS score_q
+          FROM c CROSS JOIN p WHERE c.vec_id <> p.pid),
+    r AS (SELECT pid, vec_id, score_q,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY score_q DESC, vec_id) AS rk
+          FROM s)
+    SELECT pid, vec_id, cast(rk AS INT) AS rk, score_q
+    FROM r WHERE rk <= 10
+    """,
+    doc="Late-interaction MaxSim retrieval (ColBERT scoring shape): "
+    "each vector splits into 8 sub-vectors of 8 dims; a probe scores "
+    "a document as sum over PROBE sub-vectors of the max dot against "
+    "any DOCUMENT sub-vector — the asymmetric token-level matching "
+    "that single-vector cosine cannot express (a probe facet matches "
+    "its best counterpart, not the average). All dots are exact "
+    "integer (floor(x*1e4) per coordinate: 8-term dot <= 8e8, x8 "
+    "sub-scores — far inside int64), the nested max/sum runs "
+    "JVM-side per pair with zero explode, and probes (vec_id %% 499) "
+    "broadcast in the q41/q283 audit regime; production would bucket "
+    "candidates by an ANN first stage and apply this as the rerank.",
+)
+def q299_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), k ->"
+            " transform(slice(embedding, k * 8 + 1, 8), x ->"
+            " cast(floor(cast(x as double) * 10000) as bigint)))"
+        ).alias("sub"),
+    )
+    p = c.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("sub").alias("psub")
+    )
+    s = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.expr(
+                "cast(aggregate(transform(psub, pv ->"
+                " array_max(transform(sub, dv ->"
+                " aggregate(zip_with(pv, dv, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)))),"
+                " cast(0 as bigint), (acc, v) -> acc + v) as bigint)"
+            ).alias("score_q"),
+        )
+    )
+    w = W.partitionBy("pid").orderBy(F.col("score_q").desc(), "vec_id")
+    return (
+        s.select("pid", "vec_id", F.row_number().over(w).alias("rk"), "score_q")
+        .filter(F.col("rk") <= 10)
+        .select("pid", "vec_id", F.col("rk").cast("int").alias("rk"), "score_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
