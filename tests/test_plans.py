@@ -557,6 +557,10 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q292_audience_cosine",    # user-bounded pair agg + broadcast sizes
         "q296_rfm_segments",       # per-dim CDF windows; cuts broadcast
         "q297_ccnet_buckets",      # per-lang CDF windows; cuts broadcast
+        "q300_local_supplier_revenue",  # broadcast dims + one fact join
+        "q301_two_phase_topk",     # salted slice-merge; NO window at all
+        "q302_conformal_interval", # bucket-partitioned residual CDF
+        "q303_cuped_adjust",       # power-sum broadcast + per-arm aggs
         # Excluded by design: q279/q289/q294 window only metadata-sized
         # frames (|sources| rows, duration-histogram days, the 64-bin
         # spine — the q263/q276 exclusion); q293 is single-group
@@ -586,3 +590,18 @@ def test_lpm_routes_are_broadcast(spark, sf_dir):
     the exploded key-prefix frame."""
     df = _df(spark, sf_dir, "q281_lpm_match")
     assert P.num_broadcast_joins(df) >= 1
+
+
+def test_two_phase_topk_has_no_window_at_all(spark, sf_dir):
+    """q301's entire point: per-group top-k with ZERO Window operators
+    (even partitioned ones) — the heavy-hitter-skew-proof spelling."""
+    df = _df(spark, sf_dir, "q301_two_phase_topk")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_q300_broadcasts_all_dims(spark, sf_dir):
+    """q300's four dimension joins (supplier, customer, nation, region)
+    must broadcast — only lineitem-orders may shuffle."""
+    df = _df(spark, sf_dir, "q300_local_supplier_revenue")
+    assert P.num_broadcast_joins(df) >= 4

@@ -16658,6 +16658,412 @@ def q299_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q300_local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_q,
+           cast(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier revenue): the six-way join "
+    "with a FACT-FACT edge (lineitem-orders) plus a correlated dim "
+    "condition (customer and supplier in the SAME nation) that "
+    "cannot be pushed into either dim alone — the canonical "
+    "join-order/strategy exhibit beyond q22's pure star. Plan: "
+    "supplier/customer/nation/region broadcast; lineitem-orders is "
+    "the one shuffled join (both sides on orderkey), and the region "
+    "filter prunes through nation -> supplier BEFORE the fact join "
+    "feeds it (predicate transitivity Catalyst derives). Revenue is "
+    "the standard extprice*(1-discount), floor-quantized at 1e4 per "
+    "line so the rollup is an exact int64 sum — immune to both float "
+    "order and DECIMAL rounding-mode divergence.",
+)
+def q300_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    n = t["nation"].select("n_nationkey", "n_regionkey", "n_name")
+    r = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount)"
+                    " * 10000 + 0.5) as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q301_two_phase_topk",
+    """
+    WITH b AS (SELECT c_nationkey,
+                      cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                        AS bal,
+                      c_custkey
+               FROM customer),
+    r AS (SELECT c_nationkey, bal, c_custkey,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY bal DESC, c_custkey) AS rk
+          FROM b)
+    SELECT cast(c_nationkey AS INT) AS nation,
+           cast(rk AS INT) AS rk,
+           c_custkey, bal
+    FROM r WHERE rk <= 5
+    """,
+    doc="Two-phase top-k per group WITHOUT a per-group window: phase 1 "
+    "computes top-5 within each (group, salt) shard — pmod(hash(id), "
+    "8) salts — via sorted-array-slice aggregation, phase 2 merges "
+    "the <= 8x5 shard survivors per group the same way. Exact by the "
+    "union bound (every global top-5 row is top-5 in its own shard), "
+    "and the plan property this buys at scale: NO task ever holds a "
+    "full group — a window spelling funnels each group through one "
+    "task, fatal when groups are heavy-hitter-skewed (one nation = "
+    "half the corpus). The per-shard state is k structs, map-side "
+    "combinable; ranks come from posexplode of the final sorted "
+    "slice. The oracle (and test twin) IS the window spelling — the "
+    "differential proves the two-phase merge loses nothing.",
+)
+def q301_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    b = cu.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("bal"),
+        "c_custkey",
+        F.pmod(F.hash("c_custkey"), F.lit(8)).alias("salt"),
+    )
+    phase1 = (
+        b.groupBy("nation", "salt")
+        .agg(
+            F.expr(
+                "slice(array_sort(collect_list(struct(-bal as nb,"
+                " c_custkey as ck))), 1, 5)"
+            ).alias("top")
+        )
+        .select("nation", F.explode("top").alias("t"))
+        .select("nation", F.col("t.nb").alias("nb"), F.col("t.ck").alias("ck"))
+    )
+    phase2 = (
+        phase1.groupBy("nation")
+        .agg(
+            F.expr(
+                "slice(array_sort(collect_list(struct(nb, ck))), 1, 5)"
+            ).alias("top")
+        )
+        .select("nation", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "nation",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("t.ck").alias("c_custkey"),
+            (-F.col("t.nb")).cast("bigint").alias("bal"),
+        )
+    )
+    return phase2
+
+
+@query(
+    "q302_conformal_interval",
+    """
+    WITH e AS (SELECT event_type, user_id,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                      ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 4 AS fold
+               FROM events),
+    mu AS (SELECT event_type,
+                  cast(sum(cents) // count(*) AS BIGINT) AS mu_q,
+                  cast(count(*) AS BIGINT) AS n_train
+           FROM e WHERE fold <= 1 GROUP BY event_type),
+    cal AS (SELECT e.event_type, abs(e.cents - mu.mu_q) AS r
+            FROM e JOIN mu USING (event_type) WHERE e.fold = 2),
+    g AS (SELECT event_type, r, cast(count(*) AS BIGINT) AS cnt
+          FROM cal GROUP BY 1, 2),
+    p AS (SELECT event_type, r, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type
+                            ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT event_type, cast(sum(cnt) AS BIGINT) AS n_cal
+          FROM g GROUP BY 1),
+    qh AS (SELECT p.event_type, t.n_cal,
+                  min(CASE WHEN pre < least(((n_cal + 1) * 9 + 9) // 10,
+                                            n_cal)
+                        AND least(((n_cal + 1) * 9 + 9) // 10, n_cal)
+                            <= pre + cnt
+                           THEN r END) AS q_hat
+           FROM p JOIN t USING (event_type)
+           GROUP BY 1, 2),
+    tst AS (SELECT e.event_type,
+                   cast(count(*) AS BIGINT) AS n_test,
+                   cast(sum(CASE WHEN abs(e.cents - mu.mu_q) <= qh.q_hat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+            FROM e JOIN mu USING (event_type) JOIN qh USING (event_type)
+            WHERE e.fold = 3 GROUP BY 1)
+    SELECT mu.event_type, mu.n_train, qh.n_cal, tst.n_test,
+           mu.mu_q, cast(qh.q_hat AS BIGINT) AS q_hat,
+           cast(tst.n_cov * 1000000 // tst.n_test AS BIGINT)
+             AS coverage_ppm
+    FROM mu JOIN qh USING (event_type) JOIN tst USING (event_type)
+    """,
+    doc="Split-conformal prediction intervals with a coverage audit: "
+    "md5-deterministic user folds (train 0-1 / calibration 2 / test "
+    "3), a per-event-type mean model, the conformal radius q_hat = "
+    "the ceil((n_cal+1)*0.9)-th order statistic of calibration "
+    "absolute residuals (clamped to n_cal — the finite-sample rank "
+    "that guarantees >= 90% marginal coverage regardless of the "
+    "residual distribution), and the measured test coverage that "
+    "validates the guarantee end to end. The order statistic comes "
+    "from the per-group residual CDF (exact integer cents; the Spark "
+    "side uses the bucket-partitioned prefix machinery, the oracle a "
+    "plain per-group window). This is the distribution-free "
+    "uncertainty layer a serving pipeline puts on top of q148/q255 "
+    "point forecasts.",
+)
+def q302_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+            " as bigint) % 4"
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)
+    mu = (
+        e.filter(F.col("fold") <= 1)
+        .groupBy("event_type")
+        .agg(
+            F.expr("cast(sum(cents) div count(*) as bigint)").alias("mu_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    cal = (
+        e.filter(F.col("fold") == 2)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type", F.abs(F.col("cents") - F.col("mu_q")).alias("v")
+        )
+    )
+    g = cal.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pre = with_prefix_sums(g, 100, ["cnt"], group_cols=["event_type"])
+    t = g.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_cal")
+    )
+    qh = (
+        pre.join(t, "event_type")
+        .groupBy("event_type", "n_cal")
+        .agg(
+            F.min(
+                F.when(
+                    (
+                        F.col("pre_cnt")
+                        < F.expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)")
+                    )
+                    & (
+                        F.expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)")
+                        <= F.col("pre_cnt") + F.col("cnt")
+                    ),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("q_hat")
+        )
+    )
+    tst = (
+        e.filter(F.col("fold") == 3)
+        .join(F.broadcast(mu.select("event_type", "mu_q")), "event_type")
+        .join(F.broadcast(qh.select("event_type", "q_hat")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "case when abs(cents - mu_q) <= q_hat then 1 else 0 end"
+                )
+            )
+            .cast("bigint")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        mu.join(qh, "event_type")
+        .join(tst, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "mu_q",
+            "q_hat",
+            F.expr("n_cov * 1000000 div n_test").cast("bigint").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "q303_cuped_adjust",
+    """
+    WITH tb AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tm
+                FROM events),
+    u AS (SELECT user_id,
+                 cast(user_id % 2 AS INT) AS variant,
+                 cast(sum(CASE WHEN epoch_us(ts) < tb.tm
+                               THEN cast(floor(value * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 cast(sum(CASE WHEN epoch_us(ts) >= tb.tm
+                               THEN cast(floor(value * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y
+          FROM events CROSS JOIN tb GROUP BY user_id),
+    s AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(x) AS BIGINT) AS sx,
+                 cast(sum(y) AS BIGINT) AS sy,
+                 cast(sum(x * y) AS BIGINT) AS sxy,
+                 cast(sum(x * x) AS BIGINT) AS sxx
+          FROM u),
+    th AS (SELECT n, sx,
+                  cast((n * sxy - sx * sy) * 1000000
+                       // (n * sxx - sx * sx) AS BIGINT) AS theta_q
+           FROM s),
+    adj AS (SELECT u.variant, u.y,
+                   cast((u.y * 1000000
+                         - th.theta_q * (u.x - th.sx // th.n)) // 1000000
+                        AS BIGINT) AS yc
+            FROM u CROSS JOIN th)
+    SELECT variant,
+           cast(count(*) AS BIGINT) AS n_users,
+           cast(sum(y) * 1000 // count(*) AS BIGINT) AS mean_y_mc,
+           cast(sum(yc) * 1000 // count(*) AS BIGINT) AS mean_cuped_mc,
+           cast((count(*) * sum(y * y) - sum(y) * sum(y))
+                // count(*) AS BIGINT) AS var_y,
+           cast((count(*) * sum(yc * yc) - sum(yc) * sum(yc))
+                // count(*) AS BIGINT) AS var_cuped
+    FROM adj GROUP BY variant
+    """,
+    doc="CUPED variance reduction for A/B metrics: each user's post-"
+    "period metric y is adjusted by theta*(x - mean_x) using their "
+    "PRE-period metric x (timeline midpoint split), with theta = "
+    "cov(x,y)/var(x) pooled across arms — the industry-standard "
+    "trick that cuts experiment variance by the pre/post correlation "
+    "squared without biasing the arm difference. Everything is exact "
+    "integer: cents sums per user, one power-sum row for theta "
+    "(quantized ppm — headroom n*Sxy <= 9.2e18 holds to ~1e7 users "
+    "at $10k lifetime cents), adjusted values re-quantized to cents "
+    "before the per-arm variance so y'^2 sums stay in int64. Output "
+    "per arm: milli-cent means (raw vs CUPED) and the two exact "
+    "variances — var_cuped/var_y IS the realized reduction. Three "
+    "aggregates, one broadcast scalar row.",
+)
+def q303_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tb = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("tm")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(tb))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when unix_micros(ts) < tm"
+                    " then cast(floor(value * 100 + 0.5) as bigint)"
+                    " else 0 end"
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.expr(
+                    "case when unix_micros(ts) >= tm"
+                    " then cast(floor(value * 100 + 0.5) as bigint)"
+                    " else 0 end"
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.expr("cast(user_id % 2 as int)").alias("variant"), "x", "y"
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    th = s.select(
+        "n",
+        "sx",
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) as bigint)"
+        ).alias("theta_q"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "y",
+        F.expr(
+            "cast((y * 1000000 - theta_q * (x - sx div n)) div 1000000"
+            " as bigint)"
+        ).alias("yc"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("cast(sum(y) * 1000 div count(*) as bigint)").alias(
+            "mean_y_mc"
+        ),
+        F.expr("cast(sum(yc) * 1000 div count(*) as bigint)").alias(
+            "mean_cuped_mc"
+        ),
+        F.expr(
+            "cast((count(*) * sum(y * y) - sum(y) * sum(y))"
+            " div count(*) as bigint)"
+        ).alias("var_y"),
+        F.expr(
+            "cast((count(*) * sum(yc * yc) - sum(yc) * sum(yc))"
+            " div count(*) as bigint)"
+        ).alias("var_cuped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
