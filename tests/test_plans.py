@@ -561,6 +561,8 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q301_two_phase_topk",     # salted slice-merge; NO window at all
         "q302_conformal_interval", # bucket-partitioned residual CDF
         "q303_cuped_adjust",       # power-sum broadcast + per-arm aggs
+        "q304_cep_pattern",        # forward-min windows per user
+        "q305_phrase_search",      # posting-list join, no windows
         # Excluded by design: q279/q289/q294 window only metadata-sized
         # frames (|sources| rows, duration-histogram days, the 64-bin
         # spine — the q263/q276 exclusion); q293 is single-group

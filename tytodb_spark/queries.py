@@ -17064,6 +17064,139 @@ def q303_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q304_cep_pattern",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    w AS (SELECT user_id, event_type, t,
+                 min(CASE WHEN event_type = 'purchase' THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_p,
+                 min(CASE WHEN event_type = 'error' THEN t END)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_e
+          FROM e),
+    s AS (SELECT t // 86400000000 AS day_idx,
+                 CASE WHEN next_p IS NOT NULL
+                       AND next_p <= t + 604800000000
+                       AND (next_e IS NULL OR next_e > next_p)
+                      THEN 1 ELSE 0 END AS hit
+          FROM w WHERE event_type = 'signup')
+    SELECT cast(day_idx AS BIGINT) AS day_idx,
+           cast(count(*) AS BIGINT) AS n_signups,
+           cast(sum(hit) AS BIGINT) AS n_matched,
+           cast(sum(hit) * 1000000 // count(*) AS BIGINT) AS match_ppm
+    FROM s GROUP BY day_idx
+    """,
+    doc="Complex-event-processing pattern census (MATCH_RECOGNIZE "
+    "shape): signup FOLLOWED BY purchase within 7 days with NO error "
+    "in between — the negation clause is what funnels (q82/q291) "
+    "cannot express, and the classic CEP spelling needs no pattern "
+    "automaton: for each anchor event, the NEXT purchase time and "
+    "NEXT error time come from two forward-looking min windows per "
+    "user (bounded per-key state, one shuffle), and the pattern "
+    "holds iff next_purchase <= anchor + 7d AND (no next_error OR "
+    "next_error AFTER that purchase) — pure integer comparisons on "
+    "exact microsecond times. Census by signup day.",
+)
+def q304_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    w = e.select(
+        "event_type",
+        "t",
+        F.min(
+            F.expr("case when event_type = 'purchase' then t end")
+        ).over(wf).alias("next_p"),
+        F.min(F.expr("case when event_type = 'error' then t end"))
+        .over(wf)
+        .alias("next_e"),
+    )
+    s = w.filter(F.col("event_type") == "signup").select(
+        F.expr("t div 86400000000").alias("day_idx"),
+        F.expr(
+            "case when next_p is not null"
+            " and next_p <= t + 604800000000"
+            " and (next_e is null or next_e > next_p)"
+            " then 1 else 0 end"
+        ).alias("hit"),
+    )
+    return s.groupBy(F.col("day_idx").cast("bigint").alias("day_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.sum("hit").cast("bigint").alias("n_matched"),
+        F.expr("sum(hit) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("match_ppm"),
+    )
+
+
+@query(
+    "q305_phrase_search",
+    rf"""
+    WITH pos AS (SELECT doc_id, t.term, t.p
+                 FROM documents,
+                      LATERAL (SELECT unnest({_TOKS}) AS term,
+                                      generate_subscripts({_TOKS}, 1) AS p)
+                        AS t),
+    ph AS (SELECT term, cast(p AS BIGINT) AS p
+           FROM (SELECT unnest(['fast', 'table', 'scan']) AS term,
+                        unnest([1, 2, 3]) AS p)),
+    hits AS (SELECT pos.doc_id, pos.p - ph.p + 1 AS start_p
+             FROM pos JOIN ph USING (term)
+             GROUP BY pos.doc_id, pos.p - ph.p + 1
+             HAVING count(*) = 3)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_occurrences,
+           cast(min(start_p) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Positional phrase search ('fast table scan' as an exact "
+    "consecutive-token phrase) via the POSITIONAL-INDEX join, the way "
+    "a search engine answers phrase queries without rescanning text: "
+    "the corpus becomes (doc, term, position) postings; each query "
+    "term joins its posting list shifted by its in-phrase offset, and "
+    "positions where ALL k terms land (count = k after the shift) are "
+    "phrase starts. The join touches only the query terms' posting "
+    "lists (term-keyed shuffle, pruned by the 3-term broadcast "
+    "probe), never the full corpus — at 100 TB this is the inverted-"
+    "index regime where cost tracks posting sizes, not corpus size. "
+    "Exact counts + first position per matching document.",
+)
+def q305_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    ph = docs.sparkSession.createDataFrame(
+        [("fast", 1), ("table", 2), ("scan", 3)], "term string, p bigint"
+    ).select("term", F.col("p").alias("qp"))
+    hits = (
+        pos.join(F.broadcast(ph), "term")
+        .groupBy("doc_id", (F.col("p") - F.col("qp") + 1).alias("start_p"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 3)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("start_p").cast("bigint").alias("first_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
