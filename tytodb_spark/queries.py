@@ -17197,6 +17197,144 @@ def q305_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q306_slo_burn_rate",
+    """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                      cast(count(*) AS BIGINT) AS n,
+                      cast(sum(CASE WHEN event_type = 'error'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS bad
+               FROM events GROUP BY 1),
+    w AS (SELECT hr, n, bad,
+                 sum(n)   OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS n6,
+                 sum(bad) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS bad6,
+                 count(*) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS k6
+          FROM h),
+    r AS (SELECT hr,
+                 cast(bad * 1000000 // n AS BIGINT) AS err1_ppm,
+                 cast(bad6 * 1000000 // n6 AS BIGINT) AS err6_ppm
+          FROM w WHERE k6 = 6)
+    SELECT hr AS hour_idx, err1_ppm, err6_ppm,
+           TRUE AS page_alert
+    FROM r
+    WHERE err1_ppm > 240000 AND err6_ppm > 210000
+    """,
+    doc="Multi-window SLO burn-rate alerting (the SRE-workbook page "
+    "rule): with a 20% error budget, page when the 1-hour rate burns "
+    "at >1.2x budget AND the 6-hour rate at >1.05x — the short "
+    "window high-threshold / long window low-threshold AND is what "
+    "kills both flappy short spikes (long window vetoes) and "
+    "slow burns alerted too late (short window confirms recency). "
+    "Hourly error fractions are exact integer ppm; the rolling "
+    "6-hour sums run over the HOURLY rollup (a metadata-sized series "
+    "— the corpus-scale work is one hash aggregate on the hour key), "
+    "and windows needing a full 6-hour history gate on the frame "
+    "row count, so partial leading windows can't fire. Returns the "
+    "paging hours.",
+)
+def q306_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("case when event_type = 'error' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("bad"),
+    )
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    w = h.select(
+        "hr",
+        "n",
+        "bad",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("bad").over(w6).alias("bad6"),
+        F.count(F.lit(1)).over(w6).alias("k6"),
+    )
+    r = w.filter(F.col("k6") == 6).select(
+        "hr",
+        F.expr("bad * 1000000 div n").cast("bigint").alias("err1_ppm"),
+        F.expr("bad6 * 1000000 div n6").cast("bigint").alias("err6_ppm"),
+    )
+    return r.filter(
+        (F.col("err1_ppm") > 240000) & (F.col("err6_ppm") > 210000)
+    ).select(
+        F.col("hr").alias("hour_idx"),
+        "err1_ppm",
+        "err6_ppm",
+        F.lit(True).alias("page_alert"),
+    )
+
+
+@query(
+    "q307_srm_check",
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      cast(user_id % 2 AS INT) AS variant
+               FROM events),
+    c AS (SELECT variant, cast(count(*) AS BIGINT) AS n
+          FROM a GROUP BY variant),
+    s AS (SELECT cast(sum(n) AS BIGINT) AS total,
+                 cast(max(CASE WHEN variant = 0 THEN n END) AS BIGINT)
+                   AS n0,
+                 cast(max(CASE WHEN variant = 1 THEN n END) AS BIGINT)
+                   AS n1
+          FROM c)
+    SELECT n0, n1, total,
+           cast((2 * n0 - total) * (2 * n0 - total) * 1000000
+                // (2 * total) AS BIGINT) AS chi2_q,
+           CASE WHEN (2 * n0 - total) * (2 * n0 - total) * 1000000
+                     // (2 * total) > 3841459 THEN TRUE
+                ELSE FALSE END AS srm_flag
+    FROM s
+    """,
+    doc="Sample-ratio-mismatch (SRM) guardrail: before reading ANY "
+    "experiment metric, verify the 50/50 split actually delivered "
+    "50/50 users — chi-square with 1 dof against the design ratio "
+    "((n0-E)^2/E + (n1-E)^2/E simplifies to (2*n0-total)^2/(2*total) "
+    "exactly), flagged past the 0.05 critical value 3.841459 carried "
+    "as an integer micro-threshold so the decision is pure bigint "
+    "arithmetic. An SRM flag means assignment, logging, or bot "
+    "filtering is broken and every downstream readout (q162/q303) is "
+    "invalid — which is why this ships as its own query, not a "
+    "column. One distinct + two metadata aggregates.",
+)
+def q307_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.expr("cast(user_id % 2 as int)").alias("variant")
+    ).distinct()
+    c = a.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.max(F.expr("case when variant = 0 then n end"))
+        .cast("bigint")
+        .alias("n0"),
+        F.max(F.expr("case when variant = 1 then n end"))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return s.select(
+        "n0",
+        "n1",
+        "total",
+        F.expr(
+            "(2 * n0 - total) * (2 * n0 - total) * 1000000 div (2 * total)"
+        )
+        .cast("bigint")
+        .alias("chi2_q"),
+        F.expr(
+            "case when (2 * n0 - total) * (2 * n0 - total) * 1000000"
+            " div (2 * total) > 3841459 then true else false end"
+        ).alias("srm_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
