@@ -69,6 +69,18 @@ QUERIES = [
     "q253_decision_stumps",
     "q263_dp_quantile",
     "q264_lsh_tuning",
+    # round 7: the iterative fixpoint closure, HRW argmax packing,
+    # weighted distributed CDF, salted two-phase top-k merge, the
+    # unrolled V-optimal DP (metadata argmin packing), the conformal
+    # order statistic, and the probe-broadcast MaxSim rerank — the
+    # surfaces whose determinism disciplines are newest
+    "q277_recursive_closure",
+    "q280_hrw_shards",
+    "q290_weighted_median",
+    "q301_two_phase_topk",
+    "q294_vopt_histogram",
+    "q302_conformal_interval",
+    "q299_maxsim_retrieval",
 ]
 
 SETTINGS = [8, 32, 128]

@@ -12461,8 +12461,11 @@ def q248_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.sum("aq").cast("bigint").alias("h"))
     )
-    # h2q feeds both the a2 half-step and the hub top-20 branch.
-    h2q = _qnorm(h2, "c", "h", "hq").localCheckpoint(eager=False)
+    # h2q feeds both the a2 half-step and the hub top-20 branch; it is
+    # NOT checkpointed — the recompute is one small agg + broadcast,
+    # and a checkpoint here would hide the renorm broadcasts from the
+    # plan (test_hits_renorms_are_broadcast inspects them).
+    h2q = _qnorm(h2, "c", "h", "hq")
     a2 = (
         e.join(h2q, "c")
         .groupBy("s")
