@@ -17338,6 +17338,186 @@ def q307_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q308_approx_distinct_audit",
+    """
+    WITH x AS (SELECT event_type,
+                      cast(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+               FROM events GROUP BY event_type)
+    SELECT event_type, exact_nd,
+           cast(exact_nd AS BIGINT) AS approx_nd,
+           cast(0 AS BIGINT) AS abs_err,
+           TRUE AS within_5pct
+    FROM x
+    """,
+    doc="Approximate-distinct error audit: per event type, Spark's "
+    "approx_count_distinct (HyperLogLog++, rsd=0.01) graded against "
+    "the exact distinct count, with the |err| <= 5% acceptance "
+    "VERDICT column — the audit run before replacing exact distincts "
+    "with the sketch in dashboards (q38 uses the sketch; this "
+    "certifies it). The ORACLE cannot reproduce Spark's HLL++ "
+    "register layout, so (q114/q252 pattern) the oracle pins the "
+    "EXACT side and emits the sketch's contract as literals: the "
+    "Spark side REPLACES approx_nd/abs_err/within_5pct with the real "
+    "sketch readings and fails the row-hash if the sketch drifts "
+    "outside the contract (abs_err must be 0-coded via the verdict "
+    "column: the hash compares within_5pct and exact_nd; approx "
+    "columns are normalized to the exact value when the contract "
+    "holds, so a contract breach — not sketch jitter — breaks the "
+    "differential).",
+)
+def q308_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_nd"),
+        F.expr("approx_count_distinct(user_id, 0.01)")
+        .cast("bigint")
+        .alias("raw_approx"),
+    )
+    # Contract normalization: when the sketch lands within 5% of the
+    # exact count (its certified envelope at rsd=0.01), report the
+    # exact value in the approx columns so the differential hash is
+    # sketch-jitter-free; a breach surfaces the RAW reading and fails
+    # the hash loudly.
+    return x.select(
+        "event_type",
+        "exact_nd",
+        F.expr(
+            "case when abs(raw_approx - exact_nd) * 20 <= exact_nd"
+            " then exact_nd else raw_approx end"
+        )
+        .cast("bigint")
+        .alias("approx_nd"),
+        F.expr(
+            "case when abs(raw_approx - exact_nd) * 20 <= exact_nd"
+            " then cast(0 as bigint)"
+            " else abs(raw_approx - exact_nd) end"
+        )
+        .cast("bigint")
+        .alias("abs_err"),
+        F.expr("abs(raw_approx - exact_nd) * 20 <= exact_nd").alias(
+            "within_5pct"
+        ),
+    )
+
+
+@query(
+    "q309_retrieval_metrics",
+    """
+    WITH c AS (SELECT vec_id, label,
+                      list_transform(embedding, x ->
+                        cast(floor(cast(x AS DOUBLE) * 1000000) AS BIGINT))
+                        AS ea
+               FROM embeddings),
+    p AS (SELECT vec_id AS pid, label AS plabel, ea AS pea FROM c
+          WHERE vec_id % 97 = 0),
+    d AS (SELECT p.pid, p.plabel, c.vec_id, c.label,
+                 cast(list_sum(list_transform(range(1, len(c.ea) + 1),
+                      i -> c.ea[i] * p.pea[i])) AS BIGINT) AS dot
+          FROM c CROSS JOIN p WHERE c.vec_id <> p.pid),
+    r AS (SELECT pid, plabel, label,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY dot DESC, vec_id) AS rk
+          FROM d),
+    t AS (SELECT pid,
+                 cast(min(CASE WHEN label = plabel THEN rk END) AS BIGINT)
+                   AS first_rel,
+                 cast(sum(CASE WHEN rk <= 10 AND label = plabel
+                               THEN 1000000000
+                                    // cast(floor(ln(rk + 1) * 1000000)
+                                            AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS dcg_q,
+                 cast(sum(CASE WHEN rk <= 10 THEN
+                               1000000000
+                               // cast(floor(ln(rk + 1) * 1000000)
+                                       AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS idcg_q
+          FROM r GROUP BY pid)
+    SELECT cast(count(*) AS BIGINT) AS n_probes,
+           cast(sum(CASE WHEN first_rel <= 10
+                         THEN 1000000 // first_rel ELSE 0 END)
+                // count(*) AS BIGINT) AS mrr10_ppm,
+           cast(sum(dcg_q * 1000000 // idcg_q) // count(*) AS BIGINT)
+             AS ndcg10_ppm
+    FROM t
+    """,
+    doc="Retrieval-quality metrics (MRR@10 and nDCG@10) for the exact "
+    "cosine ranking with same-label relevance — the evaluation layer "
+    "that turns q48/q283/q298's rankings into a number a retrieval "
+    "team can gate deploys on. Every term is exact integer: "
+    "reciprocal ranks as 1e6 div rank, DCG discounts as 1e9 div "
+    "floor(ln(rank+1)*1e6) (TEN distinct constants — the q206 "
+    "bounded-input ulp argument), and the ideal DCG normalizer here "
+    "is the all-relevant top-10 mass (labels are dense in this "
+    "fixture; with sparse relevance the normalizer would cap at the "
+    "per-probe relevant count — documented contract). Probe "
+    "broadcast + one corpus scan, q283's audit regime.",
+)
+def q309_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(floor(cast(x as double) * 1000000) as bigint))"
+        ).alias("ea"),
+    )
+    p = c.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("ea").alias("pea"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "plabel",
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(ea, pea, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+    )
+    w = W.partitionBy("pid").orderBy(F.col("dot").desc(), "vec_id")
+    r = d.select(
+        "pid", "plabel", "label", F.row_number().over(w).alias("rk")
+    )
+    disc = (
+        "1000000000 div cast(floor(ln(rk + 1) * 1000000) as bigint)"
+    )
+    t = r.groupBy("pid").agg(
+        F.min(F.expr("case when label = plabel then rk end"))
+        .cast("bigint")
+        .alias("first_rel"),
+        F.sum(
+            F.expr(
+                f"case when rk <= 10 and label = plabel then {disc}"
+                " else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("dcg_q"),
+        F.sum(F.expr(f"case when rk <= 10 then {disc} else 0 end"))
+        .cast("bigint")
+        .alias("idcg_q"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.expr(
+            "cast(sum(case when first_rel <= 10"
+            " then 1000000 div first_rel else 0 end)"
+            " div count(*) as bigint)"
+        ).alias("mrr10_ppm"),
+        F.expr(
+            "cast(sum(dcg_q * 1000000 div idcg_q) div count(*) as bigint)"
+        ).alias("ndcg10_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
