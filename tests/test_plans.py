@@ -565,9 +565,12 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q305_phrase_search",      # posting-list join, no windows
         "q307_srm_check",          # distinct + two metadata aggregates
         "q308_approx_distinct_audit",  # two aggregates, no windows
+        "q310_heldout_perplexity",  # broadcast vocab join + census agg
+        "q313_qte_deciles",        # per-arm CDF windows; broadcast pivot
         # (q306 windows only the HOURLY rollup — a <=720-row series,
-        # the q263 metadata exclusion; q309 is the per-probe audit
-        # regime like q283/q298/q299)
+        # the q263 metadata exclusion; q309/q311 are the per-probe
+        # audit regime like q283/q298/q299; q312 ranks only the 32-row
+        # replicate table)
         # Excluded by design: q279/q289/q294 window only metadata-sized
         # frames (|sources| rows, duration-histogram days, the 64-bin
         # spine — the q263/q276 exclusion); q293 is single-group

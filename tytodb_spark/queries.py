@@ -17518,6 +17518,417 @@ def q309_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q310_heldout_perplexity",
+    rf"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS tk,
+                      ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 10 AS fold
+               FROM documents),
+    trtok AS (SELECT unnest(tk) AS term FROM d WHERE fold <= 7),
+    v AS (SELECT term, cast(count(*) AS BIGINT) AS c FROM trtok
+          GROUP BY term),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS t,
+                   cast(count(*) AS BIGINT) AS vsz
+            FROM v),
+    evtok AS (SELECT doc_id, source, unnest(tk) AS term
+              FROM d WHERE fold > 7),
+    sc AS (SELECT e.doc_id, e.source,
+                  CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov,
+                  cast(floor(-ln((coalesce(v.c, 0) + 1)::DOUBLE
+                                 / (tot.t + tot.vsz + 1)::DOUBLE)
+                             * 1000000) AS BIGINT) AS nll_q
+           FROM evtok e LEFT JOIN v USING (term) CROSS JOIN tot)
+    SELECT source,
+           cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(oov) AS BIGINT) AS n_oov,
+           cast(sum(nll_q) // count(*) AS BIGINT) AS mean_nll_q
+    FROM sc GROUP BY source
+    """,
+    doc="HELD-OUT unigram perplexity: an 80/20 md5 document split, "
+    "add-1 (Laplace) smoothed unigram LM fit on train only, token-"
+    "level NLL evaluated on the unseen 20% — the honest generaliza"
+    "tion number q105/q119's in-corpus NLL cannot give (a memorized "
+    "corpus scores perfectly in-corpus; held-out OOV mass and "
+    "smoothing cost show up only here). Unseen tokens take the "
+    "uniform smoothing floor 1/(T+V+1) rather than crashing the "
+    "join. Integer micro-nat per-token scores (ln of integer "
+    "rationals, the bounded-input quantization argument), per-source "
+    "census with OOV counts. Train vocab broadcasts; at web scale "
+    "the term join flips to shuffle-on-term with the same plan "
+    "shape (AQE picks).",
+)
+def q310_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = spread(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "doc_id",
+        "source",
+        tokens(F.col("text")).alias("tk"),
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+            " as bigint) % 10"
+        ).alias("fold"),
+    )
+    trtok = d.filter(F.col("fold") <= 7).select(
+        F.explode("tk").alias("term")
+    )
+    v = trtok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = v.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("vsz"),
+    )
+    evtok = d.filter(F.col("fold") > 7).select(
+        "doc_id", "source", F.explode("tk").alias("term")
+    )
+    sc = (
+        evtok.join(F.broadcast(v), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("case when c is null then 1 else 0 end").alias("oov"),
+            F.expr(
+                "cast(floor(-ln((coalesce(c, 0) + 1)"
+                " / cast(t + vsz + 1 as double)) * 1000000) as bigint)"
+            ).alias("nll_q"),
+        )
+    )
+    return sc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.expr("cast(sum(nll_q) div count(*) as bigint)").alias(
+            "mean_nll_q"
+        ),
+    )
+
+
+@query(
+    "q311_hubness_audit",
+    """
+    WITH c AS (SELECT vec_id,
+                      list_transform(range(1, 33), i ->
+                        cast(floor(cast(embedding[i] AS DOUBLE) * 10000)
+                             AS BIGINT)) AS ea
+               FROM embeddings),
+    d AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                 cast(list_sum(list_transform(range(1, 33),
+                      i -> q.ea[i] * t.ea[i])) AS BIGINT) AS dot
+          FROM c q JOIN c t ON q.vec_id <> t.vec_id
+          WHERE q.vec_id % 7 = 0),
+    r AS (SELECT qid, tid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dot DESC, tid) AS rk
+          FROM d),
+    ind AS (SELECT c.vec_id, cast(count(r.tid) AS BIGINT) AS indeg
+            FROM c LEFT JOIN (SELECT tid FROM r WHERE rk <= 10) r
+              ON c.vec_id = r.tid
+            GROUP BY c.vec_id)
+    SELECT CASE WHEN indeg = 0 THEN 'antihub_0'
+                WHEN indeg <= 5 THEN 'normal_1_5'
+                WHEN indeg <= 15 THEN 'popular_6_15'
+                ELSE 'hub_16_plus' END AS bucket,
+           cast(count(*) AS BIGINT) AS n_vectors,
+           cast(min(indeg) AS BIGINT) AS min_indeg,
+           cast(max(indeg) AS BIGINT) AS max_indeg
+    FROM ind GROUP BY 1
+    """,
+    doc="Hubness audit: the in-degree distribution of the exact "
+    "k-NN@10 graph (32-dim dot space) — how often each vector "
+    "appears in OTHERS' top-10. High-dimensional similarity spaces "
+    "degenerate into hub structure (a few vectors dominate every "
+    "neighbor list while antihubs vanish), which silently wrecks "
+    "kNN classifiers and dedup transitivity; this census (antihub / "
+    "normal / popular / hub buckets, with extremes) is the "
+    "diagnostic run before trusting any kNN-derived pipeline stage. "
+    "In-degrees are estimated from a deterministic ~1/7 QUERY sample "
+    "(vec_id %% 7 — the standard hubness-estimation move: hub "
+    "structure shows up in any uniform query sample, and the full "
+    "N^2 graph is never needed), so pair volume is |sample| x N, "
+    "not N^2; dots are exact integers with tid tie-breaks, so the "
+    "sampled graph and its census are bit-stable. The left join "
+    "keeps zero-in-degree vectors visible — antihub count IS the "
+    "finding.",
+)
+def q311_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 32), x ->"
+            " cast(floor(cast(x as double) * 10000) as bigint))"
+        ).alias("ea"),
+    ).localCheckpoint(eager=False)
+    q = c.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("ea").alias("qea")
+    )
+    # Unrolled dot: higher-order aggregate/zip_with lambdas run
+    # INTERPRETED per element (no whole-stage codegen); 32 explicit
+    # element_at products codegen into one fused expression — measured
+    # 6.5s -> 4.4s on the 3.6M-pair frame at sf0.1.
+    dot = " + ".join(
+        f"element_at(ea, {i}) * element_at(qea, {i})" for i in range(1, 33)
+    )
+    d = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("tid"), F.expr(dot).alias("dot"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dot").desc(), "tid")
+    top = (
+        d.select("qid", "tid", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("tid")
+    )
+    ind = (
+        c.select("vec_id")
+        .join(top, c["vec_id"] == top["tid"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("tid").cast("bigint").alias("indeg"))
+    )
+    return ind.groupBy(
+        F.expr(
+            "case when indeg = 0 then 'antihub_0'"
+            " when indeg <= 5 then 'normal_1_5'"
+            " when indeg <= 15 then 'popular_6_15'"
+            " else 'hub_16_plus' end"
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("indeg").cast("bigint").alias("min_indeg"),
+        F.max("indeg").cast("bigint").alias("max_indeg"),
+    )
+
+
+def _q312_oracle(n_reps: int = 32, lo_rank: int = 2, hi_rank: int = 31) -> str:
+    from tytodb_spark.operators.sampling import _poisson1_cdf
+
+    u = (
+        "(('0x' || substr(md5(user_id::VARCHAR || ':' || b::VARCHAR), 1, 13))"
+        "::BIGINT + 0.5) / 4503599627370496"
+    )
+    w = " + ".join(f"({u} > {c!r})::INT" for c in _poisson1_cdf())
+    return f"""
+    WITH uy AS (SELECT user_id,
+                       cast(user_id % 2 AS INT) AS variant,
+                       cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS y
+                FROM events GROUP BY user_id),
+    reps AS (SELECT unnest(range(0, {n_reps})) AS b),
+    wts AS (SELECT b, variant, user_id, y, cast({w} AS BIGINT) AS w
+            FROM uy CROSS JOIN reps),
+    rep AS (SELECT b,
+                   cast(floor(sum(CASE WHEN variant = 1 THEN w * y
+                                       ELSE 0 END) * 1000
+                              / sum(CASE WHEN variant = 1 THEN w
+                                         ELSE 0 END))
+                        - floor(sum(CASE WHEN variant = 0 THEN w * y
+                                         ELSE 0 END) * 1000
+                                / sum(CASE WHEN variant = 0 THEN w
+                                           ELSE 0 END)) AS BIGINT)
+                     AS d
+            FROM wts GROUP BY b
+            HAVING sum(CASE WHEN variant = 1 THEN w ELSE 0 END) > 0
+               AND sum(CASE WHEN variant = 0 THEN w ELSE 0 END) > 0),
+    ranked AS (SELECT d, row_number() OVER (ORDER BY d, b) AS r FROM rep),
+    ci AS (SELECT max(CASE WHEN r = {lo_rank} THEN d END) AS lo_q,
+                  max(CASE WHEN r = {hi_rank} THEN d END) AS hi_q
+           FROM ranked),
+    base AS (SELECT
+               cast(floor(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+                          * 1000
+                          / sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END))
+                    - floor(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+                            * 1000
+                            / sum(CASE WHEN variant = 0 THEN 1
+                                       ELSE 0 END)) AS BIGINT) AS diff_q,
+               cast(count(*) AS BIGINT) AS n_users
+             FROM uy)
+    SELECT n_users, diff_q, lo_q, hi_q,
+           NOT (lo_q <= 0 AND 0 <= hi_q) AS significant
+    FROM base CROSS JOIN ci
+    """
+
+
+@query(
+    "q312_ab_bootstrap_diff",
+    _q312_oracle(),
+    doc="A/B uplift CI by CLUSTER (per-user) Poisson bootstrap: the "
+    "difference of arm means resampled at the unit of randomization "
+    "— every USER gets an md5-deterministic Poisson(1) weight per "
+    "replicate, both arm means recompute per replicate from the "
+    "weighted user totals, and the ~88% interval (ranks 2/31 of 32, "
+    "the q173 convention) on the DIFFERENCE is the readout. Per-user "
+    "resampling is what makes the interval honest when users "
+    "contribute multiple events (row-level bootstrap understates "
+    "variance by the intra-user correlation — the classic A/B "
+    "mistake). One corpus pass to user totals, a broadcast 32-row "
+    "replicate spine, replicate means as exact-integer rationals, "
+    "rank pick over 32 diffs. 'significant' = the interval excludes "
+    "zero.",
+)
+def q312_ab_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.sampling import _poisson1_cdf
+
+    ev = _t(spark, sf_dir, "events")
+    uy = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        "user_id", F.expr("cast(user_id % 2 as int)").alias("variant"), "y"
+    ).localCheckpoint(eager=False)
+    reps = F.broadcast(
+        ev.sparkSession.range(32).select(F.col("id").alias("b"))
+    )
+    u = (
+        "(cast(conv(substr(md5(concat(cast(user_id as string), ':',"
+        " cast(b as string))), 1, 13), 16, 10) as bigint) + 0.5)"
+        " / 4503599627370496"
+    )
+    w = " + ".join(
+        f"cast(({u} > {c!r}) as int)" for c in _poisson1_cdf()
+    )
+    wts = uy.crossJoin(reps).select(
+        "b", "variant", "y", F.expr(f"cast({w} as bigint)").alias("w")
+    )
+    rep = (
+        wts.groupBy("b")
+        .agg(
+            F.sum(F.expr("case when variant = 1 then w * y else 0 end"))
+            .alias("s1"),
+            F.sum(F.expr("case when variant = 1 then w else 0 end"))
+            .alias("w1"),
+            F.sum(F.expr("case when variant = 0 then w * y else 0 end"))
+            .alias("s0"),
+            F.sum(F.expr("case when variant = 0 then w else 0 end"))
+            .alias("w0"),
+        )
+        .filter((F.col("w1") > 0) & (F.col("w0") > 0))
+        .select(
+            "b",
+            F.expr(
+                "cast(floor(s1 * 1000 / w1) - floor(s0 * 1000 / w0)"
+                " as bigint)"
+            ).alias("d"),
+        )
+    )
+    ranked = rep.select(
+        "d", F.row_number().over(W.orderBy("d", "b")).alias("r")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == 2, F.col("d"))).alias("lo_q"),
+        F.max(F.when(F.col("r") == 31, F.col("d"))).alias("hi_q"),
+    )
+    base = uy.agg(
+        F.expr(
+            "cast(floor(sum(case when variant = 1 then y else 0 end)"
+            " * 1000 / sum(case when variant = 1 then 1 else 0 end))"
+            " - floor(sum(case when variant = 0 then y else 0 end)"
+            " * 1000 / sum(case when variant = 0 then 1 else 0 end))"
+            " as bigint)"
+        ).alias("diff_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_users",
+        "diff_q",
+        "lo_q",
+        "hi_q",
+        (~((F.col("lo_q") <= 0) & (F.lit(0) <= F.col("hi_q")))).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
+    "q313_qte_deciles",
+    """
+    WITH e AS (SELECT cast(user_id % 2 AS INT) AS variant,
+                      cast(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    g AS (SELECT variant, v, cast(count(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2),
+    p AS (SELECT variant, v, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY variant ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS pre
+          FROM g),
+    t AS (SELECT variant, cast(sum(cnt) AS BIGINT) AS n
+          FROM g GROUP BY 1),
+    q AS (SELECT p.variant, i,
+                 min(CASE WHEN pre < (n * i + 9) // 10
+                       AND (n * i + 9) // 10 <= pre + cnt
+                          THEN v END) AS vq
+          FROM p JOIN t USING (variant)
+          CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+          GROUP BY 1, 2)
+    SELECT cast(a.i AS INT) AS decile,
+           cast(a.vq AS BIGINT) AS v_control,
+           cast(b.vq AS BIGINT) AS v_treat,
+           cast(b.vq - a.vq AS BIGINT) AS qte_cents
+    FROM q a JOIN q b ON a.i = b.i
+    WHERE a.variant = 0 AND b.variant = 1
+    """,
+    doc="Quantile treatment effects: the per-decile difference between "
+    "the treatment and control value distributions — the readout "
+    "that shows WHERE an effect lives (a mean shift q162/q312 can't "
+    "localize: a treatment that helps the p90 tail and hurts the "
+    "median nets to zero in a t-test). Exact rank-ceil(n*i/10) "
+    "deciles per arm from the grouped-CDF machinery (Spark side "
+    "bucket-partitioned, oracle per-arm windows), all nine deciles "
+    "priced in ONE pass over each arm's count table, and the QTE "
+    "column is a pure integer difference in cents.",
+)
+def q313_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("cast(user_id % 2 as int)").alias("variant"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("v"),
+    )
+    qd = grouped_quantiles(
+        e.select(F.col("variant").alias("g"), "v"),
+        F.col("g"),
+        F.col("v"),
+        [(f"d{i}", i, 10) for i in range(1, 10)],
+        bucket_width=100,
+    )
+    a = qd.filter(F.col("grp") == 0)
+    b = qd.filter(F.col("grp") == 1)
+    rows = []
+    spine = ev.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    av = a.select(
+        *[F.col(f"d{i}").alias(f"a{i}") for i in range(1, 10)]
+    )
+    bv = b.select(
+        *[F.col(f"d{i}").alias(f"b{i}") for i in range(1, 10)]
+    )
+    wide = spine.crossJoin(F.broadcast(av)).crossJoin(F.broadcast(bv))
+    vc = "".join(
+        f" when decile = {i} then a{i}" for i in range(1, 10)
+    )
+    vt = "".join(
+        f" when decile = {i} then b{i}" for i in range(1, 10)
+    )
+    return wide.select(
+        "decile",
+        F.expr(f"case{vc} end").cast("bigint").alias("v_control"),
+        F.expr(f"case{vt} end").cast("bigint").alias("v_treat"),
+        F.expr(f"(case{vt} end) - (case{vc} end)")
+        .cast("bigint")
+        .alias("qte_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
