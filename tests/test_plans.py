@@ -567,6 +567,8 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q308_approx_distinct_audit",  # two aggregates, no windows
         "q310_heldout_perplexity",  # broadcast vocab join + census agg
         "q313_qte_deciles",        # per-arm CDF windows; broadcast pivot
+        "q314_modularity",         # pair join + metadata community aggs
+        "q315_gsp_support",        # per-user existence join, distinct
         # (q306 windows only the HOURLY rollup — a <=720-row series,
         # the q263 metadata exclusion; q309/q311 are the per-probe
         # audit regime like q283/q298/q299; q312 ranks only the 32-row

@@ -65,6 +65,9 @@ SCALE_SENSITIVE = [
     "q288_ngram_loops",
     "q286_stream_sessionize",
     "q285_markov_removal",
+    "q311_hubness_audit",  # query-sample x corpus pair volume
+    "q314_modularity",  # co-supply pair fan-out
+    "q315_gsp_support",  # per-user activity^2 existence join
 ]
 
 

@@ -17929,6 +17929,170 @@ def q313_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q314_modularity",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                FROM lineitem),
+    el0 AS (SELECT a.supp AS s1, b.supp AS s2
+            FROM ps a JOIN ps b ON a.part = b.part AND a.supp < b.supp
+            GROUP BY 1, 2),
+    sn AS (SELECT s_suppkey, cast(s_nationkey AS INT) AS com
+           FROM supplier),
+    el AS (SELECT n1.com AS c1, n2.com AS c2
+           FROM el0 JOIN sn n1 ON el0.s1 = n1.s_suppkey
+                    JOIN sn n2 ON el0.s2 = n2.s_suppkey),
+    m AS (SELECT cast(count(*) AS BIGINT) AS m FROM el),
+    intra AS (SELECT c1 AS com, cast(count(*) AS BIGINT) AS e_in
+              FROM el WHERE c1 = c2 GROUP BY 1),
+    deg AS (SELECT com, cast(sum(d) AS BIGINT) AS d_tot FROM (
+              SELECT c1 AS com, count(*) AS d FROM el GROUP BY 1
+              UNION ALL
+              SELECT c2 AS com, count(*) AS d FROM el GROUP BY 1) x
+            GROUP BY com)
+    SELECT deg.com AS community,
+           cast(coalesce(intra.e_in, 0) AS BIGINT) AS e_in,
+           deg.d_tot,
+           cast(coalesce(intra.e_in, 0) * 1000000 // m.m
+                - deg.d_tot * deg.d_tot * 250000 // (m.m * m.m)
+                AS BIGINT) AS q_contrib_ppm
+    FROM deg LEFT JOIN intra ON deg.com = intra.com CROSS JOIN m
+    """,
+    doc="Newman modularity of the supplier co-supply graph under the "
+    "nation partition: per community, Q_i = e_in/m - (d_i/2m)^2 — "
+    "the score that says whether a community assignment (here the "
+    "natural nation grouping; in production q71/q171's components) "
+    "beats random edge placement. Spelled exactly in integers: "
+    "e_in*1e6 div m minus d^2*25e4 div m^2 (the 1/4 of (d/2m)^2 "
+    "folded into the constant), so per-community contributions sum "
+    "to quantized Q with zero float. Edge list is the q222-style "
+    "part-bounded pair join (distinct co-supply edges); community "
+    "stats are three metadata-sized aggregates. Positive q_contrib "
+    "communities are denser than chance — the validation gate before "
+    "using components for dedup canonicalization.",
+)
+def q314_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("int").alias("com")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    a = ps.select("part", F.col("supp").alias("s1"))
+    b = ps.select("part", F.col("supp").alias("s2"))
+    el0 = (
+        a.join(b, "part")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    el = (
+        el0.join(
+            F.broadcast(sp.select(F.col("s_suppkey").alias("s1"), F.col("com").alias("c1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sp.select(F.col("s_suppkey").alias("s2"), F.col("com").alias("c2"))),
+            "s2",
+        )
+        .select("c1", "c2")
+        .localCheckpoint(eager=False)
+    )
+    m = el.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        el.filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("com"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = (
+        el.select(F.col("c1").alias("com"))
+        .unionByName(el.select(F.col("c2").alias("com")))
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_tot"))
+    )
+    return (
+        deg.join(intra, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("com").alias("community"),
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "d_tot",
+            F.expr(
+                "coalesce(e_in, 0) * 1000000 div m"
+                " - d_tot * d_tot * 250000 div (m * m)"
+            )
+            .cast("bigint")
+            .alias("q_contrib_ppm"),
+        )
+    )
+
+
+@query(
+    "q315_gsp_support",
+    """
+    WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t
+               FROM events),
+    pr AS (SELECT DISTINCT a.user_id, a.et AS et_a, b.et AS et_b
+           FROM e a JOIN e b
+             ON a.user_id = b.user_id
+            AND a.et <> b.et
+            AND b.t > a.t
+            AND b.t <= a.t + 86400000000),
+    n AS (SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM e)
+    SELECT pr.et_a, pr.et_b,
+           cast(count(*) AS BIGINT) AS n_support,
+           cast(count(*) * 1000000 // n.n_users AS BIGINT) AS support_ppm
+    FROM pr CROSS JOIN n
+    GROUP BY pr.et_a, pr.et_b, n.n_users
+    """,
+    doc="Sequential-pattern (GSP) 2-sequence support with a gap "
+    "constraint: for each ordered event-type pair (A, B), the users "
+    "where SOME A is followed by SOME B within 24h — unlike q186/"
+    "q231's adjacent transitions, GSP sequences allow arbitrary "
+    "intervening events, which is what makes them pattern mining "
+    "rather than Markov statistics. The existence join is per-user "
+    "(co-partitioned self-join on user_id; fan-out bounded by "
+    "per-user activity squared, the sessionized-corpus regime) and "
+    "collapses to DISTINCT (user, A, B) before counting, so support "
+    "is exact user counts, ppm against the full user base. The "
+    "|types|^2 output is the candidate-generation input for "
+    "longer-pattern mining.",
+)
+def q315_gsp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("t")
+    )
+    a = e.select("user_id", F.col("et").alias("et_a"), F.col("t").alias("ta"))
+    b = e.select("user_id", F.col("et").alias("et_b"), F.col("t").alias("tb"))
+    pr = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("et_a") != F.col("et_b"))
+            & (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.lit(86400000000))
+        )
+        .select("user_id", "et_a", "et_b")
+        .distinct()
+    )
+    n = e.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    return (
+        pr.crossJoin(F.broadcast(n))
+        .groupBy("et_a", "et_b", "n_users")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_support"))
+        .select(
+            "et_a",
+            "et_b",
+            "n_support",
+            F.expr("n_support * 1000000 div n_users")
+            .cast("bigint")
+            .alias("support_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
