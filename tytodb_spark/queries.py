@@ -18093,6 +18093,297 @@ def q315_gsp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q316_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_q,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_q DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): unshipped-as-of-date "
+    "orders for one market segment, top-10 by revenue. Plan: the "
+    "segment filter prunes customer BEFORE it broadcasts into orders "
+    "(dim-side pushdown), the date filters reach both parquet scans "
+    "as PushedFilters, and the only shuffle is lineitem-orders on "
+    "orderkey. The top-10 is TakeOrderedAndProject — per-partition "
+    "heaps then a driver merge of 32 x 10 rows, never a global sort. "
+    "Revenue per-line floor-quantized at 1e4 (q300's discipline) so "
+    "the sum is an exact int64; ties broken by orderkey.",
+)
+def q316_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount)"
+                    " * 10000 + 0.5) as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_q")
+        )
+        .select("l_orderkey", "revenue_q", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_q").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q317_market_share",
+    """
+    WITH b AS (
+      SELECT year(o.o_orderdate) AS yr,
+             cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                        * 10000 + 0.5) AS BIGINT) AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+                   AND r.r_name = 'AMERICA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    )
+    SELECT cast(yr AS INT) AS yr,
+           cast(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                         ELSE 0 END) AS BIGINT) AS nation_rev_q,
+           cast(sum(rev) AS BIGINT) AS total_rev_q,
+           cast((sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                          ELSE 0 END) // 1000) * 1000000
+                // greatest(sum(rev) // 1000, 1) AS BIGINT) AS share_ppm
+    FROM b GROUP BY yr
+    """,
+    doc="TPC-H Q8 shape (national market share): one supplier "
+    "nation's share of PROMO-part revenue sold into one region, by "
+    "order year. The share is a conditional-aggregate ratio — one "
+    "pass, no self-join — and the eight-way join keeps every dim "
+    "broadcast (part included: it is partkey-metadata-sized relative "
+    "to the fact) with lineitem-orders as the single shuffled edge. "
+    "share_ppm pre-divides both operands by 1e3 before the 1e6 "
+    "blow-up so the product stays inside int64 out to ~9e15 in "
+    "quantized annual revenue (~1e11 lines at sf-average prices) — "
+    "the q268 overflow lesson applied at design time; floor-division "
+    "order is mirrored exactly in the oracle.",
+)
+def q317_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    p = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    c = t["customer"].select("c_custkey", "c_nationkey")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    r = t["region"].filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    b = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount)"
+                " * 10000 + 0.5) as bigint)"
+            ).alias("rev"),
+            "supp_nation",
+        )
+    )
+    return (
+        b.groupBy("yr")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("nation_rev_q"),
+            F.sum("rev").cast("bigint").alias("total_rev_q"),
+        )
+        .select(
+            "yr",
+            "nation_rev_q",
+            "total_rev_q",
+            F.expr(
+                "(nation_rev_q div 1000) * 1000000"
+                " div greatest(total_rev_q div 1000, 1)"
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+@query(
+    "q318_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS lost_rev_q
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_rev_q DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+    "returns per customer over a six-month window, top-20. The "
+    "returnflag filter reaches the lineitem scan and the date range "
+    "the orders scan (both PushedFilters); customer and nation "
+    "broadcast; the lineitem-orders orderkey join is the one "
+    "shuffle, and the final agg keys on c_custkey — customer-"
+    "cardinality, far smaller than the fact. Top-20 via "
+    "TakeOrderedAndProject (no global sort). Per-line 1e4 floor "
+    "quantization keeps the sum exact-int64.",
+)
+def q318_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount)"
+                    " * 10000 + 0.5) as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("lost_rev_q")
+        )
+        .orderBy(F.col("lost_rev_q").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q319_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           cast(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS totalprice_q,
+           cast(floor(sum(l.l_quantity) * 100 + 0.5) AS BIGINT) AS qty_q
+    FROM lineitem l
+    JOIN big ON l.l_orderkey = big.l_orderkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY totalprice_q DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): orders whose total "
+    "quantity clears a threshold, with their customers, top-20 by "
+    "order value. The HAVING pre-aggregate runs fact-side (map-side "
+    "combinable sum on the lineitem partitioning key) and survives "
+    "as a ~0.3%-selectivity keyset that AQE converts to a broadcast "
+    "on the re-join — the aggregate-then-semi-join shape that makes "
+    "Q18 the canonical AQE exhibit. quantity sums are integral "
+    "doubles (exact under float addition to 2^53, any order); both "
+    "output measures floor-quantized to int64 at 1e2. The orderkey "
+    "re-join is partition-aligned with the pre-aggregate so AQE can "
+    "also elide the exchange when it materializes the same "
+    "partitioning.",
+)
+def q319_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .select("l_orderkey")
+    )
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t["customer"].select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.expr("cast(floor(sum(l_quantity) * 100 + 0.5) as bigint)").alias(
+                "qty_q"
+            )
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "totalprice_q"
+            ),
+            "qty_q",
+        )
+        .orderBy(F.col("totalprice_q").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
