@@ -18384,6 +18384,330 @@ def q319_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q320_cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN n_chars >= 450 THEN 2
+                  WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) >= 70
+                    THEN 2
+                  WHEN length(text) - length(replace(text, ' ', '')) >= 38
+                    THEN 1 ELSE 0 END AS rb
+      FROM documents),
+    cells AS (SELECT ra, rb, cast(count(*) AS BIGINT) AS n
+              FROM lab GROUP BY ra, rb),
+    tot AS (SELECT cast(sum(n) AS BIGINT) AS n,
+                   cast(sum(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+                     AS agree
+            FROM cells),
+    na AS (SELECT ra AS c, cast(sum(n) AS BIGINT) AS n_a
+           FROM cells GROUP BY ra),
+    nb AS (SELECT rb AS c, cast(sum(n) AS BIGINT) AS n_b
+           FROM cells GROUP BY rb),
+    ch AS (SELECT cast(sum(na.n_a * nb.n_b) AS BIGINT) AS s
+           FROM na JOIN nb ON na.c = nb.c)
+    SELECT tot.n, tot.agree,
+           cast(tot.agree * 1000000 // tot.n AS BIGINT) AS po_ppm,
+           cast((ch.s // tot.n) * 1000000 // tot.n AS BIGINT) AS pe_ppm,
+           cast((tot.agree - ch.s // tot.n) * 1000000
+                // greatest(tot.n - ch.s // tot.n, 1) AS BIGINT)
+             AS kappa_ppm
+    FROM tot CROSS JOIN ch
+    """,
+    doc="Cohen's kappa inter-rater agreement between two deterministic "
+    "quality raters (length-tier vs whitespace-token-tier) — the "
+    "chance-corrected agreement score that gates annotation-quality "
+    "decisions (kappa near 0 = the raters agree no more than class "
+    "priors force them to). One map-side scan labels both raters, a "
+    "single |classes|^2 cell aggregate carries everything downstream "
+    "— observed agreement is the cell diagonal, expected agreement "
+    "the product of the two marginals — so the corpus is read once "
+    "and all arithmetic happens on a 9-row frame. Integer spelling "
+    "pre-divides the marginal product by n BEFORE the ppm blow-up "
+    "(kappa = (agree - s/n) / (n - s/n)), keeping every term <= n: "
+    "safe to ~9e12 documents, floor-division order mirrored exactly "
+    "in the oracle.",
+)
+def q320_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.expr(
+            "case when n_chars >= 450 then 2"
+            " when n_chars >= 250 then 1 else 0 end"
+        ).alias("ra"),
+        F.expr(
+            "case when length(text) - length(replace(text, ' ', '')) >= 70"
+            " then 2 when length(text) - length(replace(text, ' ', '')) >= 38"
+            " then 1 else 0 end"
+        ).alias("rb"),
+    )
+    cells = lab.groupBy("ra", "rb").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    na = cells.groupBy(F.col("ra").alias("c")).agg(
+        F.sum("n").cast("bigint").alias("n_a")
+    )
+    nb = cells.groupBy(F.col("rb").alias("c")).agg(
+        F.sum("n").cast("bigint").alias("n_b")
+    )
+    ch = (
+        na.join(nb, "c")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).cast("bigint").alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ch))
+        .select(
+            "n",
+            "agree",
+            F.expr("agree * 1000000 div n").cast("bigint").alias("po_ppm"),
+            F.expr("(s div n) * 1000000 div n").cast("bigint").alias("pe_ppm"),
+            F.expr(
+                "(agree - s div n) * 1000000"
+                " div greatest(n - s div n, 1)"
+            )
+            .cast("bigint")
+            .alias("kappa_ppm"),
+        )
+    )
+
+
+@query(
+    "q321_mcnemar",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p1,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS p2
+      FROM documents),
+    ct AS (
+      SELECT cast(sum(CASE WHEN p1 = y AND p2 = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_right,
+             cast(sum(CASE WHEN p1 = y AND p2 <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             cast(sum(CASE WHEN p1 <> y AND p2 = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             cast(sum(CASE WHEN p1 <> y AND p2 <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_wrong
+      FROM lab)
+    SELECT both_right, b, c, both_wrong,
+           cast((b - c) * (b - c) * 1000 // greatest(b + c, 1) AS BIGINT)
+             AS chi2_milli
+    FROM ct
+    """,
+    doc="McNemar's paired test for comparing two classifiers on the "
+    "SAME examples (here: language-metadata vs length-threshold, both "
+    "predicting an English-marker ground truth): only the discordant "
+    "cells b and c carry signal — the shared-correct mass that "
+    "inflates naive accuracy deltas cancels by construction. One "
+    "map-side labeling scan collapses to a single 2x2 contingency "
+    "row (map-side-combinable conditional sums, no shuffle beyond "
+    "the final 1-row reduce). chi2 = (b-c)^2/(b+c) in exact integer "
+    "milli-units; the square is computed on the discordant DELTA "
+    "(|b-c| <= discordant count), so the *1e3 spelling holds to "
+    "~3e7 discordant pairs — beyond that, pre-divide the delta "
+    "(the q268 lesson, noted here rather than discovered later).",
+)
+def q321_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.expr("case when contains(text, ' the ') then 1 else 0 end").alias("y"),
+        F.expr("case when lang = 'en' then 1 else 0 end").alias("p1"),
+        F.expr("case when n_chars >= 300 then 1 else 0 end").alias("p2"),
+    )
+    ct = lab.agg(
+        F.sum(F.expr("case when p1 = y and p2 = y then 1 else 0 end"))
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(F.expr("case when p1 = y and p2 <> y then 1 else 0 end"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.expr("case when p1 <> y and p2 = y then 1 else 0 end"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.expr("case when p1 <> y and p2 <> y then 1 else 0 end"))
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    return ct.select(
+        "both_right",
+        "b",
+        "c",
+        "both_wrong",
+        F.expr("(b - c) * (b - c) * 1000 div greatest(b + c, 1)")
+        .cast("bigint")
+        .alias("chi2_milli"),
+    )
+
+
+@query(
+    "q322_brier_decomposition",
+    """
+    WITH lab AS (
+      SELECT least(n_chars // 60, 9) AS bin,
+             CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS y
+      FROM documents),
+    g AS (SELECT bin, cast(count(*) AS BIGINT) AS n_k,
+                 cast(sum(y) AS BIGINT) AS y_k
+          FROM lab GROUP BY bin),
+    t AS (SELECT cast(sum(y_k) * 1000 // sum(n_k) AS BIGINT) AS ybar_pm
+          FROM g)
+    SELECT cast(g.bin AS INT) AS bin, g.n_k,
+           cast((2 * g.bin + 1) * 50 AS BIGINT) AS p_pm,
+           cast(g.y_k * 1000 // g.n_k AS BIGINT) AS ybar_k_pm,
+           cast(g.n_k * ((2 * g.bin + 1) * 50 - g.y_k * 1000 // g.n_k)
+                      * ((2 * g.bin + 1) * 50 - g.y_k * 1000 // g.n_k)
+                AS BIGINT) AS rel_contrib,
+           cast(g.n_k * (g.y_k * 1000 // g.n_k - t.ybar_pm)
+                      * (g.y_k * 1000 // g.n_k - t.ybar_pm)
+                AS BIGINT) AS res_contrib
+    FROM g CROSS JOIN t
+    """,
+    doc="Murphy decomposition of the Brier score (reliability / "
+    "resolution terms per forecast bin): predictions are binned "
+    "probabilities (length-derived, bin midpoint = (2k+1)/20), "
+    "outcome an English-marker indicator. reliability penalizes "
+    "bins whose observed rate strays from the stated probability; "
+    "resolution rewards bins that separate from the base rate — "
+    "together with uncertainty ybar(1-ybar) they reassemble the "
+    "full Brier score, the sharper diagnostic than q205's raw "
+    "calibration table. One labeling scan, one 10-row bin "
+    "aggregate, base rate broadcast back. All terms exact integers "
+    "in per-mille scale: n_k * delta_pm^2 <= n_k * 1e6, safe to "
+    "~9e12 rows per bin with zero float.",
+)
+def q322_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.expr("least(n_chars div 60, 9)").alias("bin"),
+        F.expr("case when contains(text, ' the ') then 1 else 0 end").alias("y"),
+    )
+    g = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("y_k"),
+    )
+    t = g.agg(
+        F.expr("cast(sum(y_k) * 1000 div sum(n_k) as bigint)").alias("ybar_pm")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_k",
+            F.expr("cast((2 * bin + 1) * 50 as bigint)").alias("p_pm"),
+            F.expr("cast(y_k * 1000 div n_k as bigint)").alias("ybar_k_pm"),
+            F.expr(
+                "cast(n_k * ((2 * bin + 1) * 50 - y_k * 1000 div n_k)"
+                " * ((2 * bin + 1) * 50 - y_k * 1000 div n_k) as bigint)"
+            ).alias("rel_contrib"),
+            F.expr(
+                "cast(n_k * (y_k * 1000 div n_k - ybar_pm)"
+                " * (y_k * 1000 div n_k - ybar_pm) as bigint)"
+            ).alias("res_contrib"),
+        )
+    )
+
+
+@query(
+    "q323_assortativity",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                FROM lineitem),
+    pd AS (SELECT part, cast(count(*) AS BIGINT) AS deg
+           FROM ps GROUP BY part),
+    sd AS (SELECT supp, cast(count(*) AS BIGINT) AS deg
+           FROM ps GROUP BY supp),
+    e AS (SELECT pd.deg AS pdeg, sd.deg AS sdeg
+          FROM ps
+          JOIN pd ON ps.part = pd.part
+          JOIN sd ON ps.supp = sd.supp),
+    j AS (SELECT pdeg AS dx, sdeg AS dy FROM e
+          UNION ALL
+          SELECT sdeg AS dx, pdeg AS dy FROM e),
+    s AS (SELECT cast(count(*) AS BIGINT) AS m2,
+                 cast(sum(dx) AS BIGINT) AS sx,
+                 cast(sum(dy) AS BIGINT) AS sy,
+                 cast(sum(dx * dx) AS BIGINT) AS sxx,
+                 cast(sum(dy * dy) AS BIGINT) AS syy,
+                 cast(sum(dx * dy) AS BIGINT) AS sxy
+          FROM j)
+    SELECT m2, sx, sxy,
+           round((m2::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((m2::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (m2::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the bipartite part-supplier graph: "
+    "the Pearson correlation of endpoint degrees over the (doubled) "
+    "edge list — negative means high-degree parts attach to low-"
+    "degree suppliers (hub-and-spoke, q171's star-contraction "
+    "regime), positive means hubs cluster (dedup-component merging "
+    "will be head-heavy). The bipartite form is the one that stays "
+    "non-degenerate on dense co-occurrence data: the supplier-"
+    "supplier projection is complete at small sf (every degree "
+    "equal, correlation undefined), while bipartite degrees always "
+    "vary with the data. Degrees come from two hash aggregates over "
+    "the distinct edge list and broadcast back onto the fact-sized "
+    "edges; each edge contributes both orientations (the standard "
+    "estimator). q146's exact-component discipline: all five moment "
+    "sums are exact bigints (m2*sxx inside int64 to ~1e9 edges at "
+    "1e4 max degree), one final double division rounded to 6dp so "
+    "libm can't flip a hash bit.",
+)
+def q323_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pd = ps.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("pdeg"))
+    sd = ps.groupBy("supp").agg(F.count(F.lit(1)).cast("bigint").alias("sdeg"))
+    e = (
+        ps.join(F.broadcast(pd), "part")
+        .join(F.broadcast(sd), "supp")
+        .select("pdeg", "sdeg")
+    )
+    j = e.select(
+        F.col("pdeg").alias("dx"), F.col("sdeg").alias("dy")
+    ).unionByName(e.select(F.col("sdeg").alias("dx"), F.col("pdeg").alias("dy")))
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        "m2",
+        "sx",
+        "sxy",
+        F.round(
+            (
+                F.col("m2").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("m2").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * (
+                    F.col("m2").cast("double") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
