@@ -18708,6 +18708,341 @@ def q323_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q324_l_diversity",
+    """
+    WITH q AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      cast(floor(value * 10) AS BIGINT) AS vb,
+                      user_id
+               FROM events),
+    cls AS (SELECT event_type, day, vb,
+                   cast(count(DISTINCT user_id) AS BIGINT) AS l,
+                   cast(count(*) AS BIGINT) AS sz
+            FROM q GROUP BY 1, 2, 3)
+    SELECT cast(count(*) AS BIGINT) AS n_classes,
+           cast(min(l) AS BIGINT) AS min_l,
+           cast(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_2,
+           cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_3,
+           cast(sum(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_5,
+           cast(sum(CASE WHEN l = sz THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_all_distinct
+    FROM cls
+    """,
+    doc="l-diversity audit over q198's quasi-identifier classes "
+    "(event_type, day, value-bucket) with user_id as the sensitive "
+    "attribute: k-anonymity alone (q198) does not stop attribute "
+    "disclosure — a class of 50 rows all naming ONE user is k=50 "
+    "but l=1, fully identifying. Per-class distinct-sensitive "
+    "counts come from one two-level aggregate (the distinct is "
+    "partial-aggregated map-side on the (QI, user) composite before "
+    "the class rollup — no row ever carries a set), and the release "
+    "gate is the handful of threshold counters. Same shape at 1e12 "
+    "rows: both aggregates key on the QI tuple, no skew beyond the "
+    "QI classes themselves.",
+)
+def q324_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("cast(floor(value * 10) as bigint)").alias("vb"),
+        "user_id",
+    )
+    cls = q.groupBy("event_type", "day", "vb").agg(
+        F.countDistinct("user_id").cast("bigint").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.expr("case when l < 2 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_below_2"),
+        F.sum(F.expr("case when l < 3 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_below_3"),
+        F.sum(F.expr("case when l < 5 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_below_5"),
+        F.sum(F.expr("case when l = sz then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_all_distinct"),
+    )
+
+
+@query(
+    "q325_bloom_fpp_audit",
+    """
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pos AS (SELECT key,
+                   unnest([('0x'||substr(md5(key::VARCHAR),1,8))::BIGINT
+                             % 65536,
+                           ('0x'||substr(md5(key::VARCHAR),9,8))::BIGINT
+                             % 65536]) AS p
+            FROM k),
+    words AS (SELECT p // 32 AS widx,
+                     bit_or(1::BIGINT << cast(p % 32 AS INT)) AS word
+              FROM pos GROUP BY p // 32),
+    stats AS (SELECT cast(sum(bit_count(word)) AS BIGINT) AS ones
+              FROM words),
+    nmem AS (SELECT cast(count(*) AS BIGINT) AS n_members FROM k),
+    probe AS (SELECT c_custkey + 10000000 AS key FROM customer),
+    ppos AS (SELECT key,
+                    unnest([('0x'||substr(md5(key::VARCHAR),1,8))::BIGINT
+                              % 65536,
+                            ('0x'||substr(md5(key::VARCHAR),9,8))::BIGINT
+                              % 65536]) AS p
+             FROM probe),
+    hits AS (SELECT ppos.key,
+                    cast(sum(CASE WHEN words.word IS NOT NULL
+                         AND (words.word >> cast(ppos.p % 32 AS INT)) & 1 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nhit
+             FROM ppos LEFT JOIN words ON ppos.p // 32 = words.widx
+             GROUP BY ppos.key),
+    fp AS (SELECT cast(count(*) AS BIGINT) AS n_probes,
+                  cast(sum(CASE WHEN nhit = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_fp
+           FROM hits)
+    SELECT nmem.n_members, stats.ones AS ones_bits,
+           fp.n_probes, fp.n_fp,
+           cast(fp.n_fp * 1000000 // fp.n_probes AS BIGINT)
+             AS fp_ppm_measured,
+           cast((stats.ones * 1000 // 65536)
+                * (stats.ones * 1000 // 65536) AS BIGINT)
+             AS fp_ppm_theory
+    FROM nmem CROSS JOIN stats CROSS JOIN fp
+    """,
+    doc="Bloom-filter false-positive audit: rebuild q151's 64Kibit "
+    "k=2 filter over the member keyset, probe it with a DISJOINT "
+    "keyset (custkey + 1e7 — provably non-members), and report "
+    "measured FP rate against the occupancy-derived theoretical "
+    "rate (ones/m)^k. The audit closes the loop q151 opened: the "
+    "filter's usefulness claim (q185's bloom-prefiltered semi-join) "
+    "rests on a fpp that should be MEASURED per deployment, not "
+    "assumed from the textbook formula — saturated filters pass "
+    "everything and silently turn the prefilter into a no-op. All "
+    "probe verdicts come from one broadcast join of probe bit "
+    "positions against the 2048-word filter table (the filter is "
+    "metadata-sized BY CONSTRUCTION — that is what makes it a "
+    "filter); md5-derived positions are engine-portable; both rates "
+    "exact integer ppm (theory spelled per-mille-squared so the "
+    "division order is identical in both engines).",
+)
+def q325_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = t["orders"].select(F.col("o_custkey").alias("key")).distinct()
+    h1 = "conv(substr(md5(cast(key as string)), 1, 8), 16, 10) % 65536"
+    h2 = "conv(substr(md5(cast(key as string)), 9, 8), 16, 10) % 65536"
+    pos = k.select(
+        "key", F.explode(F.expr(f"array({h1}, {h2})")).alias("p")
+    ).select("key", F.col("p").cast("bigint").alias("p"))
+    words = (
+        pos.groupBy(F.expr("p div 32").alias("widx"))
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))")
+            .alias("word")
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = words.agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("ones")
+    )
+    nmem = k.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    probe = t["customer"].select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("key")
+    )
+    ppos = probe.select(
+        "key", F.explode(F.expr(f"array({h1}, {h2})")).alias("p")
+    ).select("key", F.col("p").cast("bigint").alias("p"))
+    hits = (
+        ppos.join(
+            F.broadcast(words), F.expr("p div 32") == F.col("widx"), "left"
+        )
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when word is not null and"
+                    " (word >> cast(p % 32 as int)) & 1 = 1"
+                    " then 1 else 0 end"
+                )
+            )
+            .cast("bigint")
+            .alias("nhit")
+        )
+    )
+    fp = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.expr("case when nhit = 2 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_fp"),
+    )
+    return (
+        nmem.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_members",
+            F.col("ones").alias("ones_bits"),
+            "n_probes",
+            "n_fp",
+            F.expr("n_fp * 1000000 div n_probes")
+            .cast("bigint")
+            .alias("fp_ppm_measured"),
+            F.expr(
+                "(ones * 1000 div 65536) * (ones * 1000 div 65536)"
+            )
+            .cast("bigint")
+            .alias("fp_ppm_theory"),
+        )
+    )
+
+
+@query(
+    "q326_unpivot_long",
+    """
+    WITH w AS (SELECT source,
+                      cast(count(*) AS BIGINT) AS n_docs,
+                      cast(sum(n_chars) AS BIGINT) AS total_chars,
+                      cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_en
+               FROM documents GROUP BY source)
+    SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+    UNION ALL
+    SELECT source, 'total_chars' AS metric, total_chars AS value FROM w
+    UNION ALL
+    SELECT source, 'n_en' AS metric, n_en AS value FROM w
+    """,
+    doc="UNPIVOT (wide-to-long reshaping), the inverse of q60's "
+    "pivot: per-source metrics computed ONCE in wide form, then "
+    "melted to (source, metric, value) triples via stack() — the "
+    "shape ingestion APIs and metric stores want. stack() is a "
+    "generator expression, not a join: the wide frame is scanned "
+    "once and each row fans out to |metrics| rows map-side, so the "
+    "reshape adds zero shuffles on top of the source aggregate "
+    "(the oracle's UNION ALL spelling would re-scan the aggregate "
+    "3x — stack is the plan you want at scale). Metric names are "
+    "string literals in the plan; values share one bigint type, "
+    "the unpivot precondition.",
+)
+def q326_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.expr("case when lang = 'en' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    return w.select(
+        "source",
+        F.expr(
+            "stack(3, 'n_docs', n_docs, 'total_chars', total_chars,"
+            " 'n_en', n_en)"
+        ).alias("metric", "value"),
+    )
+
+
+@query(
+    "q327_binary_changepoint",
+    """
+    WITH h AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, hr, y,
+                 cast(sum(y) OVER (PARTITION BY event_type ORDER BY hr
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS pre,
+                 cast(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY hr) AS BIGINT) AS i,
+                 cast(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tot,
+                 cast(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+          FROM h),
+    g AS (SELECT event_type, hr, i, n, pre, tot,
+                 cast(pre * pre * 1000 // i
+                      + (tot - pre) * (tot - pre) * 1000 // (n - i)
+                      AS BIGINT) AS gain_q
+          FROM s WHERE i < n),
+    r AS (SELECT event_type, hr, gain_q,
+                 cast(pre * 1000 // i AS BIGINT) AS mean_left_milli,
+                 cast((tot - pre) * 1000 // (n - i) AS BIGINT)
+                   AS mean_right_milli,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY gain_q DESC, hr) AS rk
+          FROM g)
+    SELECT event_type, hr AS split_hour, gain_q,
+           mean_left_milli, mean_right_milli
+    FROM r WHERE rk = 1
+    """,
+    doc="Single-changepoint detection by binary segmentation: per "
+    "event type, the hour split that maximizes the two-segment "
+    "fit gain sum(seg_total^2 / seg_len) — the exact argmax CUSUM-"
+    "style scan statistics approximate, and the recursion step of "
+    "full binary segmentation. Unlike q201's sequential CUSUM "
+    "(drift ALARM), this names WHERE the level shifted and the "
+    "before/after means. Prefix sums run in windows PARTITIONED BY "
+    "event_type (series-bounded, never corpus-global — the "
+    "operators/stats.py discipline), candidate evaluation is one "
+    "more projection, and the per-series argmax is a k-row window. "
+    "All gains exact integers: pre^2 * 1e3 holds to ~3e6 events "
+    "per series; above that pre-divide the segment totals (the "
+    "q268 lesson applied at design time, noted in-spelling).",
+)
+def q327_binary_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wo = W.partitionBy("event_type").orderBy("hr")
+    wp = W.partitionBy("event_type")
+    s = h.select(
+        "event_type",
+        "hr",
+        F.sum("y").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("pre"),
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.sum("y").over(wp).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    g = s.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "hr",
+        F.expr(
+            "cast(pre * pre * 1000 div i"
+            " + (tot - pre) * (tot - pre) * 1000 div (n - i) as bigint)"
+        ).alias("gain_q"),
+        F.expr("cast(pre * 1000 div i as bigint)").alias("mean_left_milli"),
+        F.expr("cast((tot - pre) * 1000 div (n - i) as bigint)").alias(
+            "mean_right_milli"
+        ),
+    )
+    rk = W.partitionBy("event_type").orderBy(F.col("gain_q").desc(), "hr")
+    return (
+        g.select(
+            "event_type",
+            "hr",
+            "gain_q",
+            "mean_left_milli",
+            "mean_right_milli",
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("split_hour"),
+            "gain_q",
+            "mean_left_milli",
+            "mean_right_milli",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
