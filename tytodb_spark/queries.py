@@ -19043,6 +19043,408 @@ def q327_binary_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q328_join_order_advisor",
+    """
+    WITH st AS (
+      SELECT (SELECT cast(count(*) AS BIGINT) FROM customer) AS n_c,
+             (SELECT cast(count(*) AS BIGINT) FROM orders) AS n_o,
+             (SELECT cast(count(*) AS BIGINT) FROM lineitem) AS n_l,
+             (SELECT cast(count(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS d_cc,
+             (SELECT cast(count(DISTINCT o_custkey) AS BIGINT)
+              FROM orders) AS d_oc,
+             (SELECT cast(count(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS d_ok,
+             (SELECT cast(count(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem) AS d_lk),
+    act AS (
+      SELECT (SELECT cast(count(*) AS BIGINT)
+              FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey)
+               AS a_co,
+             (SELECT cast(count(*) AS BIGINT)
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey) AS a_ol),
+    cand AS (
+      SELECT 'customer_orders_first' AS plan_order,
+             cast(n_c * n_o // greatest(d_cc, d_oc) AS BIGINT) AS est_rows,
+             a_co AS actual_rows
+      FROM st CROSS JOIN act
+      UNION ALL
+      SELECT 'orders_lineitem_first' AS plan_order,
+             cast(n_o * n_l // greatest(d_ok, d_lk) AS BIGINT) AS est_rows,
+             a_ol AS actual_rows
+      FROM st CROSS JOIN act
+      UNION ALL
+      SELECT 'customer_lineitem_cross' AS plan_order,
+             cast(n_c * n_l AS BIGINT) AS est_rows,
+             cast(n_c * n_l AS BIGINT) AS actual_rows
+      FROM st CROSS JOIN act)
+    SELECT plan_order, est_rows, actual_rows,
+           cast(est_rows * 1000 // greatest(actual_rows, 1) AS BIGINT)
+             AS est_ratio_milli,
+           cast(row_number() OVER (ORDER BY est_rows, plan_order) AS INT)
+             AS est_rank,
+           cast(row_number() OVER (ORDER BY actual_rows, plan_order) AS INT)
+             AS actual_rank
+    FROM cand
+    """,
+    doc="Join-order advisor: for the customer-orders-lineitem chain, "
+    "rank every first-join candidate (the two connected edges plus "
+    "the disconnected cross product a naive enumerator would also "
+    "consider) by estimated intermediate cardinality |R||S|/"
+    "max(ndv_R, ndv_S), then audit the ranking against the TRUE "
+    "intermediate sizes — est_rank vs actual_rank agreeing is "
+    "exactly the property a cost-based join reorderer needs (q212 "
+    "gates the estimator's absolute error; this gates the DECISION "
+    "it feeds). Stats are metadata-scans (counts + exact ndv, one "
+    "aggregate each); actuals for the connected edges are real join "
+    "counts; the cross candidate's actual IS the product, computed "
+    "arithmetically in both engines rather than materializing a "
+    "9e10-row disaster. The 3-row advisor windows are driver-"
+    "trivial; floor-division order mirrored exactly.",
+)
+def q328_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    st = (
+        c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_c"),
+            F.countDistinct("c_custkey").cast("bigint").alias("d_cc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_o"),
+                    F.countDistinct("o_custkey").cast("bigint").alias("d_oc"),
+                    F.countDistinct("o_orderkey").cast("bigint").alias("d_ok"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                li.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_l"),
+                    F.countDistinct("l_orderkey").cast("bigint").alias("d_lk"),
+                )
+            )
+        )
+    )
+    a_co = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_co"))
+    )
+    a_ol = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_ol"))
+    )
+    base = st.crossJoin(F.broadcast(a_co)).crossJoin(F.broadcast(a_ol))
+    cand = base.select(
+        F.expr(
+            "stack(3,"
+            " 'customer_orders_first',"
+            "   cast(n_c * n_o div greatest(d_cc, d_oc) as bigint), a_co,"
+            " 'orders_lineitem_first',"
+            "   cast(n_o * n_l div greatest(d_ok, d_lk) as bigint), a_ol,"
+            " 'customer_lineitem_cross',"
+            "   cast(n_c * n_l as bigint), cast(n_c * n_l as bigint))"
+        ).alias("plan_order", "est_rows", "actual_rows")
+    )
+    return cand.select(
+        "plan_order",
+        "est_rows",
+        "actual_rows",
+        F.expr("est_rows * 1000 div greatest(actual_rows, 1)")
+        .cast("bigint")
+        .alias("est_ratio_milli"),
+        F.row_number()
+        .over(W.orderBy("est_rows", "plan_order"))
+        .cast("int")
+        .alias("est_rank"),
+        F.row_number()
+        .over(W.orderBy("actual_rows", "plan_order"))
+        .cast("int")
+        .alias("actual_rank"),
+    )
+
+
+@query(
+    "q329_seasonal_mad_anomalies",
+    """
+    WITH h AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(hour(ts) AS INT) AS hod,
+                      cast(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2, 3),
+    r AS (SELECT event_type, hr, hod, y,
+                 row_number() OVER (PARTITION BY event_type, hod
+                                    ORDER BY y, hr) AS rn,
+                 count(*) OVER (PARTITION BY event_type, hod) AS n
+          FROM h),
+    med AS (SELECT event_type, hod,
+                   cast(sum(CASE
+                     WHEN n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1)
+                       THEN y
+                     WHEN n % 2 = 1 AND rn = (n + 1) / 2 THEN 2 * y
+                     ELSE 0 END) AS BIGINT) AS med2
+            FROM r GROUP BY 1, 2),
+    d AS (SELECT r.event_type, r.hr, r.hod, r.y, med.med2,
+                 abs(2 * r.y - med.med2) AS dev2
+          FROM r JOIN med ON r.event_type = med.event_type
+                         AND r.hod = med.hod),
+    dr AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type, hod
+                                     ORDER BY dev2, hr) AS rn2,
+                  count(*) OVER (PARTITION BY event_type, hod) AS n2
+           FROM d),
+    mad AS (SELECT event_type, hod,
+                   cast(sum(CASE
+                     WHEN n2 % 2 = 0 AND (rn2 = n2 / 2 OR rn2 = n2 / 2 + 1)
+                       THEN dev2
+                     WHEN n2 % 2 = 1 AND rn2 = (n2 + 1) / 2 THEN 2 * dev2
+                     ELSE 0 END) AS BIGINT) AS mad4
+            FROM dr GROUP BY 1, 2)
+    SELECT d.event_type, d.hr, d.y, d.med2, d.dev2, mad.mad4
+    FROM d JOIN mad ON d.event_type = mad.event_type
+                   AND d.hod = mad.hod
+    WHERE 2 * d.dev2 > 3 * mad.mad4
+    """,
+    doc="Seasonally-adjusted robust anomaly census: hourly event "
+    "counts scored against the MEDIAN and MAD of their own hour-of-"
+    "day cohort (3 a.m. is only anomalous relative to other 3 a.m.s "
+    "— q110/q113's global MAD would flag every quiet night). Both "
+    "medians are EXACT integer spellings carried at 2x/4x scale "
+    "(med2 = sum of the two middle ranks, mad4 = doubled median of "
+    "doubled deviations) so the 3-sigma-equivalent gate 2*dev2 > "
+    "3*mad4 is pure int64 — zero float anywhere, hash-stable across "
+    "engines. Every window is partitioned by (event_type, hour-of-"
+    "day): cohort size = number of DAYS observed, so partitions "
+    "stay bounded as the corpus widens and only grow with history "
+    "length — the operators/stats.py partitioning discipline.",
+)
+def q329_seasonal_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wc = W.partitionBy("event_type", "hod")
+    r = h.select(
+        "event_type",
+        "hr",
+        "hod",
+        "y",
+        F.row_number().over(wc.orderBy("y", "hr")).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r.groupBy("event_type", "hod").agg(
+        F.sum(
+            F.expr(
+                "case when n % 2 = 0 and (rn = n div 2 or rn = n div 2 + 1)"
+                " then y when n % 2 = 1 and rn = (n + 1) div 2 then 2 * y"
+                " else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    d = r.select("event_type", "hr", "hod", "y").join(
+        med, ["event_type", "hod"]
+    ).select(
+        "event_type",
+        "hr",
+        "hod",
+        "y",
+        "med2",
+        F.expr("abs(2 * y - med2)").alias("dev2"),
+    )
+    dr = d.select(
+        "event_type",
+        "hod",
+        "dev2",
+        F.row_number().over(wc.orderBy("dev2", "hr")).alias("rn2"),
+        F.count(F.lit(1)).over(wc).alias("n2"),
+    )
+    mad = dr.groupBy("event_type", "hod").agg(
+        F.sum(
+            F.expr(
+                "case when n2 % 2 = 0 and (rn2 = n2 div 2 or rn2 = n2 div 2 + 1)"
+                " then dev2 when n2 % 2 = 1 and rn2 = (n2 + 1) div 2"
+                " then 2 * dev2 else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("mad4")
+    )
+    return (
+        d.join(mad, ["event_type", "hod"])
+        .filter(F.expr("2 * dev2 > 3 * mad4"))
+        .select("event_type", "hr", "y", "med2", "dev2", "mad4")
+    )
+
+
+@query(
+    "q330_predicate_selectivity",
+    """
+    WITH s AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(sum(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             cast(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n3,
+             cast(sum(CASE WHEN l_quantity < 25 AND l_returnflag = 'R'
+                            AND l_discount >= 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_joint
+      FROM lineitem)
+    SELECT n, n1, n2, n3, n_joint,
+           cast(n1 * 1000000 // n AS BIGINT) AS sel1_ppm,
+           cast(n2 * 1000000 // n AS BIGINT) AS sel2_ppm,
+           cast(n3 * 1000000 // n AS BIGINT) AS sel3_ppm,
+           cast(n_joint * 1000000 // n AS BIGINT) AS actual_joint_ppm,
+           cast(((n1 * 1000000 // n) * (n2 * 1000000 // n) // 1000000)
+                * (n3 * 1000000 // n) // 1000000 AS BIGINT)
+             AS indep_joint_ppm
+    FROM s
+    """,
+    doc="Conjunctive-predicate selectivity audit: per-predicate "
+    "marginal selectivities, the TRUE joint selectivity, and the "
+    "independence-assumption estimate (product of marginals) that "
+    "every textbook cost model uses — the gap between the last two "
+    "is the correlated-predicate error that misorders filter chains "
+    "and mis-sizes scan outputs. One scan, five conditional sums "
+    "(map-side combinable, single 1-row reduce); all selectivities "
+    "exact integer ppm with the three-way product floor-folded in "
+    "the same order both engines. The advisory read: apply the "
+    "smallest sel first, and trust indep_joint only when it is "
+    "within ~2x of actual_joint.",
+)
+def q330_predicate_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("case when l_quantity < 25 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.expr("case when l_returnflag = 'R' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.expr("case when l_discount >= 0.05 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n3"),
+        F.sum(
+            F.expr(
+                "case when l_quantity < 25 and l_returnflag = 'R'"
+                " and l_discount >= 0.05 then 1 else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("n_joint"),
+    )
+    return s.select(
+        "n",
+        "n1",
+        "n2",
+        "n3",
+        "n_joint",
+        F.expr("n1 * 1000000 div n").cast("bigint").alias("sel1_ppm"),
+        F.expr("n2 * 1000000 div n").cast("bigint").alias("sel2_ppm"),
+        F.expr("n3 * 1000000 div n").cast("bigint").alias("sel3_ppm"),
+        F.expr("n_joint * 1000000 div n").cast("bigint").alias("actual_joint_ppm"),
+        F.expr(
+            "((n1 * 1000000 div n) * (n2 * 1000000 div n) div 1000000)"
+            " * (n3 * 1000000 div n) div 1000000"
+        )
+        .cast("bigint")
+        .alias("indep_joint_ppm"),
+    )
+
+
+@query(
+    "q331_wilson_ctr",
+    """
+    WITH h AS (SELECT cast(hour(ts) AS INT) AS hod,
+                      cast(sum(CASE WHEN event_type = 'click' THEN 1
+                               ELSE 0 END) AS BIGINT) AS clicks,
+                      cast(sum(CASE WHEN event_type = 'view' THEN 1
+                               ELSE 0 END) AS BIGINT) AS views
+               FROM events
+               WHERE event_type IN ('click', 'view')
+               GROUP BY 1),
+    p AS (SELECT hod, clicks, views, clicks + views AS n,
+                 clicks::DOUBLE / (clicks + views)::DOUBLE AS ph
+          FROM h WHERE clicks + views > 0)
+    SELECT hod, clicks, views,
+           cast(clicks * 1000000 // n AS BIGINT) AS rate_ppm,
+           round((ph + 1.9208 / n
+                  - 1.96 * sqrt(ph * (1 - ph) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lb,
+           round((ph + 1.9208 / n
+                  + 1.96 * sqrt(ph * (1 - ph) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_ub
+    FROM p
+    """,
+    doc="Wilson-score interval for per-hour-of-day click share "
+    "(clicks vs views): the CI that stays valid at small n and "
+    "extreme rates where the naive normal interval collapses or "
+    "escapes [0,1] — the ranking-safe uncertainty gate for rate "
+    "metrics (sort by wilson_lb, not by raw rate, and low-traffic "
+    "hours stop winning on noise). Counts reduce map-side to 24 "
+    "rows in one conditional aggregate; the interval itself is "
+    "pure per-row arithmetic on exact integer counts, with the "
+    "only doubles confined to the final expression and rounded to "
+    "6dp (q146's discipline) so libm ulp can't flip a hash. "
+    "z = 1.96 constants pre-squared (1.9208 = z^2/2, 3.8416 = z^2, "
+    "0.9604 = z^2/4) so both engines evaluate the identical "
+    "literal tree.",
+)
+def q331_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(
+            F.sum(F.expr("case when event_type = 'click' then 1 else 0 end"))
+            .cast("bigint")
+            .alias("clicks"),
+            F.sum(F.expr("case when event_type = 'view' then 1 else 0 end"))
+            .cast("bigint")
+            .alias("views"),
+        )
+    )
+    p = h.filter(F.expr("clicks + views > 0")).select(
+        "hod",
+        "clicks",
+        "views",
+        F.expr("clicks + views").alias("n"),
+        F.expr("cast(clicks as double) / cast(clicks + views as double)").alias(
+            "ph"
+        ),
+    )
+    return p.select(
+        "hod",
+        "clicks",
+        "views",
+        F.expr("clicks * 1000000 div n").cast("bigint").alias("rate_ppm"),
+        F.round(
+            F.expr(
+                "(ph + 1.9208 / n - 1.96 * sqrt(ph * (1 - ph) / n"
+                " + 0.9604 / (n * n))) / (1 + 3.8416 / n)"
+            ),
+            6,
+        ).alias("wilson_lb"),
+        F.round(
+            F.expr(
+                "(ph + 1.9208 / n + 1.96 * sqrt(ph * (1 - ph) / n"
+                " + 0.9604 / (n * n))) / (1 + 3.8416 / n)"
+            ),
+            6,
+        ).alias("wilson_ub"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
