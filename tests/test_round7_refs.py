@@ -242,3 +242,228 @@ def test_markov_removal_base_exceeds_removed(spark, sf_dir):
         # deleting transitions can only LOSE absorption mass
         assert 0 <= r["p_removed_ppm"] <= r["p_base_ppm"]
         assert 0 <= r["removal_ppm"] <= 1_000_000
+
+
+def test_cohens_kappa_matches_python(spark, sf_dir):
+    row = _rows(spark, sf_dir, "q320_cohens_kappa")[0]
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "n_chars", "text"
+    ).collect()
+    pairs = []
+    for r in docs:
+        ra = 2 if r["n_chars"] >= 450 else (1 if r["n_chars"] >= 250 else 0)
+        sc = len(r["text"]) - len(r["text"].replace(" ", ""))
+        rb = 2 if sc >= 70 else (1 if sc >= 38 else 0)
+        pairs.append((ra, rb))
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    na = Counter(a for a, _ in pairs)
+    nb = Counter(b for _, b in pairs)
+    s = sum(na[c] * nb[c] for c in set(na) | set(nb))
+    assert (row["n"], row["agree"]) == (n, agree)
+    assert row["po_ppm"] == agree * 1_000_000 // n
+    assert row["pe_ppm"] == (s // n) * 1_000_000 // n
+    assert row["kappa_ppm"] == (agree - s // n) * 1_000_000 // max(
+        n - s // n, 1
+    )
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    row = _rows(spark, sf_dir, "q321_mcnemar")[0]
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "text", "lang", "n_chars"
+    ).collect()
+    br = b = c = bw = 0
+    for r in docs:
+        y = 1 if " the " in r["text"] else 0
+        p1 = 1 if r["lang"] == "en" else 0
+        p2 = 1 if r["n_chars"] >= 300 else 0
+        if p1 == y and p2 == y:
+            br += 1
+        elif p1 == y:
+            b += 1
+        elif p2 == y:
+            c += 1
+        else:
+            bw += 1
+    assert (row["both_right"], row["b"], row["c"], row["both_wrong"]) == (
+        br, b, c, bw,
+    )
+    assert row["chi2_milli"] == (b - c) * (b - c) * 1000 // max(b + c, 1)
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    got = {
+        r["bin"]: (
+            r["n_k"], r["p_pm"], r["ybar_k_pm"], r["rel_contrib"],
+            r["res_contrib"],
+        )
+        for r in _rows(spark, sf_dir, "q322_brier_decomposition")
+    }
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "n_chars", "text"
+    ).collect()
+    g: dict[int, list] = defaultdict(lambda: [0, 0])
+    for r in docs:
+        k = min(r["n_chars"] // 60, 9)
+        g[k][0] += 1
+        g[k][1] += 1 if " the " in r["text"] else 0
+    ybar_pm = sum(v[1] for v in g.values()) * 1000 // sum(
+        v[0] for v in g.values()
+    )
+    ref = {}
+    for k, (n_k, y_k) in g.items():
+        p_pm = (2 * k + 1) * 50
+        yk_pm = y_k * 1000 // n_k
+        ref[k] = (
+            n_k, p_pm, yk_pm,
+            n_k * (p_pm - yk_pm) ** 2,
+            n_k * (yk_pm - ybar_pm) ** 2,
+        )
+    assert got == ref
+
+
+def test_assortativity_matches_python(spark, sf_dir):
+    row = _rows(spark, sf_dir, "q323_assortativity")[0]
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    ).collect()
+    ps = {(r["l_partkey"], r["l_suppkey"]) for r in li}
+    pd_ = Counter(p for p, _ in ps)
+    sd = Counter(s for _, s in ps)
+    xs, ys = [], []
+    for p, s in ps:
+        xs += [pd_[p], sd[s]]
+        ys += [sd[s], pd_[p]]
+    m2 = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    ref = (m2 * sxy - sx * sy) / math.sqrt(
+        (m2 * sxx - sx * sx) * (m2 * syy - sy * sy)
+    )
+    assert (row["m2"], row["sx"], row["sxy"]) == (m2, sx, sxy)
+    assert abs(row["assortativity"] - ref) < 1e-6
+
+
+def test_bloom_fpp_matches_python(spark, sf_dir):
+    row = _rows(spark, sf_dir, "q325_bloom_fpp_audit")[0]
+    t = load_tables(spark, sf_dir)
+    members = {r["o_custkey"] for r in t["orders"].select("o_custkey").collect()}
+    probes = [
+        r["c_custkey"] + 10_000_000
+        for r in t["customer"].select("c_custkey").collect()
+    ]
+
+    def pos(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return int(h[:8], 16) % 65536, int(h[8:16], 16) % 65536
+
+    bits = set()
+    for k in members:
+        p1, p2 = pos(k)
+        bits.update((p1, p2))
+    n_fp = sum(1 for k in probes if pos(k)[0] in bits and pos(k)[1] in bits)
+    ones = len(bits)
+    assert (row["n_members"], row["ones_bits"]) == (len(members), ones)
+    assert (row["n_probes"], row["n_fp"]) == (len(probes), n_fp)
+    assert row["fp_ppm_measured"] == n_fp * 1_000_000 // len(probes)
+    t_pm = ones * 1000 // 65536
+    assert row["fp_ppm_theory"] == t_pm * t_pm
+
+
+def test_binary_changepoint_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (
+            r["split_hour"], r["gain_q"], r["mean_left_milli"],
+            r["mean_right_milli"],
+        )
+        for r in _rows(spark, sf_dir, "q327_binary_changepoint")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "ts"
+    ).collect()
+    series: dict[str, Counter] = defaultdict(Counter)
+    for r in ev:
+        series[r["event_type"]][r["ts"].replace(
+            minute=0, second=0, microsecond=0
+        )] += 1
+    ref = {}
+    for et, cnt in series.items():
+        hrs = sorted(cnt)
+        ys = [cnt[h] for h in hrs]
+        tot, n = sum(ys), len(ys)
+        best = None
+        pre = 0
+        for i in range(1, n):
+            pre += ys[i - 1]
+            gain = pre * pre * 1000 // i + (tot - pre) ** 2 * 1000 // (n - i)
+            cand = (-gain, hrs[i - 1])
+            if best is None or cand < best:
+                best = cand
+                ref[et] = (
+                    hrs[i - 1], gain, pre * 1000 // i,
+                    (tot - pre) * 1000 // (n - i),
+                )
+    assert got == ref
+
+
+def test_seasonal_mad_matches_python(spark, sf_dir):
+    got = {
+        (r["event_type"], r["hr"]): (r["y"], r["med2"], r["dev2"], r["mad4"])
+        for r in _rows(spark, sf_dir, "q329_seasonal_mad_anomalies")
+    }
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "ts"
+    ).collect()
+    cnt: dict[tuple, int] = Counter()
+    for r in ev:
+        cnt[(r["event_type"], r["ts"].replace(
+            minute=0, second=0, microsecond=0
+        ))] += 1
+    cohort: dict[tuple, list] = defaultdict(list)
+    for (et, hr), y in cnt.items():
+        cohort[(et, hr.hour)].append((hr, y))
+
+    def med2x(vals):
+        v = sorted(vals)
+        n = len(v)
+        if n % 2 == 0:
+            return v[n // 2 - 1] + v[n // 2]
+        return 2 * v[n // 2]
+
+    ref = {}
+    for (et, hod), pairs in cohort.items():
+        m2 = med2x([y for _, y in pairs])
+        mad4 = med2x([abs(2 * y - m2) for _, y in pairs])
+        for hr, y in pairs:
+            d2 = abs(2 * y - m2)
+            if 2 * d2 > 3 * mad4:
+                ref[(et, hr)] = (y, m2, d2, mad4)
+    assert got == ref
+
+
+def test_wilson_ctr_matches_python(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q331_wilson_ctr")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "ts"
+    ).collect()
+    agg: dict[int, list] = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r["event_type"] == "click":
+            agg[r["ts"].hour][0] += 1
+        elif r["event_type"] == "view":
+            agg[r["ts"].hour][1] += 1
+    for r in rows:
+        clicks, views = agg[r["hod"]]
+        n = clicks + views
+        assert (r["clicks"], r["views"]) == (clicks, views)
+        assert r["rate_ppm"] == clicks * 1_000_000 // n
+        ph = clicks / n
+        for sign, col in ((-1, "wilson_lb"), (1, "wilson_ub")):
+            ref = (
+                ph + 1.9208 / n
+                + sign * 1.96 * math.sqrt(ph * (1 - ph) / n + 0.9604 / (n * n))
+            ) / (1 + 3.8416 / n)
+            assert abs(r[col] - ref) < 1e-6
