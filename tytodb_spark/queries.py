@@ -19445,6 +19445,234 @@ def q331_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q332_dedup_retention_bias",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ck
+      FROM documents),
+    surv AS (SELECT ck, min(doc_id) AS keep_id FROM keyed GROUP BY ck),
+    lab AS (SELECT k.source,
+                   CASE WHEN k.doc_id = s.keep_id THEN 1 ELSE 0 END AS kept
+            FROM keyed k JOIN surv s ON k.ck = s.ck),
+    per AS (SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+                   cast(sum(kept) AS BIGINT) AS kept
+            FROM lab GROUP BY source),
+    tot AS (SELECT cast(sum(n_docs) AS BIGINT) AS t_n,
+                   cast(sum(kept) AS BIGINT) AS t_k
+            FROM per)
+    SELECT per.source, per.n_docs, per.kept,
+           cast(per.kept * 1000000 // per.n_docs AS BIGINT) AS kept_ppm,
+           cast(per.n_docs * tot.t_k * 1000 // tot.t_n AS BIGINT)
+             AS exp_kept_milli,
+           round((per.kept::DOUBLE
+                  - per.n_docs::DOUBLE * tot.t_k::DOUBLE / tot.t_n::DOUBLE)
+                 * (per.kept::DOUBLE
+                    - per.n_docs::DOUBLE * tot.t_k::DOUBLE / tot.t_n::DOUBLE)
+                 / (per.n_docs::DOUBLE * tot.t_k::DOUBLE / tot.t_n::DOUBLE),
+                 6) AS chi2_contrib
+    FROM per CROSS JOIN tot
+    """,
+    doc="Dedup retention-bias audit: after q40's exact dedup, does "
+    "survivorship fall uniformly across sources, or does the "
+    "min-doc-id survivor rule systematically erase one source's "
+    "contribution (duplicates resolve toward whichever source was "
+    "ingested first)? Per-source kept-rate vs the global rate with "
+    "per-source chi-square contributions — the fairness gate a "
+    "training-mix owner runs before trusting post-dedup domain "
+    "weights (q99/q115 tune the mix; this verifies dedup didn't "
+    "silently re-tune it). Plan: one content-hash aggregate (the "
+    "dedup shuffle itself), survivor flags join back on the hash "
+    "key (same partitioning, AQE-elidable), then a source-"
+    "cardinality rollup. chi2 terms are IEEE-deterministic "
+    "arithmetic on exact integer counts (div/sub/mul only, no "
+    "libm), rounded at 6dp.",
+)
+def q332_dedup_retention_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("ck"),
+    )
+    surv = keyed.groupBy("ck").agg(F.min("doc_id").alias("keep_id"))
+    lab = keyed.join(surv, "ck").select(
+        "source",
+        F.expr("case when doc_id = keep_id then 1 else 0 end").alias("kept"),
+    )
+    per = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("kept"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("t_n"),
+        F.sum("kept").cast("bigint").alias("t_k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "kept",
+            F.expr("kept * 1000000 div n_docs").cast("bigint").alias("kept_ppm"),
+            F.expr("n_docs * t_k * 1000 div t_n")
+            .cast("bigint")
+            .alias("exp_kept_milli"),
+            F.round(
+                F.expr(
+                    "(cast(kept as double) - cast(n_docs as double)"
+                    " * cast(t_k as double) / cast(t_n as double))"
+                    " * (cast(kept as double) - cast(n_docs as double)"
+                    " * cast(t_k as double) / cast(t_n as double))"
+                    " / (cast(n_docs as double) * cast(t_k as double)"
+                    " / cast(t_n as double))"
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+@query(
+    "q333_khop_reach",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                FROM lineitem),
+    h1 AS (SELECT DISTINCT part FROM ps WHERE supp = 1),
+    h2 AS (SELECT DISTINCT ps.supp
+           FROM ps JOIN h1 ON ps.part = h1.part
+           WHERE ps.supp <> 1)
+    SELECT 0 AS hop, 'supplier' AS node_type,
+           cast(1 AS BIGINT) AS n_nodes
+    UNION ALL
+    SELECT 1 AS hop, 'part' AS node_type,
+           cast((SELECT count(*) FROM h1) AS BIGINT) AS n_nodes
+    UNION ALL
+    SELECT 2 AS hop, 'supplier' AS node_type,
+           cast((SELECT count(*) FROM h2) AS BIGINT) AS n_nodes
+    """,
+    doc="Bounded k-hop reach (BFS frontier census) from a seed node "
+    "over the bipartite part-supplier graph: hop-1 = parts the seed "
+    "supplies, hop-2 = OTHER suppliers sharing those parts — the "
+    "blast-radius query behind contamination tracing (how far does "
+    "one bad source's influence propagate through shared artifacts) "
+    "and a bounded alternative to q171's full connected components "
+    "when only the neighborhood matters. Each hop is one distinct "
+    "semi-join off the edge list, k joins for k hops — no iteration "
+    "state, no convergence loop, and every frontier is keyed on the "
+    "join column so the plan is k narrow hash joins at any scale. "
+    "Frontier sizes, not frontier contents, are the output: counts "
+    "reduce to one row per hop.",
+)
+def q333_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h1 = ps.filter(F.col("supp") == 1).select("part").distinct()
+    h2 = (
+        ps.join(F.broadcast(h1), "part")
+        .filter(F.col("supp") != 1)
+        .select("supp")
+        .distinct()
+    )
+    n1 = h1.agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    n2 = h2.agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .select(
+            F.expr(
+                "stack(3,"
+                " 0, 'supplier', cast(1 as bigint),"
+                " 1, 'part', c1,"
+                " 2, 'supplier', c2)"
+            ).alias("hop", "node_type", "n_nodes")
+        )
+    )
+
+
+@query(
+    "q334_ngram_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tc AS (SELECT term, cast(count(*) AS BIGINT) AS c
+           FROM toks WHERE term <> '' GROUP BY term),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS total FROM tc),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+           FROM tc),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT cast(ks.k AS INT) AS k,
+           cast(sum(CASE WHEN rk.r <= ks.k THEN rk.c ELSE 0 END) AS BIGINT)
+             AS mass,
+           cast(sum(CASE WHEN rk.r <= ks.k THEN rk.c ELSE 0 END) * 1000000
+                // tot.total AS BIGINT) AS coverage_ppm
+    FROM rk CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k, tot.total
+    """,
+    doc="Vocabulary coverage curve: what fraction of corpus token "
+    "mass the top-k most frequent terms carry, k in {10, 100, "
+    "1000} — the Zipf-shaped statistic that sizes tokenizer vocabs "
+    "and stopword lists (q187 fits the slope; this reads the curve "
+    "itself). The Spark side computes the top-1000 WITHOUT a "
+    "global window over the vocabulary: q301's two-phase top-k — "
+    "per-salt-shard sorted-slice aggregation, then one merge of "
+    "the <=8x1000 shard survivors — so no task ever holds or sorts "
+    "the full term table (vocab is NOT metadata-sized at web "
+    "scale). Prefix masses come from aggregate() over the merged "
+    "array's first k entries. The oracle IS the naive global-"
+    "window spelling — the differential proves the shard merge "
+    "loses nothing. coverage_ppm safe to ~9e12 total tokens "
+    "(pre-divide beyond, the q268 lesson).",
+)
+def q334_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = tc.agg(F.sum("c").cast("bigint").alias("total"))
+    phase1 = (
+        tc.groupBy(F.pmod(F.hash("term"), F.lit(8)).alias("salt"))
+        .agg(
+            F.expr(
+                "slice(array_sort(collect_list(struct(-c as nc, term))),"
+                " 1, 1000)"
+            ).alias("top")
+        )
+    )
+    merged = phase1.agg(
+        F.expr(
+            "slice(array_sort(flatten(collect_list(top))), 1, 1000)"
+        ).alias("arr")
+    )
+    masses = merged.select(
+        F.expr(
+            "stack(3,"
+            " 10, aggregate(slice(arr, 1, 10), cast(0 as bigint),"
+            "   (acc, x) -> acc - x.nc),"
+            " 100, aggregate(slice(arr, 1, 100), cast(0 as bigint),"
+            "   (acc, x) -> acc - x.nc),"
+            " 1000, aggregate(slice(arr, 1, 1000), cast(0 as bigint),"
+            "   (acc, x) -> acc - x.nc))"
+        ).alias("k", "mass")
+    )
+    return (
+        masses.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "mass",
+            F.expr("mass * 1000000 div total").cast("bigint").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
