@@ -81,6 +81,16 @@ QUERIES = [
     "q294_vopt_histogram",
     "q302_conformal_interval",
     "q299_maxsim_retrieval",
+    # round 7b: TPC-H join shapes (AQE-sensitive plans), exact 2x/4x
+    # integer medians under cohort windows, the two-phase vocab
+    # coverage merge, bit-level bloom reconstruction, and the
+    # dedup-survivorship chi-square (IEEE-only double arithmetic)
+    "q316_shipping_priority",
+    "q319_volume_customers",
+    "q329_seasonal_mad_anomalies",
+    "q334_ngram_coverage",
+    "q325_bloom_fpp_audit",
+    "q332_dedup_retention_bias",
 ]
 
 SETTINGS = [8, 32, 128]

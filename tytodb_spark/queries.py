@@ -19673,6 +19673,418 @@ def q334_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q335_brown_forsythe",
+    """
+    WITH b AS (SELECT l_returnflag AS grp,
+                      cast(floor(l_extendedprice / 100) AS BIGINT) AS v
+               FROM lineitem),
+    cnts AS (SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY grp, v),
+    tot AS (SELECT grp, cast(sum(cnt) AS BIGINT) AS n FROM cnts GROUP BY grp),
+    cum AS (SELECT cnts.grp, cnts.v,
+                   sum(cnts.cnt) OVER (PARTITION BY cnts.grp
+                                       ORDER BY cnts.v) AS cm,
+                   tot.n
+            FROM cnts JOIN tot ON cnts.grp = tot.grp),
+    med AS (SELECT grp, min(v) AS med
+            FROM cum WHERE cm >= (n + 1) // 2 GROUP BY grp),
+    z AS (SELECT b.grp, abs(b.v - med.med) AS z
+          FROM b JOIN med ON b.grp = med.grp),
+    g AS (SELECT grp, cast(count(*) AS BIGINT) AS n_i,
+                 cast(sum(z) AS BIGINT) AS sz,
+                 cast(sum(z * z) AS BIGINT) AS szz
+          FROM z GROUP BY grp),
+    s AS (SELECT cast(sum(n_i) AS BIGINT) AS n_total,
+                 cast(count(*) AS BIGINT) AS k,
+                 cast(sum(szz - sz * sz // n_i) AS BIGINT) AS ssw,
+                 cast(sum(sz * sz // n_i)
+                      - sum(sz) * sum(sz) // sum(n_i) AS BIGINT) AS ssb
+          FROM g)
+    SELECT n_total, k, ssb, ssw,
+           round((n_total - k)::DOUBLE * ssb::DOUBLE
+                 / ((k - 1)::DOUBLE * ssw::DOUBLE), 6) AS bf_f
+    FROM s
+    """,
+    doc="Brown-Forsythe variance-homogeneity test (Levene with group "
+    "MEDIANS): are price dispersions equal across return-flag "
+    "populations — the precondition check for pooled-variance tests "
+    "like q162/q232 (running ANOVA on heteroscedastic groups is the "
+    "classic silent error). Group medians come from operators/"
+    "stats.py grouped_quantiles — bucket-partitioned CDF arithmetic, "
+    "NO per-group global sort or window (a group is a third of the "
+    "corpus; q329's cohorts are bounded, these are not). Deviations "
+    "are exact integers in coarse value units chosen so every moment "
+    "sum — including sz^2/n_i — stays inside int64 at bench scale "
+    "(~3.6e17 peak; shrink units as n grows past ~1e9, noted here by "
+    "design); the only doubles are the final F ratio, rounded 6dp.",
+)
+def q335_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(floor(l_extendedprice / 100) as bigint)").alias("v"),
+    )
+    med = grouped_quantiles(
+        b, F.col("grp"), F.col("v"), [("med", 1, 2)], bucket_width=100
+    ).select("grp", "med")
+    z = b.join(F.broadcast(med), "grp").select(
+        "grp", F.expr("abs(v - med)").alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.expr("z * z")).cast("bigint").alias("szz"),
+    )
+    s = g.agg(
+        F.sum("n_i").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.expr("szz - sz * sz div n_i")).cast("bigint").alias("ssw"),
+        (
+            F.sum(F.expr("sz * sz div n_i"))
+            - F.expr("sum(sz) * sum(sz) div sum(n_i)")
+        )
+        .cast("bigint")
+        .alias("ssb"),
+    )
+    return s.select(
+        "n_total",
+        "k",
+        "ssb",
+        "ssw",
+        F.round(
+            F.expr(
+                "cast(n_total - k as double) * cast(ssb as double)"
+                " / (cast(k - 1 as double) * cast(ssw as double))"
+            ),
+            6,
+        ).alias("bf_f"),
+    )
+
+
+@query(
+    "q336_spearman",
+    """
+    WITH b AS (SELECT l_returnflag AS grp,
+                      cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS xq,
+                      cast(floor(l_quantity * 100 + 0.5) AS BIGINT) AS yq
+               FROM lineitem),
+    rx AS (SELECT grp, xq,
+                  2 * rank() OVER (PARTITION BY grp ORDER BY xq)
+                    + count(*) OVER (PARTITION BY grp, xq) - 1 AS r2x
+           FROM b),
+    ry AS (SELECT grp, yq,
+                  2 * rank() OVER (PARTITION BY grp ORDER BY yq)
+                    + count(*) OVER (PARTITION BY grp, yq) - 1 AS r2y
+           FROM b),
+    rj AS (SELECT rxd.grp, rxd.r2x, ryd.r2y
+           FROM (SELECT DISTINCT grp, xq, r2x FROM rx) rxd
+           JOIN (SELECT grp, xq, yq FROM b) rows_
+             ON rxd.grp = rows_.grp AND rxd.xq = rows_.xq
+           JOIN (SELECT DISTINCT grp, yq, r2y FROM ry) ryd
+             ON ryd.grp = rows_.grp AND ryd.yq = rows_.yq),
+    m AS (SELECT grp, cast(count(*) AS BIGINT) AS n,
+                 cast(sum(r2x) AS BIGINT) AS sx,
+                 cast(sum(r2y) AS BIGINT) AS sy,
+                 cast(sum(r2x * r2x) AS BIGINT) AS sxx,
+                 cast(sum(r2y * r2y) AS BIGINT) AS syy,
+                 cast(sum(r2x * r2y) AS BIGINT) AS sxy
+          FROM rj GROUP BY grp)
+    SELECT grp, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS rho_s
+    FROM m
+    """,
+    doc="Spearman rank correlation per group (price vs quantity, "
+    "midrank tie handling): the monotone-association measure that "
+    "q146's Pearson misses when the relationship is nonlinear. "
+    "Doubled midranks (2*rank + tiecount - 1) keep every rank an "
+    "exact integer; the Spark side computes them WITHOUT a per-"
+    "group global window — operators/stats.py with_prefix_sums "
+    "gives each distinct value its exclusive prefix count via "
+    "bucket-partitioned arithmetic, and midranks join back onto "
+    "rows as ndv-sized rank maps (the oracle IS the naive window "
+    "spelling; the differential proves the bucketed CDF loses "
+    "nothing). Moment sums are exact bigints (peak ~8.6e17 at "
+    "bench scale); the rho formula is the only double, rounded 6dp "
+    "(q146 discipline — IEEE div/sqrt are correctly rounded, so "
+    "both engines emit identical bits).",
+)
+def q336_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("xq"),
+        F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)").alias("yq"),
+    ).localCheckpoint(eager=False)
+
+    def rank_map(col: str, width: int, out: str) -> DataFrame:
+        counts = (
+            b.select("grp", F.col(col).alias("v"))
+            .groupBy("grp", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        pre = with_prefix_sums(counts, width, ["cnt"], group_cols=["grp"])
+        return pre.select(
+            "grp",
+            F.col("v").alias(col),
+            F.expr("2 * pre_cnt + cnt + 1").cast("bigint").alias(out),
+        )
+
+    rx = rank_map("xq", 100000, "r2x")
+    ry = rank_map("yq", 100, "r2y")
+    rj = b.join(rx, ["grp", "xq"]).join(ry, ["grp", "yq"]).select(
+        "grp", "r2x", "r2y"
+    )
+    m = rj.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.expr("r2x * r2x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("r2y * r2y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("r2x * r2y")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.round(
+            F.expr(
+                "(cast(n as double) * cast(sxy as double)"
+                " - cast(sx as double) * cast(sy as double))"
+                " / sqrt((cast(n as double) * cast(sxx as double)"
+                " - cast(sx as double) * cast(sx as double))"
+                " * (cast(n as double) * cast(syy as double)"
+                " - cast(sy as double) * cast(sy as double)))"
+            ),
+            6,
+        ).alias("rho_s"),
+    )
+
+
+@query(
+    "q337_kendall_tau",
+    """
+    WITH h AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    pr AS (SELECT a.event_type,
+                  CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS conc,
+                  CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS disc,
+                  CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tie
+           FROM h a JOIN h b
+             ON a.event_type = b.event_type AND a.hr < b.hr),
+    s AS (SELECT event_type,
+                 cast(sum(conc) AS BIGINT) AS c_pairs,
+                 cast(sum(disc) AS BIGINT) AS d_pairs,
+                 cast(sum(tie) AS BIGINT) AS t_pairs
+          FROM pr GROUP BY event_type),
+    n AS (SELECT event_type, cast(count(*) AS BIGINT) AS n FROM h
+          GROUP BY event_type)
+    SELECT s.event_type, n.n, s.c_pairs, s.d_pairs, s.t_pairs,
+           round((s.c_pairs - s.d_pairs)::DOUBLE
+                 / sqrt((n.n * (n.n - 1) / 2)::DOUBLE
+                      * (n.n * (n.n - 1) / 2 - s.t_pairs)::DOUBLE),
+                 6) AS tau_b
+    FROM s JOIN n ON s.event_type = n.event_type
+    """,
+    doc="Kendall tau-b trend test per event-type hourly series: the "
+    "concordant-minus-discordant pair statistic whose sign reads as "
+    "monotone trend and whose magnitude is robust to any monotone "
+    "transform — the hypothesis-test companion to q249's Theil-Sen "
+    "slope ESTIMATE (same pair set, different reduction). The pair "
+    "self-join is time-keyed WITHIN each series: fan-out is "
+    "series_length^2 per event type, bounded by observation history "
+    "(720 hours here), never by corpus size — the q315/q249 per-"
+    "entity pair regime, co-partitioned on the series key. x-ranks "
+    "(hours) are tie-free by construction so tau-b's denominator "
+    "only corrects y-ties, counted in the same join. Exact integer "
+    "pair counts; one rounded double at the end.",
+)
+def q337_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).localCheckpoint(
+        eager=False
+    )
+    a = h.select("event_type", F.col("hr").alias("ha"), F.col("y").alias("ya"))
+    bb = h.select("event_type", F.col("hr").alias("hb"), F.col("y").alias("yb"))
+    pr = a.join(bb, "event_type").filter(F.col("ha") < F.col("hb"))
+    s = pr.groupBy("event_type").agg(
+        F.sum(F.expr("case when yb > ya then 1 else 0 end"))
+        .cast("bigint")
+        .alias("c_pairs"),
+        F.sum(F.expr("case when yb < ya then 1 else 0 end"))
+        .cast("bigint")
+        .alias("d_pairs"),
+        F.sum(F.expr("case when yb = ya then 1 else 0 end"))
+        .cast("bigint")
+        .alias("t_pairs"),
+    )
+    n = h.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        s.join(n, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "c_pairs",
+            "d_pairs",
+            "t_pairs",
+            F.round(
+                F.expr(
+                    "cast(c_pairs - d_pairs as double)"
+                    " / sqrt(cast(n * (n - 1) div 2 as double)"
+                    " * cast(n * (n - 1) div 2 - t_pairs as double))"
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "q338_runs_test",
+    """
+    WITH h AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, hr, y,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY y, hr) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM h),
+    med AS (SELECT event_type,
+                   cast(sum(CASE
+                     WHEN n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1)
+                       THEN y
+                     WHEN n % 2 = 1 AND rn = (n + 1) / 2 THEN 2 * y
+                     ELSE 0 END) AS BIGINT) AS med2
+            FROM r GROUP BY event_type),
+    sg AS (SELECT h.event_type, h.hr,
+                  CASE WHEN 2 * h.y > med.med2 THEN 1 ELSE -1 END AS sg
+           FROM h JOIN med ON h.event_type = med.event_type
+           WHERE 2 * h.y <> med.med2),
+    ch AS (SELECT event_type, sg,
+                  lag(sg) OVER (PARTITION BY event_type ORDER BY hr)
+                    AS prev
+           FROM sg),
+    st AS (SELECT event_type,
+                  cast(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pos,
+                  cast(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_neg,
+                  cast(1 + sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+           FROM ch GROUP BY event_type)
+    SELECT event_type, n_pos, n_neg, runs,
+           round((runs::DOUBLE
+                  - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+                 / sqrt(2.0 * n_pos * n_neg
+                        * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                        / ((n_pos + n_neg)::DOUBLE
+                           * (n_pos + n_neg)::DOUBLE
+                           * (n_pos + n_neg - 1)::DOUBLE)),
+                 6) AS z_runs
+    FROM st
+    """,
+    doc="Wald-Wolfowitz runs test per event-type hourly series: is "
+    "the above/below-median sign sequence random, or does it clump "
+    "(positive autocorrelation, too few runs) or oscillate (too "
+    "many)? The randomness gate that validates q150's EWMA and "
+    "q223's autocorrelation assumptions before anyone trusts them. "
+    "Median uses q329's exact 2x integer spelling; exact-median "
+    "points are EXCLUDED (the standard treatment). Runs counting is "
+    "one lag() over the series-partitioned time order — series-"
+    "bounded windows (history length, not corpus), the q329 "
+    "discipline. The z-score against the exact null mean/variance "
+    "is the single double expression, rounded 6dp, built from "
+    "IEEE-only arithmetic on exact integer counts.",
+)
+def q338_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wc = W.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hr",
+        "y",
+        F.row_number().over(wc.orderBy("y", "hr")).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "case when n % 2 = 0 and (rn = n div 2 or rn = n div 2 + 1)"
+                " then y when n % 2 = 1 and rn = (n + 1) div 2 then 2 * y"
+                " else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    sg = (
+        h.join(med, "event_type")
+        .filter(F.expr("2 * y <> med2"))
+        .select(
+            "event_type",
+            "hr",
+            F.expr("case when 2 * y > med2 then 1 else -1 end").alias("sg"),
+        )
+    )
+    ch = sg.select(
+        "event_type",
+        "sg",
+        F.lag("sg").over(W.partitionBy("event_type").orderBy("hr")).alias("prev"),
+    )
+    st = ch.groupBy("event_type").agg(
+        F.sum(F.expr("case when sg = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.expr("case when sg = -1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_neg"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.expr(
+                    "case when prev is not null and sg <> prev then 1 else 0 end"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return st.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.round(
+            F.expr(
+                "(cast(runs as double) - (2.0 * n_pos * n_neg"
+                " / (n_pos + n_neg) + 1.0))"
+                " / sqrt(2.0 * n_pos * n_neg"
+                " * (2.0 * n_pos * n_neg - n_pos - n_neg)"
+                " / (cast(n_pos + n_neg as double)"
+                " * cast(n_pos + n_neg as double)"
+                " * cast(n_pos + n_neg - 1 as double)))"
+            ),
+            6,
+        ).alias("z_runs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
