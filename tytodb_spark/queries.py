@@ -20085,6 +20085,351 @@ def q338_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q339_zonemap_skipping",
+    """
+    WITH b AS (SELECT l_orderkey AS k,
+                      epoch_us(l_shipdate) // 86400000000 AS day
+               FROM lineitem),
+    mm AS (SELECT min(day) AS mn, max(day) AS mx FROM b),
+    f AS (SELECT 'hash' AS layout,
+                 ('0x' || substr(md5(b.k::VARCHAR), 1, 8))::BIGINT % 64
+                   AS file_id,
+                 b.day
+          FROM b
+          UNION ALL
+          SELECT 'clustered' AS layout,
+                 (b.day - mm.mn) * 64 // (mm.mx - mm.mn + 1) AS file_id,
+                 b.day
+          FROM b CROSS JOIN mm),
+    z AS (SELECT layout, file_id,
+                 cast(min(day) AS BIGINT) AS lo,
+                 cast(max(day) AS BIGINT) AS hi,
+                 cast(count(*) AS BIGINT) AS n_rows
+          FROM f GROUP BY layout, file_id),
+    p AS (SELECT epoch_us(TIMESTAMP '1998-06-01') // 86400000000 AS p_lo,
+                 epoch_us(TIMESTAMP '1998-06-30') // 86400000000 AS p_hi)
+    SELECT z.layout,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(CASE WHEN z.hi < p.p_lo OR z.lo > p.p_hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           cast(sum(CASE WHEN z.hi < p.p_lo OR z.lo > p.p_hi
+                    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS skip_files_ppm,
+           cast(sum(z.n_rows) AS BIGINT) AS rows_total,
+           cast(sum(CASE WHEN z.hi < p.p_lo OR z.lo > p.p_hi
+                    THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           cast(sum(CASE WHEN z.hi < p.p_lo OR z.lo > p.p_hi
+                    THEN z.n_rows ELSE 0 END) * 1000000
+                // sum(z.n_rows) AS BIGINT) AS rows_skipped_ppm
+    FROM z CROSS JOIN p
+    GROUP BY z.layout
+    """,
+    doc="Zone-map (min/max file-skipping) effectiveness under two "
+    "physical layouts: the same rows assigned to 64 synthetic files "
+    "by (a) key hash — the default write pattern — and (b) range "
+    "clustering on the filter column, then a 30-day ship-date "
+    "predicate evaluated against per-file min/max stats only. The "
+    "audit quantifies THE storage-layout decision at 100 TB: hash "
+    "layouts give every file the full value range (hi/lo straddle "
+    "every predicate, ~0% skipped), range-clustered layouts skip "
+    "~11/12 of files on a month predicate — this is why "
+    "storage/layout.py orders rows before writing and what q77's "
+    "partition pruning buys. Zone stats are one aggregate per "
+    "(layout, file) — 128 metadata rows; skip verdicts are pure "
+    "range arithmetic against broadcast predicate bounds. File "
+    "assignment is md5-portable (hash layout) and integer range "
+    "arithmetic (clustered), so both engines build identical zones.",
+)
+def q339_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("day"),
+    )
+    mm = b.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    hashed = b.select(
+        F.lit("hash").alias("layout"),
+        F.expr(
+            "conv(substr(md5(cast(k as string)), 1, 8), 16, 10) % 64"
+        )
+        .cast("bigint")
+        .alias("file_id"),
+        "day",
+    )
+    clustered = b.crossJoin(F.broadcast(mm)).select(
+        F.lit("clustered").alias("layout"),
+        F.expr("(day - mn) * 64 div (mx - mn + 1)").alias("file_id"),
+        "day",
+    )
+    z = (
+        hashed.unionByName(clustered)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("day").cast("bigint").alias("lo"),
+            F.max("day").cast("bigint").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    zp = z.select(
+        "*",
+        F.expr("unix_micros(timestamp '1998-06-01') div 86400000000").alias(
+            "p_lo"
+        ),
+        F.expr("unix_micros(timestamp '1998-06-30') div 86400000000").alias(
+            "p_hi"
+        ),
+    )
+    return zp.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.expr("case when hi < p_lo or lo > p_hi then 1 else 0 end"))
+        .cast("bigint")
+        .alias("n_skipped"),
+        F.expr(
+            "cast(sum(case when hi < p_lo or lo > p_hi then 1 else 0 end)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("skip_files_ppm"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.expr("case when hi < p_lo or lo > p_hi then n_rows else 0 end"))
+        .cast("bigint")
+        .alias("rows_skipped"),
+        F.expr(
+            "cast(sum(case when hi < p_lo or lo > p_hi then n_rows"
+            " else 0 end) * 1000000 div sum(n_rows) as bigint)"
+        ).alias("rows_skipped_ppm"),
+    )
+
+
+@query(
+    "q340_design_effect",
+    """
+    WITH b AS (SELECT l_returnflag AS grp,
+                      cast(floor(l_extendedprice / 100) AS BIGINT) AS v
+               FROM lineitem),
+    g AS (SELECT grp, cast(count(*) AS BIGINT) AS n_h,
+                 cast(sum(v) AS BIGINT) AS s_h,
+                 cast(sum(v * v) AS BIGINT) AS ssq_h
+          FROM b GROUP BY grp),
+    s AS (SELECT cast(sum(n_h) AS BIGINT) AS n,
+                 cast(count(*) AS BIGINT) AS k,
+                 cast(sum(s_h) AS BIGINT) AS s_tot,
+                 cast(sum(ssq_h) AS BIGINT) AS ssq_tot,
+                 cast(sum(n_h * ((ssq_h - s_h * s_h // n_h) * 1000
+                                 // (n_h - 1))) AS BIGINT) AS num
+          FROM g)
+    SELECT n, k,
+           cast((ssq_tot - s_tot * s_tot // n) * 1000 // (n - 1)
+                AS BIGINT) AS s2_pop_milli,
+           cast(num // n AS BIGINT) AS s2_strat_milli,
+           cast((num // n) * 1000
+                // ((ssq_tot - s_tot * s_tot // n) * 1000 // (n - 1))
+                AS BIGINT) AS deff_milli
+    FROM s
+    """,
+    doc="Stratification design effect: the ratio of the stratified-"
+    "sample mean variance (proportional allocation) to the simple-"
+    "random-sample variance — deff = sum_h W_h S_h^2 / S^2, the "
+    "number that says how many SRS samples one stratified sample is "
+    "worth (deff < 1000 milli = stratifying by return flag helps; "
+    "q273's Neyman allocation OPTIMIZES the split, this MEASURES "
+    "whether stratifying is worth it at all). Per-stratum second "
+    "moments are one grouped aggregate; value units chosen (price "
+    "div 100) so every term — including s_h^2 — fits int64 at "
+    "bench scale (peak ~4e16; shrink units past ~1e9 rows/stratum, "
+    "by design not discovery). Variances carried as exact integer "
+    "milli-units; zero float anywhere, including the final ratio.",
+)
+def q340_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(floor(l_extendedprice / 100) as bigint)").alias("v"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("v").cast("bigint").alias("s_h"),
+        F.sum(F.expr("v * v")).cast("bigint").alias("ssq_h"),
+    )
+    s = g.agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_h").cast("bigint").alias("s_tot"),
+        F.sum("ssq_h").cast("bigint").alias("ssq_tot"),
+        F.sum(
+            F.expr(
+                "n_h * ((ssq_h - s_h * s_h div n_h) * 1000 div (n_h - 1))"
+            )
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    return s.select(
+        "n",
+        "k",
+        F.expr("(ssq_tot - s_tot * s_tot div n) * 1000 div (n - 1)")
+        .cast("bigint")
+        .alias("s2_pop_milli"),
+        F.expr("num div n").cast("bigint").alias("s2_strat_milli"),
+        F.expr(
+            "(num div n) * 1000"
+            " div ((ssq_tot - s_tot * s_tot div n) * 1000 div (n - 1))"
+        )
+        .cast("bigint")
+        .alias("deff_milli"),
+    )
+
+
+def _hll_curve_params(m: int) -> tuple[int, int, float]:
+    """(ridx_hex_chars, w_start, alpha) for the q341 error curve.
+
+    m=16 uses 1 hex char (4 bits), m=256 uses 2 (8 bits), m=1024 uses
+    4 chars mod 1024 (12 of 16 bits — still uniform); w is always the
+    13 hex chars (52 bits) AFTER the index chars, so rho <= 53 and the
+    exact harmonic sum's worst case stays under 2^63 for every m here
+    (m*2^53 is reached only with zero registers set, impossible on
+    nonempty input)."""
+    if m == 16:
+        return 1, 2, 0.673
+    if m == 256:
+        return 2, 3, 0.7213 / (1 + 1.079 / 256)
+    if m == 1024:
+        return 4, 5, 0.7213 / (1 + 1.079 / 1024)
+    raise ValueError(m)
+
+
+def _hll_curve_sql(m: int, select_k: str) -> str:
+    nc, ws, alpha = _hll_curve_params(m)
+    return f"""(
+      WITH r0 AS (
+        SELECT ('0x' || substr(md5(k::VARCHAR), 1, {nc}))::BIGINT % {m}
+                 AS ridx,
+               substr(md5(k::VARCHAR), {ws}, 13) AS w
+        FROM ({select_k})),
+      r1 AS (
+        SELECT ridx,
+               CASE WHEN length(ltrim(w, '0')) = 0 THEN 53
+                    ELSE (length(w) - length(ltrim(w, '0'))) * 4
+                         + 3 - cast(substr('011222233333333',
+                               strpos('0123456789abcdef',
+                                      substr(ltrim(w, '0'), 1, 1)) - 1, 1)
+                               AS INT)
+                         + 1 END AS rho
+        FROM r0),
+      regs AS (SELECT ridx, max(rho) AS rho FROM r1 GROUP BY ridx),
+      agg AS (SELECT cast(count(*) AS BIGINT) AS nset,
+                     cast(sum(1::BIGINT << cast(53 - rho AS INT)) AS BIGINT)
+                       AS hsum
+              FROM regs),
+      est AS (SELECT nset,
+                     cast({alpha!r} AS DOUBLE) * ({m} * {m})
+                       * 9007199254740992.0
+                       / cast(hsum + ({m} - nset)
+                              * (1::BIGINT << 53) AS DOUBLE) AS raw,
+                     {m} - nset AS zeros
+              FROM agg)
+      SELECT cast(floor(CASE WHEN zeros > 0 AND raw <= 2.5 * {m}
+                             THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END
+                        * 1000 + 0.5) AS BIGINT)
+      FROM est)"""
+
+
+@query(
+    "q341_hll_error_curve",
+    f"""
+    WITH exact AS (SELECT cast(count(DISTINCT l_orderkey) AS BIGINT)
+                     AS exact FROM lineitem),
+    c AS (
+      SELECT 16 AS m,
+             {_hll_curve_sql(16, "SELECT l_orderkey AS k FROM lineitem")}
+               AS est_milli
+      UNION ALL
+      SELECT 256 AS m,
+             {_hll_curve_sql(256, "SELECT l_orderkey AS k FROM lineitem")}
+               AS est_milli
+      UNION ALL
+      SELECT 1024 AS m,
+             {_hll_curve_sql(1024, "SELECT l_orderkey AS k FROM lineitem")}
+               AS est_milli)
+    SELECT cast(c.m AS INT) AS m, c.est_milli, exact.exact,
+           cast(abs(c.est_milli - 1000 * exact.exact) * 1000
+                // exact.exact AS BIGINT) AS err_ppm
+    FROM c CROSS JOIN exact
+    """,
+    doc="HLL accuracy-vs-memory curve: the SAME portable register "
+    "pipeline (q165's md5 family) evaluated at m in {16, 256, 1024} "
+    "registers against the exact distinct count — measured error "
+    "should track the 1.04/sqrt(m) theory line (26%% / 6.5%% / "
+    "3.25%%), and the curve is the sizing table for every sketch "
+    "deployment decision (q38/q87/q167/q184 all inherit m=256; this "
+    "query is the evidence that choice sits on). Each m is one "
+    "map-side (register, rho) projection + a <=m-row max aggregate "
+    "— three sketch builds and the exact count share one scan "
+    "each, all shuffles register- or key-bounded. The harmonic sums "
+    "stay EXACT int64 at every m (see _hll_curve_params: 2^53-scale "
+    "contributions, worst case under 2^63 on nonempty input); the "
+    "one float division per estimate is IEEE-only, floor-quantized "
+    "to milli-units in lockstep with the oracle.",
+)
+def q341_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    exact = li.agg(F.countDistinct("k").cast("bigint").alias("exact"))
+
+    def est_for(m: int) -> DataFrame:
+        nc, ws, alpha = _hll_curve_params(m)
+        h = F.md5(F.col("k").cast("string"))
+        ridx = (F.conv(F.substring(h, 1, nc), 16, 10).cast("bigint") % m).alias(
+            "ridx"
+        )
+        w = F.substring(h, ws, 13)
+        stripped = F.regexp_replace(w, "^0+", "")
+        n0 = (F.length(w) - F.length(stripped)).cast("int")
+        first = F.substring(stripped, 1, 1)
+        dval = F.instr(F.lit("0123456789abcdef"), first).cast("int")
+        msb = F.substring(F.lit("011222233333333"), dval - 1, 1).cast("int")
+        rho = F.when(F.length(stripped) == 0, F.lit(53)).otherwise(
+            n0 * 4 + (F.lit(3) - msb) + 1
+        )
+        regs = (
+            li.select(ridx, rho.alias("rho"))
+            .groupBy("ridx")
+            .agg(F.max("rho").alias("rho"))
+        )
+        agg = regs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nset"),
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), cast(53 - rho as int))")
+            )
+            .cast("bigint")
+            .alias("hsum"),
+        )
+        raw = (
+            F.lit(alpha)
+            * F.lit(float(m * m))
+            * F.lit(float(1 << 53))
+            / (
+                F.col("hsum")
+                + (F.lit(m) - F.col("nset")) * F.lit(1 << 53).cast("bigint")
+            ).cast("double")
+        )
+        zeros = F.lit(m) - F.col("nset")
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+        est = F.when((zeros > 0) & (raw <= 2.5 * m), linear).otherwise(raw)
+        return agg.select(
+            F.lit(m).cast("int").alias("m"),
+            F.floor(est * 1000 + F.lit(0.5)).cast("bigint").alias("est_milli"),
+        )
+
+    c = est_for(16).unionByName(est_for(256)).unionByName(est_for(1024))
+    return c.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "est_milli",
+        "exact",
+        F.expr("abs(est_milli - 1000 * exact) * 1000 div exact")
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
