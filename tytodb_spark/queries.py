@@ -20430,6 +20430,247 @@ def q341_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q342_gopher_gates",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+    feat AS (
+      SELECT doc_id,
+             cast(len(toks) AS BIGINT) AS n_words,
+             cast(length(replace(text, ' ', '')) * 1000
+                  // greatest(len(toks), 1) AS BIGINT) AS mean_len_milli,
+             cast(len(list_filter(['the', 'a', 'and', 'of', 'to'],
+                                  s -> list_contains(toks, s)))
+                  AS BIGINT) AS n_stops
+      FROM t),
+    rep AS (SELECT doc_id, cast(max(c) AS BIGINT) AS top_freq
+            FROM (SELECT doc_id, count(*) AS c
+                  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+                  GROUP BY doc_id, w)
+            GROUP BY doc_id),
+    lab AS (
+      SELECT f.doc_id,
+             CASE WHEN f.n_words < 50 OR f.n_words > 100000
+                  THEN 1 ELSE 0 END AS f_wordcount,
+             CASE WHEN f.mean_len_milli < 3000 OR f.mean_len_milli > 10000
+                  THEN 1 ELSE 0 END AS f_meanlen,
+             CASE WHEN f.n_stops < 2 THEN 1 ELSE 0 END AS f_stopwords,
+             CASE WHEN r.top_freq * 1000 > 200 * f.n_words
+                  THEN 1 ELSE 0 END AS f_repetition
+      FROM feat f JOIN rep r ON f.doc_id = r.doc_id),
+    s AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(f_wordcount) AS BIGINT) AS c1,
+                 cast(sum(f_meanlen) AS BIGINT) AS c2,
+                 cast(sum(f_stopwords) AS BIGINT) AS c3,
+                 cast(sum(f_repetition) AS BIGINT) AS c4,
+                 cast(sum(CASE WHEN f_wordcount + f_meanlen + f_stopwords
+                                    + f_repetition = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM lab)
+    SELECT 'word_count' AS rule, c1 AS n_fail,
+           cast(c1 * 1000000 // n AS BIGINT) AS fail_ppm FROM s
+    UNION ALL
+    SELECT 'mean_word_len' AS rule, c2 AS n_fail,
+           cast(c2 * 1000000 // n AS BIGINT) AS fail_ppm FROM s
+    UNION ALL
+    SELECT 'stop_words' AS rule, c3 AS n_fail,
+           cast(c3 * 1000000 // n AS BIGINT) AS fail_ppm FROM s
+    UNION ALL
+    SELECT 'repetition' AS rule, c4 AS n_fail,
+           cast(c4 * 1000000 // n AS BIGINT) AS fail_ppm FROM s
+    UNION ALL
+    SELECT 'all_pass' AS rule, np AS n_fail,
+           cast(np * 1000000 // n AS BIGINT) AS fail_ppm FROM s
+    """,
+    doc="Gopher-style quality-gate census (Rae et al. 2021 rule "
+    "family, public knowledge): per-rule failure counts for word-"
+    "count bounds, mean word length bounds, minimum stop-word "
+    "diversity, and max single-token repetition share — the "
+    "rule-based pre-filter that runs BEFORE model-based quality "
+    "scoring in every serious corpus pipeline (q47 scores; this "
+    "gates). Word counts and mean lengths are map-side expressions; "
+    "the repetition rule needs the per-doc mode frequency — one "
+    "(doc, word) aggregate then a per-doc max, both keyed on "
+    "doc_id so the shuffle is token-scale but perfectly "
+    "partitionable, no skew beyond single-doc length. Thresholds "
+    "are integer milli/ppm comparisons (top_freq*1000 > 200*n "
+    "avoids any division); the census collapses to one 5-row "
+    "stack.",
+)
+def q342_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+        ).alias("toks"),
+        "text",
+    )
+    feat = t.select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_words"),
+        F.expr(
+            "cast(length(replace(text, ' ', '')) * 1000"
+            " div greatest(size(toks), 1) as bigint)"
+        ).alias("mean_len_milli"),
+        F.expr(
+            "cast(size(filter(array('the', 'a', 'and', 'of', 'to'),"
+            " s -> array_contains(toks, s))) as bigint)"
+        ).alias("n_stops"),
+    )
+    rep = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_freq"))
+    )
+    lab = feat.join(rep, "doc_id").select(
+        F.expr(
+            "case when n_words < 50 or n_words > 100000 then 1 else 0 end"
+        ).alias("f_wordcount"),
+        F.expr(
+            "case when mean_len_milli < 3000 or mean_len_milli > 10000"
+            " then 1 else 0 end"
+        ).alias("f_meanlen"),
+        F.expr("case when n_stops < 2 then 1 else 0 end").alias("f_stopwords"),
+        F.expr(
+            "case when top_freq * 1000 > 200 * n_words then 1 else 0 end"
+        ).alias("f_repetition"),
+    )
+    s = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("f_wordcount").cast("bigint").alias("c1"),
+        F.sum("f_meanlen").cast("bigint").alias("c2"),
+        F.sum("f_stopwords").cast("bigint").alias("c3"),
+        F.sum("f_repetition").cast("bigint").alias("c4"),
+        F.sum(
+            F.expr(
+                "case when f_wordcount + f_meanlen + f_stopwords"
+                " + f_repetition = 0 then 1 else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("np"),
+    )
+    return s.select(
+        F.expr(
+            "stack(5,"
+            " 'word_count', c1, cast(c1 * 1000000 div n as bigint),"
+            " 'mean_word_len', c2, cast(c2 * 1000000 div n as bigint),"
+            " 'stop_words', c3, cast(c3 * 1000000 div n as bigint),"
+            " 'repetition', c4, cast(c4 * 1000000 div n as bigint),"
+            " 'all_pass', np, cast(np * 1000000 div n as bigint))"
+        ).alias("rule", "n_fail", "fail_ppm")
+    )
+
+
+def _SIMHASH_CENSUS_ORACLE() -> str:
+    cnt_cols = ", ".join(
+        f"sum(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS c{i}"
+        for i in range(64)
+    )
+
+    def band(k: int) -> str:
+        return " + ".join(
+            f"(((2 * c{16 * k + i} > n)::BIGINT) << {i})" for i in range(16)
+        )
+
+    bands = ", ".join(f"{band(k)} AS b{k}" for k in range(4))
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    anyband = " OR ".join(f"a.b{k} = b.b{k}" for k in range(4))
+    return f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_TOKS}) AS s FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh
+                WHERE len(s) > 0),
+         hv AS (SELECT doc_id, n,
+                ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo FROM ex),
+         cnt AS (SELECT doc_id, any_value(n) AS n, {cnt_cols}
+                 FROM hv GROUP BY doc_id),
+         sig AS (SELECT doc_id, {bands} FROM cnt),
+         pr AS (SELECT cast({ham} AS BIGINT) AS hamming
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                WHERE {anyband})
+    SELECT hamming, cast(count(*) AS BIGINT) AS n_pairs,
+           (hamming <= 3) AS guaranteed
+    FROM pr GROUP BY hamming
+    """
+
+
+@query(
+    "q343_simhash_hamming_census",
+    _SIMHASH_CENSUS_ORACLE(),
+    doc="SimHash band-candidate Hamming census: the distribution of "
+    "TRUE Hamming distances among pairs the 4x16 banding surfaces — "
+    "the tuning evidence behind q43's threshold. Pairs at hamming "
+    "<= 3 are guaranteed candidates (pigeonhole: 4 errors can't "
+    "touch all 4 bands... 3 can't); everything above 3 in the "
+    "census is banding OVER-recall, i.e. the verify stage's "
+    "workload, and its mass tells you whether to re-band (more, "
+    "narrower bands = more candidates, fewer misses). Same "
+    "md5-portable signature family as q43 so DuckDB rebuilds "
+    "identical signatures; the Spark side reuses the banded "
+    "self-join WITHOUT the hamming filter and histograms the "
+    "popcounts — candidate-bounded work, never all-pairs (the "
+    "oracle's exhaustive join is oracle-scale only).",
+)
+def q343_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from tytodb_spark.operators.dedup import simhash64_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = simhash64_portable(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = sh.select(
+        F.col("doc_id").alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "simhash", "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("sim_a"),
+        "band", "bucket",
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band", "bucket",
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "hamming",
+            "n_pairs",
+            (F.col("hamming") <= 3).alias("guaranteed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
