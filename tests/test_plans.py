@@ -569,6 +569,32 @@ def test_hits_renorms_are_broadcast(spark, sf_dir):
         "q313_qte_deciles",        # per-arm CDF windows; broadcast pivot
         "q314_modularity",         # pair join + metadata community aggs
         "q315_gsp_support",        # per-user existence join, distinct
+        "q316_shipping_priority",  # broadcast dims; top-10 is TakeOrdered
+        "q317_market_share",       # 7 broadcast dims + one fact join
+        "q318_returned_items",     # broadcast dims; top-20 is TakeOrdered
+        "q319_volume_customers",   # HAVING keyset re-join; no windows
+        "q320_cohens_kappa",       # 9-cell aggregate + marginal join
+        "q321_mcnemar",            # single conditional-sum reduce
+        "q322_brier_decomposition",  # 10-bin agg + broadcast base rate
+        "q323_assortativity",      # degree broadcast + moment sums
+        "q324_l_diversity",        # two-level distinct aggregate
+        "q325_bloom_fpp_audit",    # word-table broadcast + probe agg
+        "q326_unpivot_long",       # stack() generator, zero extra shuffles
+        "q329_seasonal_mad_anomalies",  # (event_type, hod) cohort windows
+        "q330_predicate_selectivity",   # one conditional-sum scan
+        "q331_wilson_ctr",         # 24-row conditional aggregate
+        "q332_dedup_retention_bias",    # content-hash agg + source rollup
+        "q333_khop_reach",         # k semi-joins, counts only
+        "q334_ngram_coverage",     # two-phase salted top-k; NO window
+        "q335_brown_forsythe",     # grouped_quantiles CDF; moment sums
+        "q336_spearman",           # with_prefix_sums rank maps, no sort
+        "q337_kendall_tau",        # series-bounded pair join
+        "q338_runs_test",          # series-partitioned lag windows
+        "q339_zonemap_skipping",   # (layout, file) zone agg + range math
+        "q340_design_effect",      # per-stratum moment sums only
+        "q341_hll_error_curve",    # three register aggs + exact count
+        "q342_gopher_gates",       # (doc, word) agg + per-doc max
+        "q343_simhash_hamming_census",  # banded candidate join + histogram
         # (q306 windows only the HOURLY rollup — a <=720-row series,
         # the q263 metadata exclusion; q309/q311 are the per-probe
         # audit regime like q283/q298/q299; q312 ranks only the 32-row
@@ -610,6 +636,30 @@ def test_two_phase_topk_has_no_window_at_all(spark, sf_dir):
     df = _df(spark, sf_dir, "q301_two_phase_topk")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_ngram_coverage_has_no_window_at_all(spark, sf_dir):
+    """q334 ranks the vocabulary with the q301 salted slice-merge —
+    ZERO Window operators, because vocab is NOT metadata at web scale
+    and a rank window over it would single-task the term table."""
+    df = _df(spark, sf_dir, "q334_ngram_coverage")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_tpch_topk_shapes_use_take_ordered(spark, sf_dir):
+    """q316/q318's top-k must plan as TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global Sort + Limit."""
+    for name in ("q316_shipping_priority", "q318_returned_items"):
+        df = _df(spark, sf_dir, name)
+        assert P.has_take_ordered(df), name
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """q317's seven dimension joins must all broadcast — the only
+    shuffled edge is lineitem-orders on orderkey."""
+    df = _df(spark, sf_dir, "q317_market_share")
+    assert P.num_broadcast_joins(df) >= 6
 
 
 def test_q300_broadcasts_all_dims(spark, sf_dir):
