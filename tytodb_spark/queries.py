@@ -18409,8 +18409,11 @@ def q319_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM na JOIN nb ON na.c = nb.c)
     SELECT tot.n, tot.agree,
            cast(tot.agree * 1000000 // tot.n AS BIGINT) AS po_ppm,
-           cast((ch.s // tot.n) * 1000000 // tot.n AS BIGINT) AS pe_ppm,
-           cast((tot.agree - ch.s // tot.n) * 1000000
+           cast(((ch.s // tot.n) * 1000000
+                 + (ch.s % tot.n) * 1000000 // tot.n) // tot.n AS BIGINT)
+             AS pe_ppm,
+           cast(((tot.agree - ch.s // tot.n) * 1000000
+                 - (ch.s % tot.n) * 1000000 // tot.n)
                 // greatest(tot.n - ch.s // tot.n, 1) AS BIGINT)
              AS kappa_ppm
     FROM tot CROSS JOIN ch
@@ -18424,10 +18427,15 @@ def q319_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— observed agreement is the cell diagonal, expected agreement "
     "the product of the two marginals — so the corpus is read once "
     "and all arithmetic happens on a 9-row frame. Integer spelling "
-    "pre-divides the marginal product by n BEFORE the ppm blow-up "
-    "(kappa = (agree - s/n) / (n - s/n)), keeping every term <= n: "
-    "safe to ~9e12 documents, floor-division order mirrored exactly "
-    "in the oracle.",
+    "splits the marginal product as s = q*n + r (q = s//n) so "
+    "pe_ppm = (q*1e6 + r*1e6//n) // n carries the remainder mass a "
+    "bare (s//n)*1e6//n would drop — bias falls from <=1e6/n ppm "
+    "(~100 ppm at bench n) to <=2 ppm-ulps — while every term stays "
+    "<= n*1e6: safe to ~9e12 documents. Kappa's numerator gets the "
+    "same remainder correction; its denominator keeps n - q (the "
+    "dropped r/n < 1 biases kappa by <= kappa/(n*(1-pe)) — sub-ppm "
+    "for n >= 1e6, documented, vanishing at deployed scale). "
+    "Floor-division order mirrored exactly in the oracle.",
 )
 def q320_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -18465,9 +18473,13 @@ def q320_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "agree",
             F.expr("agree * 1000000 div n").cast("bigint").alias("po_ppm"),
-            F.expr("(s div n) * 1000000 div n").cast("bigint").alias("pe_ppm"),
             F.expr(
-                "(agree - s div n) * 1000000"
+                "((s div n) * 1000000 + (s % n) * 1000000 div n) div n"
+            )
+            .cast("bigint")
+            .alias("pe_ppm"),
+            F.expr(
+                "((agree - s div n) * 1000000 - (s % n) * 1000000 div n)"
                 " div greatest(n - s div n, 1)"
             )
             .cast("bigint")
@@ -19621,15 +19633,23 @@ def q333_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     "itself). The Spark side computes the top-1000 WITHOUT a "
     "global window over the vocabulary: q301's two-phase top-k — "
     "per-salt-shard sorted-slice aggregation, then one merge of "
-    "the <=8x1000 shard survivors — so no task ever holds or sorts "
-    "the full term table (vocab is NOT metadata-sized at web "
-    "scale). Prefix masses come from aggregate() over the merged "
-    "array's first k entries. The oracle IS the naive global-"
-    "window spelling — the differential proves the shard merge "
-    "loses nothing. coverage_ppm safe to ~9e12 total tokens "
-    "(pre-divide beyond, the q268 lesson).",
+    "the n_salts x 1000 shard survivors — so no task ever holds or "
+    "sorts the full term table (vocab is NOT metadata-sized at web "
+    "scale). Per-shard memory bound: phase 1 collect_list holds "
+    "~ndv/n_salts (term, count) structs in one aggregation buffer, "
+    "so n_salts must SCALE with expected vocabulary — size it as "
+    "ceil(ndv / 2e6) to keep shards under ~100 MB (the default 8 "
+    "covers vocabs to ~16M terms; the merge stays one task because "
+    "n_salts*1000 survivors are metadata-sized even at n_salts=1e4). "
+    "Prefix masses come from aggregate() over the merged array's "
+    "first k entries. The oracle IS the naive global-window "
+    "spelling — the differential proves the shard merge loses "
+    "nothing. coverage_ppm safe to ~9e12 total tokens (pre-divide "
+    "beyond, the q268 lesson).",
 )
-def q334_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q334_ngram_coverage(
+    spark: SparkSession, sf_dir: str, n_salts: int = 8
+) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
@@ -19637,7 +19657,7 @@ def q334_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     tot = tc.agg(F.sum("c").cast("bigint").alias("total"))
     phase1 = (
-        tc.groupBy(F.pmod(F.hash("term"), F.lit(8)).alias("salt"))
+        tc.groupBy(F.pmod(F.hash("term"), F.lit(n_salts)).alias("salt"))
         .agg(
             F.expr(
                 "slice(array_sort(collect_list(struct(-c as nc, term))),"
@@ -19986,14 +20006,15 @@ def q337_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                                THEN 1 ELSE 0 END) AS BIGINT) AS runs
            FROM ch GROUP BY event_type)
     SELECT event_type, n_pos, n_neg, runs,
-           round((runs::DOUBLE
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round((runs::DOUBLE
                   - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
                  / sqrt(2.0 * n_pos * n_neg
                         * (2.0 * n_pos * n_neg - n_pos - n_neg)
                         / ((n_pos + n_neg)::DOUBLE
                            * (n_pos + n_neg)::DOUBLE
                            * (n_pos + n_neg - 1)::DOUBLE)),
-                 6) AS z_runs
+                 6) END AS z_runs
     FROM st
     """,
     doc="Wald-Wolfowitz runs test per event-type hourly series: is "
@@ -20070,18 +20091,28 @@ def q338_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "runs",
-        F.round(
-            F.expr(
-                "(cast(runs as double) - (2.0 * n_pos * n_neg"
-                " / (n_pos + n_neg) + 1.0))"
-                " / sqrt(2.0 * n_pos * n_neg"
-                " * (2.0 * n_pos * n_neg - n_pos - n_neg)"
-                " / (cast(n_pos + n_neg as double)"
-                " * cast(n_pos + n_neg as double)"
-                " * cast(n_pos + n_neg - 1 as double)))"
-            ),
-            6,
-        ).alias("z_runs"),
+        # NULL guard: a series entirely above or below its median after
+        # exclusions (n_pos or n_neg = 0) makes the null variance 0 —
+        # the sqrt argument hits 0 and the z ratio goes NaN/Inf, and
+        # NaN != NaN would break the oracle differential.
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                F.expr(
+                    "(cast(runs as double) - (2.0 * n_pos * n_neg"
+                    " / (n_pos + n_neg) + 1.0))"
+                    " / sqrt(2.0 * n_pos * n_neg"
+                    " * (2.0 * n_pos * n_neg - n_pos - n_neg)"
+                    " / (cast(n_pos + n_neg as double)"
+                    " * cast(n_pos + n_neg as double)"
+                    " * cast(n_pos + n_neg - 1 as double)))"
+                ),
+                6,
+            )
+        )
+        .alias("z_runs"),
     )
 
 
@@ -20455,9 +20486,9 @@ def q341_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN f.mean_len_milli < 3000 OR f.mean_len_milli > 10000
                   THEN 1 ELSE 0 END AS f_meanlen,
              CASE WHEN f.n_stops < 2 THEN 1 ELSE 0 END AS f_stopwords,
-             CASE WHEN r.top_freq * 1000 > 200 * f.n_words
+             CASE WHEN coalesce(r.top_freq, 0) * 1000 > 200 * f.n_words
                   THEN 1 ELSE 0 END AS f_repetition
-      FROM feat f JOIN rep r ON f.doc_id = r.doc_id),
+      FROM feat f LEFT JOIN rep r ON f.doc_id = r.doc_id),
     s AS (SELECT cast(count(*) AS BIGINT) AS n,
                  cast(sum(f_wordcount) AS BIGINT) AS c1,
                  cast(sum(f_meanlen) AS BIGINT) AS c2,
@@ -20525,7 +20556,13 @@ def q342_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").cast("bigint").alias("top_freq"))
     )
-    lab = feat.join(rep, "doc_id").select(
+    # LEFT join: a zero-token doc has no (doc, word) rows, so an inner
+    # join would silently drop it from n and every rule count — the
+    # worst documents would be invisible to the census. coalesce(0)
+    # makes it fail word_count (<50) and pass repetition (0 > 0 false).
+    lab = feat.join(rep, "doc_id", "left").withColumn(
+        "top_freq", F.coalesce(F.col("top_freq"), F.lit(0).cast("bigint"))
+    ).select(
         F.expr(
             "case when n_words < 50 or n_words > 100000 then 1 else 0 end"
         ).alias("f_wordcount"),
@@ -20616,14 +20653,14 @@ def _SIMHASH_CENSUS_ORACLE() -> str:
     "oracle's exhaustive join is oracle-scale only).",
 )
 def q343_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     from tytodb_spark.operators.dedup import simhash64_portable
 
     docs = _t(spark, sf_dir, "documents")
-    sh = simhash64_portable(docs, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # lazy localCheckpoint (NOT persist): a long-lived driver iterating
+    # the registry (bench sweeps) would leak cached blocks from an
+    # un-unpersisted persist; checkpoint blocks are owned by the frame
+    # and reclaimed with it (same discipline as q323/q333/q337).
+    sh = simhash64_portable(docs, "doc_id", "text").localCheckpoint(eager=False)
     banded = sh.select(
         F.col("doc_id").alias("__id"),
         "simhash",
