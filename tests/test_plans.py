@@ -667,3 +667,22 @@ def test_q300_broadcasts_all_dims(spark, sf_dir):
     must broadcast — only lineitem-orders may shuffle."""
     df = _df(spark, sf_dir, "q300_local_supplier_revenue")
     assert P.num_broadcast_joins(df) >= 4
+
+
+def test_hubness_probe_panel_is_constant_bounded(spark, sf_dir):
+    """q311's probe panel must be a FIXED 256-row TakeOrdered top-C
+    feeding the broadcast — never a modulo sample whose broadcast side
+    grows O(N) with the corpus (the round-7 'weak' finding)."""
+    df = _df(spark, sf_dir, "q311_hubness_audit")
+    plan = P.physical_plan(df)
+    assert "limit=256" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or P.num_broadcast_joins(df) >= 1
+
+
+def test_maxsim_probe_panel_is_constant_bounded(spark, sf_dir):
+    """q299's probe panel must be a FIXED 16-row TakeOrdered top-C
+    feeding the broadcast — constant at any corpus size."""
+    df = _df(spark, sf_dir, "q299_maxsim_retrieval")
+    plan = P.physical_plan(df)
+    assert "limit=16" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or P.num_broadcast_joins(df) >= 1

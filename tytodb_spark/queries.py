@@ -16598,7 +16598,7 @@ def q298_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS sub
                FROM embeddings),
     p AS (SELECT vec_id AS pid, sub AS psub FROM c
-          WHERE vec_id % 499 = 0),
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
     s AS (SELECT p.pid, c.vec_id,
                  cast(list_sum(list_transform(p.psub, pv ->
                         list_max(list_transform(c.sub, dv ->
@@ -16621,22 +16621,37 @@ def q298_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its best counterpart, not the average). All dots are exact "
     "integer (floor(x*1e4) per coordinate: 8-term dot <= 8e8, x8 "
     "sub-scores — far inside int64), the nested max/sum runs "
-    "JVM-side per pair with zero explode, and probes (vec_id %% 499) "
-    "broadcast in the q41/q283 audit regime; production would bucket "
-    "candidates by an ANN first stage and apply this as the rerank.",
+    "JVM-side per pair with zero explode. Probes are a FIXED "
+    "16-vector panel (md5-rank top-16, deterministic): the "
+    "broadcast side is constant at any corpus size — a modulo "
+    "sample would grow O(N) and blow the broadcast threshold — and "
+    "pair volume is 16 x N, the linear rerank-audit regime; "
+    "production buckets candidates by an ANN first stage "
+    "(similarity.py IVF) and applies this scoring as the rerank.",
 )
 def q299_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
     emb = _t(spark, sf_dir, "embeddings")
-    c = emb.select(
+    # spread(): single-file fixture scans as one partition; the 16xN
+    # MaxSim fan-out and per-pid top-k need every core (q311 lesson).
+    c = spread(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, 7), k ->"
+                " transform(slice(embedding, k * 8 + 1, 8), x ->"
+                " cast(floor(cast(x as double) * 10000) as bigint)))"
+            ).alias("sub"),
+        ),
         "vec_id",
-        F.expr(
-            "transform(sequence(0, 7), k ->"
-            " transform(slice(embedding, k * 8 + 1, 8), x ->"
-            " cast(floor(cast(x as double) * 10000) as bigint)))"
-        ).alias("sub"),
     )
-    p = c.filter(F.col("vec_id") % 499 == 0).select(
-        F.col("vec_id").alias("pid"), F.col("sub").alias("psub")
+    # Fixed 16-probe panel (md5-rank top-16): constant broadcast side
+    # at any corpus size; TakeOrderedAndProject, no global sort.
+    p = (
+        c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("pid"), F.col("sub").alias("psub"))
     )
     s = (
         c.crossJoin(F.broadcast(p))
@@ -17616,11 +17631,12 @@ def q310_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cast(floor(cast(embedding[i] AS DOUBLE) * 10000)
                              AS BIGINT)) AS ea
                FROM embeddings),
+    q AS (SELECT vec_id, ea FROM c
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 256),
     d AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
                  cast(list_sum(list_transform(range(1, 33),
                       i -> q.ea[i] * t.ea[i])) AS BIGINT) AS dot
-          FROM c q JOIN c t ON q.vec_id <> t.vec_id
-          WHERE q.vec_id % 7 = 0),
+          FROM q JOIN c t ON q.vec_id <> t.vec_id),
     r AS (SELECT qid, tid,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY dot DESC, tid) AS rk
@@ -17646,26 +17662,45 @@ def q310_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kNN classifiers and dedup transitivity; this census (antihub / "
     "normal / popular / hub buckets, with extremes) is the "
     "diagnostic run before trusting any kNN-derived pipeline stage. "
-    "In-degrees are estimated from a deterministic ~1/7 QUERY sample "
-    "(vec_id %% 7 — the standard hubness-estimation move: hub "
-    "structure shows up in any uniform query sample, and the full "
-    "N^2 graph is never needed), so pair volume is |sample| x N, "
-    "not N^2; dots are exact integers with tid tie-breaks, so the "
-    "sampled graph and its census are bit-stable. The left join "
-    "keeps zero-in-degree vectors visible — antihub count IS the "
-    "finding.",
+    "In-degrees are estimated from a FIXED-CARDINALITY probe panel: "
+    "the 256 vectors with the smallest md5(vec_id) rank (a "
+    "deterministic uniform draw — hub structure shows up in any "
+    "uniform query sample, and the full N^2 graph is never needed). "
+    "Unlike a modulo sample, the panel does NOT grow with the "
+    "corpus: the broadcast side is 256 rows at any N, pair volume "
+    "is 256 x N (linear), and the TakeOrdered top-C never "
+    "materializes a global sort. Dots are exact integers with tid "
+    "tie-breaks, so the sampled graph and its census are "
+    "bit-stable. The left join keeps zero-in-degree vectors "
+    "visible — antihub count IS the finding.",
 )
 def q311_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
     emb = _t(spark, sf_dir, "embeddings")
-    c = emb.select(
+    # spread() BEFORE the probe crossJoin: the single-file fixture scans
+    # as one partition, which would serialize the 256xN dot fan-out and
+    # the per-qid top-k behind it (measured 8.4s -> 2.0s at sf0.1).
+    c = spread(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(slice(embedding, 1, 32), x ->"
+                " cast(floor(cast(x as double) * 10000) as bigint))"
+            ).alias("ea"),
+        ),
         "vec_id",
-        F.expr(
-            "transform(slice(embedding, 1, 32), x ->"
-            " cast(floor(cast(x as double) * 10000) as bigint))"
-        ).alias("ea"),
     ).localCheckpoint(eager=False)
-    q = c.filter(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("ea").alias("qea")
+    # Fixed-cardinality probe panel: md5-rank top-256 is a deterministic
+    # uniform draw whose size does NOT grow with the corpus — the
+    # broadcast below stays 256 rows at any N (a vec_id % k sample is
+    # O(N/k) and eventually blows the broadcast threshold). limit()
+    # compiles to TakeOrderedAndProject: per-partition top-C + one
+    # C-row merge, never a global sort.
+    q = (
+        c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .select(F.col("vec_id").alias("qid"), F.col("ea").alias("qea"))
     )
     # Unrolled dot: higher-order aggregate/zip_with lambdas run
     # INTERPRETED per element (no whole-stage codegen); 32 explicit
