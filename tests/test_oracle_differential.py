@@ -6,6 +6,8 @@ before a round ends.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tytodb_spark import queries as Q
@@ -101,3 +103,20 @@ def test_live_registry_order_is_sorted_by_green_round():
     green = Q._driver_green_rounds()
     rounds = [green.get(n, -1) for n in Q.REGISTRY]
     assert all(rounds[i] <= rounds[i + 1] for i in range(len(rounds) - 1))
+
+
+def test_catalog_matches_registry():
+    """QUERIES.md is generated from the live registry; a stale catalog
+    (round-7 finding: 332 rows vs 337 entries) misleads any consumer.
+    Guard: the committed row count equals the registry size."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "QUERIES.md")) as fh:
+        text = fh.read()
+    rows = re.findall(r"^\| (q\d+\w*) \|", text, flags=re.M)
+    assert len(rows) == len(Q.REGISTRY), (
+        f"QUERIES.md has {len(rows)} rows but the registry has "
+        f"{len(Q.REGISTRY)} — rerun tools/gen_query_catalog.py"
+    )
+    assert set(rows) == set(Q.REGISTRY)
