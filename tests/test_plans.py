@@ -686,3 +686,30 @@ def test_maxsim_probe_panel_is_constant_bounded(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "limit=16" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or P.num_broadcast_joins(df) >= 1
+
+
+def test_q4_exists_decorrelates_to_left_semi(spark, sf_dir):
+    """q344's EXISTS must decorrelate into a LeftSemi join — per-order
+    dedup for free, no inner-join + distinct shuffle."""
+    df = _df(spark, sf_dir, "q344_priority_waiting_semi")
+    assert "LeftSemi" in P.physical_plan(df)
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """q345's NOT IN must plan as a LeftAnti join with the metadata-
+    sized exclusion list on the broadcast build side, and the top-20
+    as TakeOrderedAndProject."""
+    df = _df(spark, sf_dir, "q345_supplier_cnt_anti")
+    plan = P.physical_plan(df)
+    assert "LeftAnti, BuildRight" in plan
+    assert P.has_take_ordered(df)
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark, sf_dir):
+    """q346's EXISTS / NOT EXISTS pair must become one LeftSemi and one
+    LeftAnti, both carrying the suppkey<>suppkey residual condition."""
+    df = _df(spark, sf_dir, "q346_waiting_supplier")
+    plan = P.physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("NOT (l_suppkey") >= 2 or plan.count("NOT (knownfloatingpointnormalized") >= 2
+    assert P.has_take_ordered(df)

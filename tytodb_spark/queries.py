@@ -20743,6 +20743,176 @@ def q343_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q344_priority_waiting_semi",
+    """
+    SELECT o.o_orderpriority,
+           cast(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): the correlated "
+    "EXISTS subquery a warehouse user writes weekly, decorrelated by "
+    "Catalyst into a LeftSemi join — each order counts AT MOST ONCE "
+    "no matter how many lineitems match, which a plain inner join + "
+    "distinct would spell with an extra corpus-scale shuffle. The "
+    "semi join's build side is the matching-lineitem key set "
+    "(corpus-scale, NOT broadcastable), so the scale plan is a "
+    "shuffled LeftSemi on orderkey with the quarter filter pushed "
+    "to the orders scan (predicate + partition pruning cut the probe "
+    "side first — the dominant term at 100 TB). Q4's commitdate/"
+    "receiptdate predicate is adapted to l_returnflag = 'R' (this "
+    "corpus has no commit/receipt columns); the join SHAPE — "
+    "EXISTS -> LeftSemi, per-order dedup for free — is the exhibit. "
+    "Exact integer counts; group keys total-order the 5-row result.",
+)
+def q344_priority_waiting_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    flagged = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(flagged, o["o_orderkey"] == flagged["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "q345_supplier_cnt_anti",
+    """
+    SELECT p.p_brand, p.p_type, cast(p.p_size AS INT) AS p_size,
+           cast(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): NOT IN against "
+    "a complaint-supplier subquery, decorrelated into a LeftAnti join "
+    "— the exclusion list (s_acctbal < 0) is metadata-sized, so the "
+    "anti join BROADCASTS its build side and costs one map-side probe "
+    "per lineitem, never a shuffle. The part dim filter (brand/size "
+    "IN-list) broadcasts too; the only corpus-scale exchange is the "
+    "count(DISTINCT suppkey) aggregate on the group keys (Spark "
+    "plans it as the two-level expand+agg, partial map-side). "
+    "lineitem stands in for partsupp (this corpus has none) — the "
+    "shape is NOT IN -> broadcast anti, distinct-count, top-k via "
+    "TakeOrderedAndProject with the full key as tiebreak. Exact "
+    "integer counts; keys are unique per group so the top-20 is a "
+    "total order.",
+)
+def q345_supplier_cnt_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "q346_waiting_supplier",
+    """
+    WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_returnflag = 'R')
+    SELECT s.s_name, cast(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "DOUBLE-correlated EXISTS / NOT EXISTS — find the supplier whose "
+    "line was flagged while NO other supplier's line in the same "
+    "multi-supplier order was — the hardest standard decorrelation "
+    "(two subqueries correlated on the same key with an inequality "
+    "on a second column). Spelled as one shuffled LeftSemi (another "
+    "supplier exists in the order) plus one shuffled LeftAnti (no "
+    "OTHER flagged supplier), both keyed on orderkey with the "
+    "suppkey<>suppkey residual — all three joins share the orderkey "
+    "partitioning so AQE reuses one exchange of the flagged subset; "
+    "the supplier name dim broadcasts; top-20 is "
+    "TakeOrderedAndProject. 'Late' is adapted to l_returnflag = 'R' "
+    "and o_orderstatus = 'F' (no commit/receipt dates here); counts "
+    "are row-granular exactly like Q21 (a supplier with two flagged "
+    "lines in one order counts twice). Exact integers; s_name "
+    "tiebreak totals the order.",
+)
+def q346_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sup = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        late.join(o, late["l_orderkey"] == o["o_orderkey"])
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
