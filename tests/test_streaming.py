@@ -305,3 +305,16 @@ def test_watermark_late_audit_matches_python_replay(spark, sf_dir):
     # the delay must actually drop something at this SF, or the audit
     # is vacuous
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_driver_pin_guard_enforces_bound(spark):
+    """_pin_to_driver refuses to collect past its row limit — the
+    key-bounded invariant is enforced, not assumed (round-7 advice)."""
+    import pytest as _pytest
+
+    from tytodb_spark.streaming.pipeline import _pin_to_driver
+
+    df = spark.range(10)
+    assert len(_pin_to_driver(df, "tiny", limit=100)) == 10
+    with _pytest.raises(ValueError, match="driver pin refused"):
+        _pin_to_driver(df, "too big", limit=5)

@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 from tytodb_spark.storage.warehouse import Warehouse
 from tytodb_spark.streaming.state import pinned_state_partitions
 
+# Hard ceiling for driver-side state pins. The two pins below hold
+# frames that are KEY-BOUNDED by construction (a per-key view state, an
+# m-bounded Misra-Gries candidate set) — but "bounded by construction"
+# is an invariant in a comment until it is enforced. 1M rows of skinny
+# state is a few tens of MB on the driver; anything past it means the
+# helper was reused on an unbounded key and must fail loudly, not OOM.
+DRIVER_PIN_LIMIT = 1_000_000
+
+
+def _pin_to_driver(df: DataFrame, what: str, limit: int = DRIVER_PIN_LIMIT):
+    """Materialize a key-bounded frame on the driver. Counts FIRST
+    (distributed, cheap) so a violated bound raises before the collect
+    can OOM the driver."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"driver pin refused: {what} has {n} rows (> {limit}); "
+            "this helper is only safe for key-bounded state"
+        )
+    return df.collect()
+
 
 def _drain(
     stream_df: DataFrame,
@@ -305,10 +326,12 @@ def stream_incremental_rollup(
             .start()
         )
         q.awaitTermination()
-        # the view state is key-bounded (tiny by construction) — pin it
-        # to the driver so the staging dir can be reclaimed
+        # the view state is key-bounded — pin it to the driver (guarded:
+        # fails loudly past DRIVER_PIN_LIMIT) so staging can be reclaimed
         final = spark.read.parquet(state_dir)
-        return spark.createDataFrame(final.collect(), final.schema)
+        return spark.createDataFrame(
+            _pin_to_driver(final, "materialized view state"), final.schema
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -576,9 +599,13 @@ def stream_heavy_hitters(
             .start()
         )
         q.awaitTermination()
-        # candidate set is m-bounded by construction — driver-side pin
-        # so the staging dir can be reclaimed before the recount runs
-        cand_rows = spark.read.parquet(state_dir).select("term").collect()
+        # candidate set is m-bounded — driver-side pin (guarded: fails
+        # loudly past DRIVER_PIN_LIMIT) so the staging dir can be
+        # reclaimed before the recount runs
+        cand_rows = _pin_to_driver(
+            spark.read.parquet(state_dir).select("term"),
+            "Misra-Gries candidate set",
+        )
         candidates = spark.createDataFrame(cand_rows or [(" ",)], "term string")
         toks = src.select(F.explode(tokens(F.col(text_col))).alias("term"))
         total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
