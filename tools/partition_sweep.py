@@ -91,6 +91,25 @@ QUERIES = [
     "q334_ngram_coverage",
     "q325_bloom_fpp_audit",
     "q332_dedup_retention_bias",
+    # round 8: the nonparametric stat family (exact-median deviations,
+    # integer rank correlations, the lag-sign runs test), zone-map
+    # skipping audit, cluster design effect, the HLL error curve,
+    # Gopher gate census, SimHash banded Hamming census, the
+    # fixed-panel hubness audit, and the TPC-H semi/anti shapes
+    # (LeftSemi/LeftAnti decorrelation under AQE re-planning)
+    "q335_brown_forsythe",
+    "q336_spearman",
+    "q337_kendall_tau",
+    "q338_runs_test",
+    "q339_zonemap_skipping",
+    "q340_design_effect",
+    "q341_hll_error_curve",
+    "q342_gopher_gates",
+    "q343_simhash_hamming_census",
+    "q311_hubness_audit",
+    "q344_priority_waiting_semi",
+    "q345_supplier_cnt_anti",
+    "q346_waiting_supplier",
 ]
 
 SETTINGS = [8, 32, 128]

@@ -20913,6 +20913,154 @@ def q346_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bh_thresholds(m: int = 120, alpha: float = 0.05) -> list[tuple[int, int]]:
+    """Benjamini-Hochberg z-scale rejection spine: thr(k) =
+    floor(Phi^-1(1 - alpha*k/(2m)) * 1000) for k = 1..m. Computed once
+    at build time with the stdlib's deterministic AS241 inverse normal
+    (statistics.NormalDist.inv_cdf — pure-Python rational approximation,
+    platform-independent) and embedded as LITERALS in both the Spark
+    plan and the oracle SQL, so no runtime libm call can diverge."""
+    import math as _math
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        (k, int(_math.floor(nd.inv_cdf(1.0 - alpha * k / (2.0 * m)) * 1000)))
+        for k in range(1, m + 1)
+    ]
+
+
+def _BH_FDR_ORACLE() -> str:
+    thr_values = ", ".join(f"({k}, {t})" for k, t in _bh_thresholds())
+    return f"""
+    WITH cells AS (
+      SELECT event_type, cast(extract(hour FROM ts) AS INT) AS hr,
+             cast(count(*) AS BIGINT) AS n,
+             cast(sum((value >= 50.0)::INT) AS BIGINT) AS s
+      FROM events
+      WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+      GROUP BY 1, 2),
+    tot AS (SELECT cast(sum(n) AS BIGINT) AS nn,
+                   cast(sum(s) AS BIGINT) AS ss FROM cells),
+    z AS (SELECT c.event_type, c.hr, c.n, c.s,
+                 cast(floor(abs(
+                   (c.s::DOUBLE / c.n::DOUBLE - t.ss::DOUBLE / t.nn::DOUBLE)
+                   / sqrt((t.ss::DOUBLE / t.nn::DOUBLE)
+                          * (1.0 - t.ss::DOUBLE / t.nn::DOUBLE)
+                          / c.n::DOUBLE)) * 1000) AS BIGINT) AS az_milli
+          FROM cells c CROSS JOIN tot t),
+    rk AS (SELECT a.event_type, a.hr, a.n, a.s, a.az_milli,
+                  cast(1 + count(b.event_type) AS BIGINT) AS rk
+           FROM z a LEFT JOIN z b
+             ON b.az_milli > a.az_milli
+             OR (b.az_milli = a.az_milli
+                 AND (b.event_type < a.event_type
+                      OR (b.event_type = a.event_type AND b.hr < a.hr)))
+           GROUP BY a.event_type, a.hr, a.n, a.s, a.az_milli),
+    thr(k, thr_milli) AS (VALUES {thr_values}),
+    flag AS (SELECT rk.*, (rk.az_milli >= thr.thr_milli) AS crossed
+             FROM rk JOIN thr ON rk.rk = thr.k),
+    kstar AS (SELECT coalesce(max(CASE WHEN crossed THEN rk END), 0)
+                AS ks FROM flag)
+    SELECT f.event_type, f.hr, f.n, f.s, f.az_milli, f.rk,
+           (f.rk <= k.ks) AS rejected
+    FROM flag f CROSS JOIN kstar k
+    """
+
+
+@query(
+    "q347_bh_fdr",
+    _BH_FDR_ORACLE(),
+    doc="Benjamini-Hochberg FDR control over a DESIGNED hypothesis "
+    "grid (5 funnel stages x 24 hours = m fixed at 120): which "
+    "(event_type, hour) cells' high-value rates differ from the "
+    "pooled rate, with false-discovery control — the multiple-"
+    "comparison gate any metrics platform needs before alerting on "
+    "per-cell anomalies (at alpha=.05, ~6 of 120 null cells would "
+    "'fire' uncorrected). BH runs on the z-SCALE: p_(k) <= k*alpha/m "
+    "iff |z|_(k) >= Phi^-1(1 - k*alpha/2m), so the thresholds are a "
+    "120-literal spine computed at BUILD time (stdlib AS241) and no "
+    "runtime erf/exp libm call exists to diverge between engines — "
+    "z itself uses only IEEE-correctly-rounded ops (+,-,*,/,sqrt) on "
+    "exact counts, so az_milli is bit-identical. Rank is a self-join "
+    "count over the m-row cell frame (metadata by DESIGN — the "
+    "corpus-scale work is the one (type, hour) aggregate; no window, "
+    "no sort). The step-up cutoff k* is a 1-row max broadcast back.",
+)
+def q347_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(
+            F.col("event_type").isin(
+                "click", "view", "signup", "purchase", "error"
+            )
+        )
+        .groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("value") >= 50.0).cast("int"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "hr",
+        "n",
+        "s",
+        F.expr(
+            "cast(floor(abs("
+            " (cast(s as double) / cast(n as double)"
+            "  - cast(ss as double) / cast(nn as double))"
+            " / sqrt((cast(ss as double) / cast(nn as double))"
+            "        * (1.0 - cast(ss as double) / cast(nn as double))"
+            "        / cast(n as double))) * 1000) as bigint)"
+        ).alias("az_milli"),
+    )
+    zb = z.select(
+        F.col("event_type").alias("et2"),
+        F.col("hr").alias("hr2"),
+        F.col("az_milli").alias("az2"),
+    )
+    rk = (
+        z.join(
+            F.broadcast(zb),
+            (F.col("az2") > F.col("az_milli"))
+            | (
+                (F.col("az2") == F.col("az_milli"))
+                & (
+                    (F.col("et2") < F.col("event_type"))
+                    | (
+                        (F.col("et2") == F.col("event_type"))
+                        & (F.col("hr2") < F.col("hr"))
+                    )
+                )
+            ),
+            "left",
+        )
+        .groupBy("event_type", "hr", "n", "s", "az_milli")
+        .agg((F.lit(1) + F.count("et2")).cast("bigint").alias("rk"))
+    )
+    thr = spark.createDataFrame(_bh_thresholds(), "k long, thr_milli long")
+    flag = rk.join(F.broadcast(thr), rk["rk"] == thr["k"]).select(
+        "event_type", "hr", "n", "s", "az_milli", "rk",
+        (F.col("az_milli") >= F.col("thr_milli")).alias("crossed"),
+    )
+    kstar = flag.agg(
+        F.coalesce(
+            F.max(F.when(F.col("crossed"), F.col("rk"))), F.lit(0)
+        ).alias("ks")
+    )
+    return flag.crossJoin(F.broadcast(kstar)).select(
+        "event_type", "hr", "n", "s", "az_milli", "rk",
+        (F.col("rk") <= F.col("ks")).alias("rejected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
