@@ -21061,6 +21061,520 @@ def q347_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q349_stratified_ate",
+    """
+    WITH u AS (
+      SELECT user_id,
+             cast(count(*) AS BIGINT) AS n_ev,
+             cast(CASE WHEN sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) * 5 > count(*)
+                  THEN 1 ELSE 0 END AS INT) AS treated,
+             cast(sum(CASE WHEN event_type = 'purchase'
+                      THEN cast(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS out_cents
+      FROM events GROUP BY user_id),
+    tot AS (SELECT cast(count(*) AS BIGINT) AS n_users,
+                   cast(sum(n_ev) AS BIGINT) AS t_ev FROM u),
+    su AS (SELECT least(u.n_ev * 4 * tot.n_users // tot.t_ev, 7) AS stratum,
+                  u.treated, u.out_cents
+           FROM u CROSS JOIN tot),
+    g AS (SELECT stratum,
+                 cast(count(*) AS BIGINT) AS n_users,
+                 cast(sum(treated) AS BIGINT) AS n_treated,
+                 cast(count(*) - sum(treated) AS BIGINT) AS n_control,
+                 cast(sum(CASE WHEN treated = 1 THEN out_cents ELSE 0 END)
+                      AS BIGINT) AS st,
+                 cast(sum(CASE WHEN treated = 0 THEN out_cents ELSE 0 END)
+                      AS BIGINT) AS sc
+          FROM su GROUP BY stratum),
+    d AS (SELECT g.*,
+                 CASE WHEN n_treated > 0 AND n_control > 0
+                      THEN cast(st * 1000000 // n_treated
+                                - sc * 1000000 // n_control AS BIGINT)
+                 END AS diff_micro
+          FROM g),
+    a AS (SELECT cast(sum(n_users) AS BIGINT) AS nv,
+                 cast(sum(n_users * diff_micro) AS BIGINT) AS wsum
+          FROM d WHERE diff_micro IS NOT NULL)
+    SELECT cast(stratum AS INT) AS stratum, n_users, n_treated, n_control,
+           diff_micro
+    FROM d
+    UNION ALL
+    SELECT -1 AS stratum, a.nv AS n_users,
+           cast((SELECT sum(n_treated) FROM d WHERE diff_micro IS NOT NULL)
+                AS BIGINT) AS n_treated,
+           cast((SELECT sum(n_control) FROM d WHERE diff_micro IS NOT NULL)
+                AS BIGINT) AS n_control,
+           cast(cast(sign(a.wsum) AS BIGINT) * (abs(a.wsum) // a.nv)
+                AS BIGINT) AS diff_micro
+    FROM a
+    """,
+    doc="Stratified average-treatment-effect estimate (IPW with "
+    "discrete propensity): users with a high error share (>20% of "
+    "their events) vs not, outcome = purchase spend, stratified by "
+    "relative activity level "
+    "— the observational-data debiasing step (naive treated-vs-"
+    "control comparison confounds exposure with activity; within-"
+    "stratum differences weighted by stratum mass remove the "
+    "measured confounder, and stratifying on a DISCRETE propensity "
+    "is exactly IPW with propensity = within-stratum treatment "
+    "rate). Strata are integer bands of activity RELATIVE to the "
+    "mean (4*n_ev*U div T, capped at 7) so the banding needs no "
+    "corpus-scale quantile sort and is scale-free across SFs. All "
+    "moments are exact integer cents; per-stratum means go to "
+    "micro-cents by *1e6 floor division (safe to ~9e9 user-cents "
+    "per stratum; pre-divide beyond); strata violating positivity "
+    "(no treated or no control) surface as NULL and are EXCLUDED "
+    "from the overlap-population total (the -1 row), whose one "
+    "signed division is sign-split (sign * abs-div) because Spark "
+    "div truncates while DuckDB // floors — the only place a "
+    "negative quantity meets integer division. Two shuffles total: "
+    "user rollup, stratum rollup; everything after is a "
+    "metadata-sized frame.",
+)
+def q349_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("out_cents"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_t"),
+        F.sum("n_ev").cast("bigint").alias("t_ev"),
+    )
+    su = u.crossJoin(F.broadcast(tot)).select(
+        F.expr("least(n_ev * 4 * n_users_t div t_ev, 7)").alias("stratum"),
+        "treated",
+        "out_cents",
+    )
+    g = su.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        (F.count(F.lit(1)) - F.sum("treated"))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("out_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("st"),
+        F.sum(F.when(F.col("treated") == 0, F.col("out_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    d = g.select(
+        "stratum",
+        "n_users",
+        "n_treated",
+        "n_control",
+        F.expr(
+            "case when n_treated > 0 and n_control > 0"
+            " then cast(st * 1000000 div n_treated"
+            "      - sc * 1000000 div n_control as bigint) end"
+        ).alias("diff_micro"),
+    )
+    valid = d.filter(F.col("diff_micro").isNotNull())
+    a = valid.agg(
+        F.sum("n_users").cast("bigint").alias("nv"),
+        F.sum(F.col("n_users") * F.col("diff_micro"))
+        .cast("bigint")
+        .alias("wsum"),
+        F.sum("n_treated").cast("bigint").alias("tt"),
+        F.sum("n_control").cast("bigint").alias("tc"),
+    )
+    per = d.select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "n_users",
+        "n_treated",
+        "n_control",
+        "diff_micro",
+    )
+    total = a.select(
+        F.lit(-1).cast("int").alias("stratum"),
+        F.col("nv").alias("n_users"),
+        F.col("tt").alias("n_treated"),
+        F.col("tc").alias("n_control"),
+        F.expr(
+            "cast(cast(sign(wsum) as bigint) * (abs(wsum) div nv) as bigint)"
+        ).alias("diff_micro"),
+    )
+    return per.unionAll(total)
+
+
+@query(
+    "q351_isotonic_calibration",
+    """
+    WITH lab AS (SELECT least(n_chars // 30, 19) AS bin,
+                        CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END
+                          AS y
+                 FROM documents),
+    bins AS (SELECT bin, cast(count(*) AS BIGINT) AS c,
+                    cast(sum(y) AS BIGINT) AS s
+             FROM lab GROUP BY bin),
+    spans AS (SELECT lo.bin AS lo, hi.bin AS hi,
+                     cast(sum(m.s) AS BIGINT) AS ss,
+                     cast(sum(m.c) AS BIGINT) AS sc
+              FROM bins lo JOIN bins hi ON lo.bin <= hi.bin
+              JOIN bins m ON m.bin BETWEEN lo.bin AND hi.bin
+              GROUP BY lo.bin, hi.bin),
+    mn AS (SELECT lo, cast(min(ss * 1000000 // sc) AS BIGINT) AS mn_ppm
+           FROM spans GROUP BY lo),
+    iso AS (SELECT b.bin, cast(max(mn.mn_ppm) AS BIGINT) AS iso_ppm
+            FROM bins b JOIN mn ON mn.lo <= b.bin
+            GROUP BY b.bin)
+    SELECT cast(b.bin AS INT) AS bin, b.c AS n, b.s AS n_pos,
+           cast(b.s * 1000000 // b.c AS BIGINT) AS rate_ppm,
+           iso.iso_ppm
+    FROM bins b JOIN iso ON b.bin = iso.bin
+    """,
+    doc="Isotonic calibration (PAV fit) of a document-quality score "
+    "against a binary label, over B<=20 score bins: the reliability "
+    "curve plus its monotone regression — what you run before "
+    "trusting any model score as a probability (rate inversions "
+    "across bins = miscalibration; the isotonic fit is the minimal "
+    "monotone correction). PAV's sequential pooling is spelled as "
+    "the CLOSED-FORM max-min identity iso(b) = max_{i<=b} min_{j>=i} "
+    "mean(y over bins i..j), which is pure relational algebra: span "
+    "sums from a bins x bins x bins triple join (<= 20^2 spans, "
+    "metadata — the corpus-scale work is the single (bin) aggregate "
+    "up front), then a min per lo and a max per bin. Span means are "
+    "quantized to ppm by exact floor division BEFORE pooling, so "
+    "min/max compare integers (no rational cross-multiplication, "
+    "whose s*c products would overflow int64 at corpus counts) — "
+    "the <=1 ppm pre-quantization bias is deterministic and "
+    "mirrored. Output is per-bin: observed rate vs isotonic rate, "
+    "monotone by construction.",
+)
+def q351_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.expr("least(n_chars div 30, 19)").alias("bin"),
+        F.expr(
+            "case when contains(text, ' the ') then 1 else 0 end"
+        ).alias("y"),
+    )
+    bins = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    lo = bins.select(F.col("bin").alias("lo"))
+    hi = bins.select(F.col("bin").alias("hi"))
+    m = bins.select(
+        F.col("bin").alias("mb"), F.col("s").alias("ms"), F.col("c").alias("mc")
+    )
+    spans = (
+        lo.join(F.broadcast(hi), F.col("lo") <= F.col("hi"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("lo")) & (F.col("mb") <= F.col("hi")),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.sum("ms").cast("bigint").alias("ss"),
+            F.sum("mc").cast("bigint").alias("sc"),
+        )
+    )
+    mn = spans.groupBy("lo").agg(
+        F.min(F.expr("ss * 1000000 div sc")).cast("bigint").alias("mn_ppm")
+    )
+    iso = (
+        bins.select("bin")
+        .join(F.broadcast(mn), F.col("lo") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.max("mn_ppm").cast("bigint").alias("iso_ppm"))
+    )
+    return (
+        bins.join(F.broadcast(iso), "bin")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("c").alias("n"),
+            F.col("s").alias("n_pos"),
+            F.expr("cast(s * 1000000 div c as bigint)").alias("rate_ppm"),
+            "iso_ppm",
+        )
+    )
+
+
+def _ucb_ln_micro() -> list[int]:
+    """floor(ln(t_prev) * 1e6) for decision rounds 6..10 (t_prev =
+    total pulls so far = 5..9). Build-time literals shared by the Spark
+    replay and the oracle so no runtime ln call can diverge."""
+    import math as _math
+
+    return [int(_math.floor(_math.log(t) * 1e6)) for t in range(5, 10)]
+
+
+def _Q348_ORACLE() -> str:
+    ln = _ucb_ln_micro()
+    ctes, logs, prev = [], [], "s5"
+    for i, t in enumerate(range(6, 11)):
+        lt = ln[i]
+        ctes.append(
+            f"""u{t} AS (SELECT arm, pulls, sum_ppm,
+              cast(sum_ppm // pulls
+                   + cast(floor(sqrt((((2 * {lt}::BIGINT) * 1000000)
+                                      // pulls)::DOUBLE)) AS BIGINT)
+                   AS BIGINT) AS ucb
+         FROM {prev})"""
+        )
+        ctes.append(
+            f"""c{t} AS (SELECT arm AS pick, ucb FROM u{t}
+         ORDER BY ucb DESC, arm LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{t} AS (SELECT u.arm,
+              u.pulls + CASE WHEN u.arm = c.pick THEN 1 ELSE 0 END AS pulls,
+              u.sum_ppm + CASE WHEN u.arm = c.pick
+                          THEN coalesce(r.reward_ppm, 0)
+                          ELSE 0 END AS sum_ppm
+         FROM u{t} u CROSS JOIN c{t} c
+         LEFT JOIN rew r ON r.arm = u.arm AND r.d = {t})"""
+        )
+        logs.append(f"SELECT {t} AS t, pick, ucb FROM c{t}")
+        prev = f"s{t}"
+    cte_sql = ",\n    ".join(ctes)
+    log_sql = " UNION ALL ".join(logs)
+    return f"""
+    WITH rew AS (SELECT event_type AS arm,
+                        cast(extract(day FROM ts) AS INT) AS d,
+                        cast(sum((value >= 50.0)::INT) * 1000000
+                             // count(*) AS BIGINT) AS reward_ppm
+                 FROM events WHERE extract(day FROM ts) <= 10
+                 GROUP BY 1, 2),
+    arms AS (SELECT arm, cast(row_number() OVER (ORDER BY arm) AS INT) AS ai
+             FROM (SELECT DISTINCT arm FROM rew)),
+    s5 AS (SELECT a.arm, cast(1 AS BIGINT) AS pulls,
+                  cast(coalesce(r.reward_ppm, 0) AS BIGINT) AS sum_ppm
+           FROM arms a LEFT JOIN rew r ON r.arm = a.arm AND r.d = a.ai),
+    {cte_sql},
+    lg AS ({log_sql})
+    SELECT cast(l.t AS INT) AS t, l.pick AS arm,
+           cast(l.ucb AS BIGINT) AS ucb_ppm,
+           cast(coalesce(r.reward_ppm, 0) AS BIGINT) AS reward_ppm
+    FROM lg l LEFT JOIN rew r ON r.arm = l.pick AND r.d = l.t
+    """
+
+
+@query(
+    "q348_ucb_replay",
+    _Q348_ORACLE(),
+    doc="UCB1 bandit offline replay over the funnel arms: 5 forced "
+    "initialization pulls (arm k observes its day-k high-value rate) "
+    "then 5 UCB decisions over days 6-10, each picking "
+    "argmax(mean_ppm + floor(sqrt(2*ln(t)*1e12 / pulls))) — the "
+    "standard logged-feedback evaluation of an allocation policy "
+    "before it serves live traffic. The CORPUS-scale stage is the "
+    "one (arm, day) reward aggregate, fully distributed; the replay "
+    "itself operates on that |arms| x 10 decision grid — metadata "
+    "BY DESIGN (an experiment has bounded arms and rounds), pinned "
+    "to the driver like layout.py's bounded collects and replayed "
+    "with pure-integer arithmetic. ln(t) enters as BUILD-time "
+    "literal micro-nats (no runtime libm); the sqrt argument is an "
+    "exact int <= 4.4e12 (exactly representable in a double, "
+    "correctly-rounded sqrt -> bit-identical), so every UCB score "
+    "and argmax tie-break (ucb desc, arm asc) is deterministic. The "
+    "oracle unrolls all 5 decision rounds as chained CTEs (the "
+    "k-means discipline) — sequential state is replayed, not "
+    "approximated.",
+)
+def q348_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    ev = _t(spark, sf_dir, "events")
+    rew_df = (
+        ev.filter(F.dayofmonth("ts") <= 10)
+        .groupBy(
+            F.col("event_type").alias("arm"),
+            F.dayofmonth("ts").cast("int").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(value >= 50.0 as int)) * 1000000"
+                " div count(*) as bigint)"
+            ).alias("reward_ppm")
+        )
+    )
+    # bounded driver pin: |arms| x 10 rows by experiment design
+    rows = rew_df.collect()
+    rew = {(r["arm"], r["d"]): int(r["reward_ppm"]) for r in rows}
+    arms = sorted({a for a, _ in rew})
+    state = {a: [1, rew.get((a, i + 1), 0)] for i, a in enumerate(arms)}
+    log = []
+    for i, t in enumerate(range(6, 11)):
+        lt = _ucb_ln_micro()[i]
+        ucbs = {
+            a: state[a][1] // state[a][0]
+            + int(_math.floor(_math.sqrt(((2 * lt) * 1000000) // state[a][0])))
+            for a in arms
+        }
+        pick = min(arms, key=lambda a: (-ucbs[a], a))
+        r = rew.get((pick, t), 0)
+        state[pick][0] += 1
+        state[pick][1] += r
+        log.append((t, pick, ucbs[pick], r))
+    return spark.createDataFrame(
+        log, "t int, arm string, ucb_ppm long, reward_ppm long"
+    )
+
+
+def _sprt_consts() -> dict[str, int]:
+    """SPRT literals in micro-nats, H0: p=0.30 vs H1: p=0.36,
+    alpha=beta=0.05. Build-time floor(ln(.)*1e6); shared by both
+    spellings so no runtime ln call exists."""
+    import math as _math
+
+    return {
+        "l1": int(_math.floor(_math.log(0.36 / 0.30) * 1e6)),
+        "l0": int(_math.floor(_math.log(0.64 / 0.70) * 1e6)),
+        "a": int(_math.floor(_math.log(0.95 / 0.05) * 1e6)),
+        "b": int(_math.floor(_math.log(0.05 / 0.95) * 1e6)),
+    }
+
+
+def _Q350_ORACLE() -> str:
+    c = _sprt_consts()
+    return f"""
+    WITH h AS (SELECT event_type,
+                      cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(count(*) AS BIGINT) AS n,
+                      cast(sum((value >= 50.0)::INT) AS BIGINT) AS s
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, hr,
+                   cast(sum(s) OVER w AS BIGINT) AS cs,
+                   cast(sum(n) OVER w AS BIGINT) AS cn
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+    x AS (SELECT event_type, hr, cn,
+                 cast(cs * {c["l1"]} + (cn - cs) * ({c["l0"]})
+                      AS BIGINT) AS llr_micro
+          FROM cum),
+    hits AS (SELECT *, CASE WHEN llr_micro >= {c["a"]} THEN 'accept_h1'
+                            WHEN llr_micro <= {c["b"]} THEN 'accept_h0'
+                       END AS hit
+             FROM x),
+    f AS (SELECT event_type, min(hr) AS dhr FROM hits
+          WHERE hit IS NOT NULL GROUP BY event_type),
+    fin AS (SELECT event_type, max(hr) AS lhr FROM hits GROUP BY event_type),
+    pick AS (SELECT h.event_type, h.hit AS decision, h.hr AS decision_hr,
+                    h.cn AS n_obs, h.llr_micro
+             FROM hits h JOIN f ON h.event_type = f.event_type
+                                AND h.hr = f.dhr),
+    cont AS (SELECT h.event_type, 'continue' AS decision,
+                    h.hr AS decision_hr, h.cn AS n_obs, h.llr_micro
+             FROM hits h JOIN fin ON h.event_type = fin.event_type
+                                  AND h.hr = fin.lhr
+             WHERE h.event_type NOT IN (SELECT event_type FROM f))
+    SELECT * FROM pick UNION ALL SELECT * FROM cont
+    """
+
+
+@query(
+    "q350_sprt_monitor",
+    _Q350_ORACLE(),
+    doc="Wald SPRT sequential monitor per funnel stage: cumulative "
+    "log-likelihood ratio of the hourly high-value success counts "
+    "under H1 (p=.36) vs H0 (p=.30), alpha=beta=.05 — the always-"
+    "valid sequential test that lets an experiment STOP the moment "
+    "evidence suffices instead of waiting for a fixed horizon "
+    "(peeking at a fixed-horizon z-test inflates false positives; "
+    "SPRT's boundaries are peek-proof by construction). The LLR is "
+    "PURE INTEGER: llr_micro = cs*L1 + (cn-cs)*L0 with L1/L0/A/B as "
+    "build-time micro-nat literals (floor(ln(.)*1e6) — no runtime "
+    "libm), so crossings are exact comparisons, bit-stable at any "
+    "partitioning. The cumulative sum is one window per event_type "
+    "ordered by hour — series-bounded history (<=720 rows/key at "
+    "bench scale; hours, not events), the q338 discipline. Decision "
+    "row = first boundary crossing (min-hr join back), else the "
+    "final hour as 'continue'; headroom cs*L1 <= 9e18 at ~5e13 "
+    "successes per stage, pre-aggregate beyond.",
+)
+def q350_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _sprt_consts()
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") >= 50.0).cast("int"))
+        .cast("bigint")
+        .alias("s"),
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    cum = h.select(
+        "event_type",
+        "hr",
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+    )
+    hits = cum.select(
+        "event_type",
+        "hr",
+        "cn",
+        F.expr(
+            f"cast(cs * {c['l1']} + (cn - cs) * ({c['l0']}) as bigint)"
+        ).alias("llr_micro"),
+    ).withColumn(
+        "hit",
+        F.expr(
+            f"case when llr_micro >= {c['a']} then 'accept_h1'"
+            f" when llr_micro <= {c['b']} then 'accept_h0' end"
+        ),
+    )
+    f = (
+        hits.filter(F.col("hit").isNotNull())
+        .groupBy(F.col("event_type").alias("et_f"))
+        .agg(F.min("hr").alias("dhr"))
+    )
+    fin = hits.groupBy(F.col("event_type").alias("et_l")).agg(
+        F.max("hr").alias("lhr")
+    )
+    pick = hits.join(
+        F.broadcast(f),
+        (hits["event_type"] == f["et_f"]) & (hits["hr"] == f["dhr"]),
+    ).select(
+        "event_type",
+        F.col("hit").alias("decision"),
+        F.col("hr").alias("decision_hr"),
+        F.col("cn").alias("n_obs"),
+        "llr_micro",
+    )
+    cont = (
+        hits.join(
+            F.broadcast(fin),
+            (hits["event_type"] == fin["et_l"]) & (hits["hr"] == fin["lhr"]),
+        )
+        .join(
+            F.broadcast(f.select("et_f")),
+            hits["event_type"] == F.col("et_f"),
+            "left_anti",
+        )
+        .select(
+            "event_type",
+            F.lit("continue").alias("decision"),
+            F.col("hr").alias("decision_hr"),
+            F.col("cn").alias("n_obs"),
+            "llr_micro",
+        )
+    )
+    return pick.unionAll(cont)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
