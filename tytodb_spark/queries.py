@@ -21575,6 +21575,250 @@ def q350_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.unionAll(cont)
 
 
+@query(
+    "q352_rrf_fusion",
+    r"""
+    WITH lex AS (
+      SELECT doc_id,
+             cast(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x IN ('join', 'scan', 'filter'))) AS BIGINT) AS lscore
+      FROM documents),
+    ltop AS (SELECT doc_id, lscore FROM lex
+             ORDER BY lscore DESC, doc_id LIMIT 100),
+    lrk AS (SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY lscore DESC, doc_id)
+                        AS BIGINT) AS lr
+            FROM ltop),
+    qv AS (SELECT embedding FROM embeddings
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+    sem AS (SELECT e.vec_id AS doc_id,
+                   cast(list_sum(list_transform(range(1, 65), i ->
+                     cast(floor(cast(e.embedding[i] AS DOUBLE) * 10000)
+                          AS BIGINT)
+                     * cast(floor(cast(q.embedding[i] AS DOUBLE) * 10000)
+                            AS BIGINT))) AS BIGINT) AS sscore
+            FROM embeddings e CROSS JOIN qv q),
+    stop_ AS (SELECT doc_id, sscore FROM sem
+              ORDER BY sscore DESC, doc_id LIMIT 100),
+    srk AS (SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY sscore DESC, doc_id)
+                        AS BIGINT) AS sr
+            FROM stop_),
+    fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                     cast(coalesce(1000000 // (60 + l.lr), 0)
+                          + coalesce(1000000 // (60 + s.sr), 0)
+                          AS BIGINT) AS rrf_micro,
+                     l.lr AS lex_rank, s.sr AS sem_rank
+              FROM lrk l FULL OUTER JOIN srk s ON l.doc_id = s.doc_id)
+    SELECT cast(doc_id AS BIGINT) AS doc_id, rrf_micro, lex_rank, sem_rank
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+    doc="Reciprocal-rank-fusion hybrid retrieval: fuse a lexical "
+    "ranking (term hits for the probe {join, scan, filter}) with a "
+    "semantic ranking (exact integer dot against a deterministic "
+    "md5-rank probe vector) via RRF(d) = sum 1/(60 + rank_list(d)) — "
+    "the standard score-free fusion for BM25 + dense retrieval "
+    "(ranks, not scores, so no calibration between incomparable "
+    "scales is needed). Scale shape: each list is cut to its top-100 "
+    "by TakeOrderedAndProject (distributed per-partition heaps — a "
+    "document outside both top-100s cannot reach the fused top-10 "
+    "given the 1/(60+r) tail), ranks are a window over the "
+    "LIMIT-BOUNDED 100-row frame (metadata by construction), and "
+    "the fusion is a full outer join of two 100-row frames. "
+    "RRF contributions are exact 1e6-scaled integer reciprocals, "
+    "so fused ordering is bit-stable with doc_id tiebreak.",
+)
+def q352_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = docs.select(
+        "doc_id",
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" x -> x in ('join', 'scan', 'filter'))) as bigint)"
+        ).alias("lscore"),
+    )
+    ltop = lex.orderBy(F.col("lscore").desc(), "doc_id").limit(100)
+    lrk = ltop.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("lscore").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("lr"),
+    )
+    qv = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qe"))
+    )
+    dot = " + ".join(
+        f"cast(floor(cast(element_at(embedding, {i}) as double) * 10000)"
+        f" as bigint) * cast(floor(cast(element_at(qe, {i}) as double)"
+        f" * 10000) as bigint)"
+        for i in range(1, 65)
+    )
+    sem = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(f"cast({dot} as bigint)").alias("sscore"),
+    )
+    stop_ = sem.orderBy(F.col("sscore").desc(), "doc_id").limit(100)
+    srk = stop_.select(
+        F.col("doc_id").alias("sdoc"),
+        F.row_number()
+        .over(W.orderBy(F.col("sscore").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("sr"),
+    )
+    fused = lrk.join(
+        srk, lrk["doc_id"] == srk["sdoc"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("sdoc"))
+        .cast("bigint")
+        .alias("doc_id"),
+        (
+            F.coalesce(F.expr("1000000 div (60 + lr)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + sr)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+        F.col("lr").alias("lex_rank"),
+        F.col("sr").alias("sem_rank"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(10)
+
+
+def _Q353_ORACLE(k: int = 4, n_cand: int = 16) -> str:
+    steps = []
+    logs = ["SELECT 1 AS step, cid, gain FROM p1"]
+    sel = ["SELECT cid FROM p1"]
+    for t in range(2, k + 1):
+        prev_b = f"b{t - 1}"
+        excl = " UNION ALL ".join(sel)
+        steps.append(
+            f"""g{t} AS (SELECT sims.cid,
+               cast(sum(greatest(sims.s - {prev_b}.b, 0)) AS BIGINT) AS gain
+          FROM sims JOIN {prev_b} ON sims.i = {prev_b}.i
+          WHERE sims.cid NOT IN ({excl})
+          GROUP BY sims.cid),
+    p{t} AS (SELECT cid, gain FROM g{t} ORDER BY gain DESC, cid LIMIT 1),
+    b{t} AS (SELECT {prev_b}.i, greatest({prev_b}.b, s2.s) AS b
+             FROM {prev_b} JOIN sims s2 ON s2.i = {prev_b}.i
+             JOIN p{t} ON s2.cid = p{t}.cid)"""
+        )
+        logs.append(f"SELECT {t} AS step, cid, gain FROM p{t}")
+        sel.append(f"SELECT cid FROM p{t}")
+    step_sql = ",\n    ".join(steps)
+    log_sql = " UNION ALL ".join(logs)
+    return f"""
+    WITH c AS (SELECT vec_id,
+                      list_transform(range(1, 65), i ->
+                        cast(floor(cast(embedding[i] AS DOUBLE) * 10000)
+                             AS BIGINT)) AS ea
+               FROM embeddings),
+    cand AS (SELECT vec_id AS cid, ea AS cea FROM c
+             ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_cand}),
+    sims AS (SELECT c.vec_id AS i, cand.cid,
+                    greatest(cast(list_sum(list_transform(range(1, 65),
+                      kk -> c.ea[kk] * cand.cea[kk])) AS BIGINT),
+                      cast(0 AS BIGINT)) AS s
+             FROM c CROSS JOIN cand),
+    g1 AS (SELECT cid, cast(sum(s) AS BIGINT) AS gain
+           FROM sims GROUP BY cid),
+    p1 AS (SELECT cid, gain FROM g1 ORDER BY gain DESC, cid LIMIT 1),
+    b1 AS (SELECT sims.i, sims.s AS b FROM sims
+           JOIN p1 ON sims.cid = p1.cid),
+    {step_sql}
+    SELECT cast(step AS INT) AS step, cast(cid AS BIGINT) AS cid, gain
+    FROM ({log_sql})
+    """
+
+
+@query(
+    "q353_facility_location",
+    _Q353_ORACLE(),
+    doc="Greedy facility-location coreset selection: pick 4 "
+    "representatives from a fixed 16-candidate panel (md5-rank — "
+    "constant broadcast at any corpus size, the q311 regime) "
+    "maximizing total corpus coverage sum_i max_{c in S} sim+(i,c) "
+    "— the submodular data-selection objective behind coreset / "
+    "diverse-exemplar pipelines (greedy is (1-1/e)-optimal). Each "
+    "greedy step is a CORPUS-scale marginal-gain aggregate "
+    "sum_i max(s - b_i, 0) over the N x 16 sims frame (computed "
+    "once, checkpointed; the running best-coverage b_i is a "
+    "corpus-length column updated by a broadcast-key join per "
+    "step — never collected). Dots are exact floor(1e4) integers "
+    "clipped at 0 for monotonicity; argmax tie-breaks on candidate "
+    "id; the oracle unrolls all 4 greedy steps as chained CTEs. "
+    "Headroom: coverage sums reach ~6.4e9 per doc-candidate pair; "
+    "int64-safe to ~1.4e9 docs, pre-scale beyond.",
+)
+def q353_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = spread(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(slice(embedding, 1, 64), x ->"
+                " cast(floor(cast(x as double) * 10000) as bigint))"
+            ).alias("ea"),
+        ),
+        "vec_id",
+    ).localCheckpoint(eager=False)
+    cand = (
+        c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("ea").alias("cea"))
+    )
+    dot = " + ".join(
+        f"element_at(ea, {i}) * element_at(cea, {i})" for i in range(1, 65)
+    )
+    sims = (
+        c.crossJoin(F.broadcast(cand))
+        .select(
+            F.col("vec_id").alias("i"),
+            "cid",
+            F.expr(
+                f"greatest(cast({dot} as bigint), cast(0 as bigint))"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # step 1: plain coverage argmax over the 16-row gains frame
+    g = sims.groupBy("cid").agg(F.sum("s").cast("bigint").alias("gain"))
+    top = g.orderBy(F.col("gain").desc(), "cid").limit(1).collect()[0]
+    picked = [(1, int(top["cid"]), int(top["gain"]))]
+    b = sims.filter(F.col("cid") == top["cid"]).select(
+        "i", F.col("s").alias("b")
+    )
+    for t in range(2, 5):
+        chosen = [p[1] for p in picked]
+        g = (
+            sims.filter(~F.col("cid").isin(chosen))
+            .join(b, "i")
+            .groupBy("cid")
+            .agg(
+                F.sum(F.expr("greatest(s - b, 0)"))
+                .cast("bigint")
+                .alias("gain")
+            )
+        )
+        # 1-row bounded collect per step (<= n_cand rows aggregated)
+        top = g.orderBy(F.col("gain").desc(), "cid").limit(1).collect()[0]
+        picked.append((t, int(top["cid"]), int(top["gain"])))
+        nb = sims.filter(F.col("cid") == top["cid"]).select(
+            "i", F.col("s").alias("ns")
+        )
+        b = (
+            b.join(nb, "i")
+            .select("i", F.expr("greatest(b, ns)").alias("b"))
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(picked, "step int, cid long, gain long")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
