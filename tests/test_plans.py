@@ -713,3 +713,42 @@ def test_q21_double_correlation_is_semi_plus_anti(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert plan.count("NOT (l_suppkey") >= 2 or plan.count("NOT (knownfloatingpointnormalized") >= 2
     assert P.has_take_ordered(df)
+
+
+def test_bh_fdr_has_no_window_at_all(spark, sf_dir):
+    """q347 ranks its 120-cell hypothesis grid with a self-join count —
+    ZERO Window operators (the grid is metadata by design, but the
+    discipline keeps the spelling window-free anyway)."""
+    df = _df(spark, sf_dir, "q347_bh_fdr")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_stratified_ate_has_no_window(spark, sf_dir):
+    """q349's activity banding is mean-relative integer arithmetic —
+    no corpus-scale quantile sort, no Window."""
+    df = _df(spark, sf_dir, "q349_stratified_ate")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_isotonic_has_no_window(spark, sf_dir):
+    """q351's PAV fit is the closed-form max-min identity over span
+    joins — no Window, no sequential pooling pass."""
+    df = _df(spark, sf_dir, "q351_isotonic_calibration")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_sprt_window_is_series_partitioned(spark, sf_dir):
+    """q350's cumulative LLR must be partitioned by event_type —
+    series-bounded history, never a global ordered window."""
+    df = _df(spark, sf_dir, "q350_sprt_monitor")
+    assert P.global_windows(df) == []
+
+
+def test_rrf_lists_are_take_ordered(spark, sf_dir):
+    """q352's two top-100 cuts and the fused top-10 must plan as
+    TakeOrderedAndProject — distributed heaps, no global sort."""
+    df = _df(spark, sf_dir, "q352_rrf_fusion")
+    assert P.physical_plan(df).count("TakeOrderedAndProject") >= 2
