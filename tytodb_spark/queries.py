@@ -21819,6 +21819,427 @@ def q353_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(picked, "step int, cid long, gain long")
 
 
+@query(
+    "q354_hill_tail_index",
+    """
+    WITH x AS (SELECT cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS v,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    top AS (SELECT v FROM x
+            ORDER BY v DESC, l_orderkey, l_linenumber LIMIT 101),
+    ref AS (SELECT cast(min(v) AS BIGINT) AS xk FROM top),
+    logs AS (SELECT cast(floor(ln(t.v::DOUBLE / r.xk::DOUBLE) * 1000000)
+                         AS BIGINT) AS lg
+             FROM top t CROSS JOIN ref r
+             WHERE t.v > r.xk)
+    SELECT cast(count(*) AS BIGINT) AS k_used,
+           (SELECT xk FROM ref) AS x_ref_cents,
+           cast(sum(lg) // count(*) AS BIGINT) AS hill_micro,
+           cast(1000000000000 // (sum(lg) // count(*)) AS BIGINT)
+             AS alpha_micro
+    FROM logs
+    """,
+    doc="Hill tail-index estimate of the price distribution: "
+    "hill = mean ln(x_(i)/x_(k+1)) over the k=100 largest values, "
+    "alpha = 1/hill — the heavy-tail exponent that decides whether "
+    "means/variances of a skewed column even exist (alpha <= 2: "
+    "infinite variance — pooled-variance tests and plain averages "
+    "are lies) and how aggressively skew salting must be "
+    "provisioned. The ONLY corpus-scale work is one "
+    "TakeOrderedAndProject top-101 (per-partition heaps; a total "
+    "order via the key tiebreak makes the selected SET "
+    "deterministic under ties); everything after runs on the "
+    "101-row frame. Logs are integer micro-nats floor(ln(v/ref)"
+    "*1e6) — the q297 NLL discipline (ln is the one libm call; "
+    "floor-quantization makes any cross-engine ulp divergence a "
+    "measure-zero boundary event). Ties equal to the reference "
+    "value are excluded (v > xk), the standard Hill treatment.",
+)
+def q354_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    top = x.orderBy(
+        F.col("v").desc(), "l_orderkey", "l_linenumber"
+    ).limit(101)
+    ref = top.agg(F.min("v").cast("bigint").alias("xk"))
+    logs = (
+        top.crossJoin(F.broadcast(ref))
+        .filter(F.col("v") > F.col("xk"))
+        .select(
+            F.expr(
+                "cast(floor(ln(cast(v as double) / cast(xk as double))"
+                " * 1000000) as bigint)"
+            ).alias("lg"),
+            "xk",
+        )
+    )
+    return logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("xk").cast("bigint").alias("x_ref_cents"),
+        F.expr("cast(sum(lg) div count(*) as bigint)").alias("hill_micro"),
+        F.expr(
+            "cast(1000000000000 div (sum(lg) div count(*)) as bigint)"
+        ).alias("alpha_micro"),
+    )
+
+
+@query(
+    "q357_vif_audit",
+    r"""
+    WITH f AS (SELECT cast(n_chars AS BIGINT) AS x1,
+                      cast(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t <> '')) AS BIGINT) AS x2,
+                      cast(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ('the', 'a', 'and', 'of', 'to')))
+                        AS BIGINT) AS x3
+               FROM documents),
+    m AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(x1) AS BIGINT) AS s1,
+                 cast(sum(x2) AS BIGINT) AS s2,
+                 cast(sum(x3) AS BIGINT) AS s3,
+                 cast(sum(x1 * x1) AS BIGINT) AS s11,
+                 cast(sum(x2 * x2) AS BIGINT) AS s22,
+                 cast(sum(x3 * x3) AS BIGINT) AS s33,
+                 cast(sum(x1 * x2) AS BIGINT) AS s12,
+                 cast(sum(x1 * x3) AS BIGINT) AS s13,
+                 cast(sum(x2 * x3) AS BIGINT) AS s23
+          FROM f),
+    c AS (SELECT n,
+                 s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+                 s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS c22,
+                 s33::DOUBLE - s3::DOUBLE * s3::DOUBLE / n::DOUBLE AS c33,
+                 s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS c12,
+                 s13::DOUBLE - s1::DOUBLE * s3::DOUBLE / n::DOUBLE AS c13,
+                 s23::DOUBLE - s2::DOUBLE * s3::DOUBLE / n::DOUBLE AS c23
+          FROM m),
+    r AS (SELECT 'n_chars' AS feature,
+                 ((c12 * c33 - c13 * c23) * c12
+                  + (c13 * c22 - c12 * c23) * c13)
+                 / ((c22 * c33 - c23 * c23) * c11) AS r2
+          FROM c
+          UNION ALL
+          SELECT 'n_tokens' AS feature,
+                 ((c12 * c33 - c23 * c13) * c12
+                  + (c23 * c11 - c12 * c13) * c23)
+                 / ((c11 * c33 - c13 * c13) * c22) AS r2
+          FROM c
+          UNION ALL
+          SELECT 'n_stopwords' AS feature,
+                 ((c13 * c22 - c23 * c12) * c13
+                  + (c23 * c11 - c13 * c12) * c23)
+                 / ((c11 * c22 - c12 * c12) * c33) AS r2
+          FROM c)
+    SELECT feature, round(r2, 6) AS r2,
+           round(1.0 / (1.0 - r2), 6) AS vif
+    FROM r
+    """,
+    doc="Variance-inflation-factor multicollinearity audit over three "
+    "document features (chars, tokens, stopword hits): VIF_j = "
+    "1/(1 - R2_j) from regressing each feature on the other two — "
+    "the pre-flight before any regression-based quality model "
+    "(VIF > 10: the coefficient is noise; chars and tokens are "
+    "near-collinear by construction, which this SHOWS). One "
+    "map-side-combinable aggregate collects the full exact integer "
+    "moment matrix (sums, squares, cross-products — 10 numbers for "
+    "p=3); R2 comes from the closed-form 2x2 normal-equation solve "
+    "on centered covariances. Every downstream op is +,-,*,/ on "
+    "doubles cast from exact int64 moments — IEEE-correctly-rounded "
+    "and bit-identical across engines with the mirrored expression "
+    "tree; no libm call anywhere. Moment headroom: x*x sums cap "
+    "~3e5 per doc, int64-safe to ~3e13 docs.",
+)
+def q357_vif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" t -> t <> '')) as bigint)"
+        ).alias("x2"),
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" t -> t in ('the', 'a', 'and', 'of', 'to'))) as bigint)"
+        ).alias("x3"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.expr("x1 * x1")).cast("bigint").alias("s11"),
+        F.sum(F.expr("x2 * x2")).cast("bigint").alias("s22"),
+        F.sum(F.expr("x3 * x3")).cast("bigint").alias("s33"),
+        F.sum(F.expr("x1 * x2")).cast("bigint").alias("s12"),
+        F.sum(F.expr("x1 * x3")).cast("bigint").alias("s13"),
+        F.sum(F.expr("x2 * x3")).cast("bigint").alias("s23"),
+    )
+    c = m.select(
+        *[
+            F.expr(
+                f"cast(s{i}{j} as double) - cast(s{i} as double)"
+                f" * cast(s{j} as double) / cast(n as double)"
+            ).alias(f"c{i}{j}")
+            for i, j in [(1, 1), (2, 2), (3, 3), (1, 2), (1, 3), (2, 3)]
+        ]
+    )
+    r = c.selectExpr(
+        "stack(3,"
+        " 'n_chars',"
+        " ((c12 * c33 - c13 * c23) * c12 + (c13 * c22 - c12 * c23) * c13)"
+        "  / ((c22 * c33 - c23 * c23) * c11),"
+        " 'n_tokens',"
+        " ((c12 * c33 - c23 * c13) * c12 + (c23 * c11 - c12 * c13) * c23)"
+        "  / ((c11 * c33 - c13 * c13) * c22),"
+        " 'n_stopwords',"
+        " ((c13 * c22 - c23 * c12) * c13 + (c23 * c11 - c13 * c12) * c23)"
+        "  / ((c11 * c22 - c12 * c12) * c33)"
+        ") as (feature, r2)"
+    )
+    return r.select(
+        "feature",
+        F.round("r2", 6).alias("r2"),
+        F.round(F.expr("1.0 / (1.0 - r2)"), 6).alias("vif"),
+    )
+
+
+@query(
+    "q356_dirichlet_ql",
+    r"""
+    WITH toks AS (SELECT doc_id, t
+                  FROM (SELECT doc_id,
+                               unnest(string_split_regex(
+                                 lower(trim(text)), '\s+')) AS t
+                        FROM documents)
+                  WHERE t <> ''),
+    coll AS (SELECT cast(count(*) AS BIGINT) AS ctot,
+                    cast(sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cf1,
+                    cast(sum(CASE WHEN t = 'scan' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cf2,
+                    cast(sum(CASE WHEN t = 'filter' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cf3
+             FROM toks),
+    d AS (SELECT doc_id, cast(count(*) AS BIGINT) AS dl,
+                 cast(sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tf1,
+                 cast(sum(CASE WHEN t = 'scan' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tf2,
+                 cast(sum(CASE WHEN t = 'filter' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tf3
+          FROM toks GROUP BY doc_id),
+    sc AS (SELECT d.doc_id,
+                  cast(floor(ln((d.tf1::DOUBLE
+                         + 2000.0 * c.cf1::DOUBLE / c.ctot::DOUBLE)
+                        / (d.dl::DOUBLE + 2000.0)) * 1000000) AS BIGINT)
+                  + cast(floor(ln((d.tf2::DOUBLE
+                         + 2000.0 * c.cf2::DOUBLE / c.ctot::DOUBLE)
+                        / (d.dl::DOUBLE + 2000.0)) * 1000000) AS BIGINT)
+                  + cast(floor(ln((d.tf3::DOUBLE
+                         + 2000.0 * c.cf3::DOUBLE / c.ctot::DOUBLE)
+                        / (d.dl::DOUBLE + 2000.0)) * 1000000) AS BIGINT)
+                    AS score_micro
+           FROM d CROSS JOIN coll c)
+    SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro
+    FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai-Lafferty "
+    "LM scoring, mu=2000): score(d) = sum_q ln((tf + mu*p(q|C)) / "
+    "(dl + mu)) for the probe {join, scan, filter} — the language-"
+    "model ranking family that complements BM25 (q62's family): "
+    "smoothing gives every document a nonzero likelihood, so "
+    "documents missing a query term are penalized by the COLLECTION "
+    "prior rather than zeroed. Plan: one token explode feeds both "
+    "the 1-row collection stats (broadcast) and the per-doc "
+    "(dl, tf) aggregate — one shuffle on doc_id; scoring is "
+    "map-side; top-10 is TakeOrderedAndProject. Per-term log-"
+    "likelihoods are integer micro-nats (floor(ln(.)*1e6), the q297 "
+    "discipline — ln is the only libm call, and floor quantization "
+    "pushes cross-engine ulp divergence to measure-zero "
+    "boundaries); ordering ties break on doc_id.",
+)
+def q356_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t <> '')")
+        ).alias("t"),
+    )
+    coll = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ctot"),
+        F.sum(F.expr("case when t = 'join' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("cf1"),
+        F.sum(F.expr("case when t = 'scan' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("cf2"),
+        F.sum(F.expr("case when t = 'filter' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("cf3"),
+    )
+    d = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        F.sum(F.expr("case when t = 'join' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("tf1"),
+        F.sum(F.expr("case when t = 'scan' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("tf2"),
+        F.sum(F.expr("case when t = 'filter' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("tf3"),
+    )
+    term = (
+        "cast(floor(ln((cast(tf{i} as double)"
+        " + 2000.0 * cast(cf{i} as double) / cast(ctot as double))"
+        " / (cast(dl as double) + 2000.0)) * 1000000) as bigint)"
+    )
+    sc = d.crossJoin(F.broadcast(coll)).select(
+        "doc_id",
+        F.expr(
+            " + ".join(term.format(i=i) for i in (1, 2, 3))
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    return sc.orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
+
+
+def _Q355_ORACLE(k: int = 4, n_cand: int = 20) -> str:
+    logs = ["SELECT 1 AS step, cid, 7 * rel AS mmr FROM p1"]
+    sel = ["SELECT cid FROM p1"]
+    steps = []
+    for t in range(2, k + 1):
+        excl = " UNION ALL ".join(sel)
+        steps.append(
+            f"""m{t} AS (SELECT r.cid, r.rel,
+                cast(max(s.d) AS BIGINT) AS msim
+          FROM rel r JOIN sims s ON s.a = r.cid
+          WHERE r.cid NOT IN ({excl})
+            AND s.b IN ({excl})
+          GROUP BY r.cid, r.rel),
+    p{t} AS (SELECT cid, 7 * rel - 3 * msim AS mmr FROM m{t}
+             ORDER BY 7 * rel - 3 * msim DESC, cid LIMIT 1)"""
+        )
+        logs.append(f"SELECT {t} AS step, cid, mmr FROM p{t}")
+        sel.append(f"SELECT cid FROM p{t}")
+    step_sql = ",\n    ".join(steps)
+    log_sql = " UNION ALL ".join(logs)
+    return f"""
+    WITH c AS (SELECT vec_id,
+                      list_transform(range(1, 65), i ->
+                        cast(floor(cast(embedding[i] AS DOUBLE) * 10000)
+                             AS BIGINT)) AS ea
+               FROM embeddings),
+    qv AS (SELECT ea AS qea FROM c
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+    rel AS (SELECT c.vec_id AS cid,
+                   cast(list_sum(list_transform(range(1, 65),
+                        kk -> c.ea[kk] * q.qea[kk])) AS BIGINT) AS rel,
+                   c.ea
+            FROM c CROSS JOIN qv q
+            ORDER BY rel DESC, cid LIMIT {n_cand}),
+    sims AS (SELECT x.cid AS a, y.cid AS b,
+                    cast(list_sum(list_transform(range(1, 65),
+                         kk -> x.ea[kk] * y.ea[kk])) AS BIGINT) AS d
+             FROM rel x JOIN rel y ON x.cid <> y.cid),
+    p1 AS (SELECT cid, rel FROM rel ORDER BY rel DESC, cid LIMIT 1),
+    {step_sql}
+    SELECT cast(step AS INT) AS step, cast(cid AS BIGINT) AS cid,
+           cast(mmr AS BIGINT) AS mmr_q
+    FROM ({log_sql})
+    """
+
+
+@query(
+    "q355_mmr_rerank",
+    _Q355_ORACLE(),
+    doc="Maximal-marginal-relevance rerank: from the semantic top-20 "
+    "for the md5-rank probe, greedily select 4 results maximizing "
+    "0.7*relevance - 0.3*max-similarity-to-already-selected — the "
+    "diversity rerank that keeps a retrieval page (or a RAG context "
+    "window) from filling with near-duplicates of one hit. "
+    "Complements q353: facility location covers a CORPUS, MMR "
+    "diversifies a RESULT LIST. The corpus-scale work is the "
+    "probe-dot scan + one TakeOrdered top-20; the greedy runs on "
+    "the 20-candidate frame and its 20x20 sim matrix — metadata BY "
+    "DESIGN (a result page is bounded), pinned to the driver like "
+    "q348 and replayed with pure-integer arithmetic (rel and sim "
+    "share the floor(1e4)^2 dot scale, so 7*rel - 3*msim is exact "
+    "int64 with cid tiebreak). The oracle unrolls the greedy steps "
+    "as chained CTEs over the same bounded frames.",
+)
+def q355_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = spread(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(slice(embedding, 1, 64), x ->"
+                " cast(floor(cast(x as double) * 10000) as bigint))"
+            ).alias("ea"),
+        ),
+        "vec_id",
+    )
+    qv = (
+        c.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("ea").alias("qea"))
+    )
+    dot_q = " + ".join(
+        f"element_at(ea, {i}) * element_at(qea, {i})" for i in range(1, 65)
+    )
+    rel = (
+        c.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr(f"cast({dot_q} as bigint)").alias("rel"),
+            "ea",
+        )
+        .orderBy(F.col("rel").desc(), "cid")
+        .limit(20)
+    )
+    # bounded driver pin: 20 candidates + their 20x20 sim matrix
+    cand = rel.collect()
+    rels = {int(r["cid"]): int(r["rel"]) for r in cand}
+    eas = {int(r["cid"]): list(r["ea"]) for r in cand}
+    sims = {
+        (a, b): sum(x * y for x, y in zip(eas[a], eas[b]))
+        for a in eas
+        for b in eas
+        if a != b
+    }
+    first = min(rels, key=lambda i: (-rels[i], i))
+    picked = [(1, first, 7 * rels[first])]
+    sel = {first}
+    for t in range(2, 5):
+        best = None
+        for i in rels:
+            if i in sel:
+                continue
+            msim = max(sims[(i, j)] for j in sel)
+            mmr = 7 * rels[i] - 3 * msim
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i, mmr)
+        picked.append((t, best[1], best[2]))
+        sel.add(best[1])
+    return spark.createDataFrame(picked, "step int, cid long, mmr_q long")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
