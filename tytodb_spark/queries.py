@@ -22240,6 +22240,179 @@ def q355_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(picked, "step int, cid long, mmr_q long")
 
 
+@query(
+    "q358_ratio_delta_method",
+    """
+    WITH u AS (SELECT event_type, user_id,
+                      cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS x,
+                      cast(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 cast(count(*) AS BIGINT) AS n,
+                 cast(sum(x) AS BIGINT) AS sx,
+                 cast(sum(y) AS BIGINT) AS sy,
+                 cast(sum(x * x) AS BIGINT) AS sxx,
+                 cast(sum(y * y) AS BIGINT) AS syy,
+                 cast(sum(x * y) AS BIGINT) AS sxy
+          FROM u GROUP BY event_type),
+    d AS (SELECT event_type, n,
+                 sx::DOUBLE / sy::DOUBLE AS r,
+                 (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0) AS vxx,
+                 (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0) AS vyy,
+                 (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0) AS vxy,
+                 sy::DOUBLE / n::DOUBLE AS ybar
+          FROM m),
+    s AS (SELECT event_type, n, r,
+                 sqrt((vxx - 2.0 * r * vxy + r * r * vyy) / n::DOUBLE)
+                   / ybar AS se
+          FROM d)
+    SELECT event_type, n AS n_users,
+           round(r, 6) AS ratio_cents,
+           round(se, 6) AS se_cents,
+           round(r - 1.96 * se, 6) AS ci_lo,
+           round(r + 1.96 * se, 6) AS ci_hi
+    FROM s
+    """,
+    doc="Delta-method standard error for a RATIO metric (spend per "
+    "event) when the randomization unit is the USER, per funnel "
+    "stage: var(X/Y) ~ (vxx - 2R vxy + R^2 vyy) / (n ybar^2) — the "
+    "correction every A/B platform needs because ratio metrics over "
+    "clustered units violate the i.i.d. assumption behind a naive "
+    "per-event SE (users contribute correlated numerator and "
+    "denominator; treating events as independent understates the SE, "
+    "typically 2-5x). One user-level rollup then one map-side "
+    "moment aggregate per stage (n, sums, squares, cross-product — "
+    "all exact int64; x*x caps ~1e11/user, safe to ~9e7 users per "
+    "stage, pre-scale cents beyond); the delta formula is pure "
+    "+,-,*,/,sqrt on doubles cast from those exact ints — IEEE "
+    "correctly-rounded, bit-identical with the mirrored tree, "
+    "no libm. 95%% CI via the 1.96 literal, rounded 6dp.",
+)
+def q358_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    d = m.select(
+        "event_type",
+        "n",
+        F.expr("cast(sx as double) / cast(sy as double)").alias("r"),
+        F.expr(
+            "(cast(sxx as double) - cast(sx as double) * cast(sx as double)"
+            " / cast(n as double)) / (cast(n as double) - 1.0)"
+        ).alias("vxx"),
+        F.expr(
+            "(cast(syy as double) - cast(sy as double) * cast(sy as double)"
+            " / cast(n as double)) / (cast(n as double) - 1.0)"
+        ).alias("vyy"),
+        F.expr(
+            "(cast(sxy as double) - cast(sx as double) * cast(sy as double)"
+            " / cast(n as double)) / (cast(n as double) - 1.0)"
+        ).alias("vxy"),
+        F.expr("cast(sy as double) / cast(n as double)").alias("ybar"),
+    )
+    s = d.select(
+        "event_type",
+        "n",
+        "r",
+        F.expr(
+            "sqrt((vxx - 2.0 * r * vxy + r * r * vyy)"
+            " / cast(n as double)) / ybar"
+        ).alias("se"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round("r", 6).alias("ratio_cents"),
+        F.round("se", 6).alias("se_cents"),
+        F.round(F.expr("r - 1.96 * se"), 6).alias("ci_lo"),
+        F.round(F.expr("r + 1.96 * se"), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q359_winsorized_mean",
+    """
+    WITH bb AS (SELECT o_orderpriority AS grp,
+                       cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                FROM orders),
+    cnts AS (SELECT grp, v, cast(count(*) AS BIGINT) AS cnt
+             FROM bb GROUP BY grp, v),
+    tot AS (SELECT grp, cast(sum(cnt) AS BIGINT) AS n FROM cnts
+            GROUP BY grp),
+    cum AS (SELECT c.grp, c.v,
+                   sum(c.cnt) OVER (PARTITION BY c.grp ORDER BY c.v) AS cm,
+                   t.n
+            FROM cnts c JOIN tot t USING (grp)),
+    qs AS (SELECT grp,
+                  cast(min(CASE WHEN cm >= (n + 19) // 20 THEN v END)
+                       AS BIGINT) AS lo,
+                  cast(min(CASE WHEN cm >= (n * 19 + 19) // 20 THEN v END)
+                       AS BIGINT) AS hi
+           FROM cum GROUP BY grp),
+    w AS (SELECT bb.grp, least(greatest(bb.v, qs.lo), qs.hi) AS wv
+          FROM bb JOIN qs USING (grp))
+    SELECT grp AS o_orderpriority,
+           cast(count(*) AS BIGINT) AS n,
+           cast(min(wv) AS BIGINT) AS lo_cents,
+           cast(max(wv) AS BIGINT) AS hi_cents,
+           cast(sum(wv) // count(*) AS BIGINT) AS winsor_mean_cents
+    FROM w GROUP BY grp
+    """,
+    doc="Exact 5%%-per-tail winsorized mean of order value per "
+    "priority class: clamp (don't drop — q202 trims, this "
+    "winsorizes) every value to the exact discrete p05/p95 per "
+    "group, then an exact integer mean — the robust location "
+    "estimate that keeps whale orders from dominating a mean while "
+    "still counting them once at the fence. The p05/p95 fences come "
+    "from operators/stats.py grouped_quantiles (bucketed grouped "
+    "prefix-sum CDF, rank ceil(n*p) by one conditional min per "
+    "quantile — no per-group sort, no corpus window; the oracle "
+    "spells the same rank arithmetic over a cumulative window, "
+    "oracle-scale only); fences broadcast back onto the fact scan "
+    "and the clamp + sum is map-side. All cents-integer exact: "
+    "ties, fences, and the floor-div mean are bit-stable at any "
+    "partitioning.",
+)
+def q359_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import grouped_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    bb = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("v"),
+    )
+    qs = grouped_quantiles(
+        bb, F.col("grp"), F.col("v"), [("lo", 1, 20), ("hi", 19, 20)]
+    ).select("grp", "lo", "hi")
+    w = bb.join(F.broadcast(qs), "grp").select(
+        "grp", F.expr("least(greatest(v, lo), hi)").alias("wv")
+    )
+    return w.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("wv").cast("bigint").alias("lo_cents"),
+        F.max("wv").cast("bigint").alias("hi_cents"),
+        F.expr("cast(sum(wv) div count(*) as bigint)").alias(
+            "winsor_mean_cents"
+        ),
+    ).withColumnRenamed("grp", "o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
