@@ -22413,6 +22413,216 @@ def q359_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "o_orderpriority")
 
 
+@query(
+    "q360_distinct_n_diversity",
+    r"""
+    WITH t AS (SELECT source,
+                      list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                                  x -> x <> '') AS s
+               FROM documents),
+    g1 AS (SELECT source, unnest(s) AS g FROM t),
+    g2 AS (SELECT source, unnest(list_transform(range(1, len(s)),
+                    i -> s[i] || ' ' || s[i + 1])) AS g
+           FROM t WHERE len(s) >= 2),
+    g3 AS (SELECT source, unnest(list_transform(range(1, len(s) - 1),
+                    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS g
+           FROM t WHERE len(s) >= 3),
+    a AS (SELECT source, 1 AS n, cast(count(*) AS BIGINT) AS total,
+                 cast(count(DISTINCT g) AS BIGINT) AS uniq
+          FROM g1 GROUP BY source
+          UNION ALL
+          SELECT source, 2 AS n, cast(count(*) AS BIGINT) AS total,
+                 cast(count(DISTINCT g) AS BIGINT) AS uniq
+          FROM g2 GROUP BY source
+          UNION ALL
+          SELECT source, 3 AS n, cast(count(*) AS BIGINT) AS total,
+                 cast(count(DISTINCT g) AS BIGINT) AS uniq
+          FROM g3 GROUP BY source)
+    SELECT source, cast(n AS INT) AS n, total, uniq,
+           cast(uniq * 1000000 // total AS BIGINT) AS distinct_ppm
+    FROM a
+    """,
+    doc="Distinct-n diversity census per source: unique/total ratios "
+    "of 1/2/3-grams — the standard lexical-diversity metric family "
+    "(Li et al. 2016 distinct-n, public knowledge) that flags "
+    "mode-collapsed or template-heavy corpus slices BEFORE they "
+    "skew a training mix (a source whose distinct-2 is 10x lower "
+    "than peers is boilerplate). N-grams are built map-side from "
+    "the token array (no self-join; the q288 explode discipline), "
+    "then per-(source, n) count + count(DISTINCT gram) — Spark "
+    "plans the distinct as the two-level expand+partial agg, "
+    "map-side-combinable, keyed on source so the shuffle is "
+    "gram-volume but perfectly partitionable. Ratios are exact "
+    "ppm floor divisions.",
+)
+def q360_distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    t = spread(docs.select("source", "text"), "source").select(
+        "source",
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+        ).alias("s"),
+    )
+    def grams(n: int):
+        if n == 1:
+            ex = F.explode("s")
+            base = t
+        else:
+            parts = " || ' ' || ".join(
+                f"element_at(s, i + {j})" for j in range(n)
+            )
+            base = t.filter(F.expr(f"size(s) >= {n}"))
+            ex = F.explode(
+                F.expr(f"transform(sequence(1, size(s) - {n - 1}), i -> {parts})")
+            )
+        return (
+            base.select("source", ex.alias("g"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total"),
+                F.countDistinct("g").cast("bigint").alias("uniq"),
+            )
+            .select("source", F.lit(n).cast("int").alias("n"), "total", "uniq")
+        )
+
+    a = grams(1).unionAll(grams(2)).unionAll(grams(3))
+    return a.select(
+        "source",
+        "n",
+        "total",
+        "uniq",
+        F.expr("cast(uniq * 1000000 div total as bigint)").alias(
+            "distinct_ppm"
+        ),
+    )
+
+
+@query(
+    "q361_stupid_backoff",
+    r"""
+    WITH probe(i, w) AS (VALUES (1, 'join'), (2, 'scan'), (3, 'filter'),
+                                (4, 'merge'), (5, 'hash'), (6, 'table')),
+    tr AS (SELECT a.i, a.w AS w1, b.w AS w2 FROM probe a
+           JOIN probe b ON b.i = a.i + 1),
+    t AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS s
+          FROM documents),
+    uni AS (SELECT g AS w, cast(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(s) AS g FROM t) GROUP BY g),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS tt FROM uni),
+    bi AS (SELECT g1 AS w1, g2 AS w2, cast(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(list_transform(range(1, len(s)),
+                          i -> s[i])) AS g1,
+                        unnest(list_transform(range(1, len(s)),
+                          i -> s[i + 1])) AS g2
+                 FROM t WHERE len(s) >= 2)
+           GROUP BY g1, g2),
+    sc AS (SELECT tr.i, tr.w1, tr.w2,
+                  (bi.c IS NOT NULL) AS backed_off_false,
+                  CASE WHEN bi.c IS NOT NULL
+                       THEN cast(floor(ln(bi.c::DOUBLE / u1.c::DOUBLE)
+                                       * 1000000) AS BIGINT)
+                       ELSE cast(floor(ln(0.4 * u2.c::DOUBLE / tot.tt::DOUBLE)
+                                       * 1000000) AS BIGINT)
+                  END AS score_micro
+           FROM tr
+           LEFT JOIN uni u1 ON u1.w = tr.w1
+           LEFT JOIN uni u2 ON u2.w = tr.w2
+           LEFT JOIN bi ON bi.w1 = tr.w1 AND bi.w2 = tr.w2
+           CROSS JOIN tot)
+    SELECT cast(i AS INT) AS i, w1, w2,
+           NOT backed_off_false AS backed_off, score_micro
+    FROM sc
+    """,
+    doc="Stupid-backoff bigram LM scoring (Brants et al. 2007, the "
+    "web-scale LM smoothing that skips normalization entirely) of a "
+    "fixed probe sequence: s(w2|w1) = c(w1 w2)/c(w1) when the bigram "
+    "exists, else 0.4 * c(w2)/T — the cheap corpus-LM likelihood "
+    "used to filter gibberish at trillion-token scale where "
+    "Kneser-Ney's (q247) discount bookkeeping is too expensive. "
+    "Corpus work: one unigram and one bigram aggregate (bigrams "
+    "from parallel offset arrays, map-side, q288 discipline); the "
+    "probe transitions are a literal 5-row frame that left-joins "
+    "the count tables (broadcast probes onto count shuffles at "
+    "scale — only probe-matching groups survive the join pushdown). "
+    "Scores are integer micro-nats (floor(ln(.)*1e6), q297 "
+    "discipline); backed_off flags which transitions fell to the "
+    "unigram path.",
+)
+def q361_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    words = ["join", "scan", "filter", "merge", "hash", "table"]
+    probe = spark.createDataFrame(
+        list(enumerate(words, start=1)), "i int, w string"
+    )
+    tr = probe.alias("a").join(
+        probe.alias("b"), F.expr("b.i = a.i + 1")
+    ).select(
+        F.col("a.i").alias("i"),
+        F.col("a.w").alias("w1"),
+        F.col("b.w").alias("w2"),
+    )
+    t = spread(docs.select("doc_id", "text"), "doc_id").select(
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+        ).alias("s")
+    )
+    uni = (
+        t.select(F.explode("s").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("tt"))
+    bi = (
+        t.filter(F.expr("size(s) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) as w1,"
+                    " element_at(s, i + 1) as w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c").alias("c2"))
+    b2 = bi.select(
+        F.col("w1").alias("bw1"), F.col("w2").alias("bw2"),
+        F.col("c").alias("cb"),
+    )
+    sc = (
+        tr.join(u1, F.col("w1") == F.col("u1w"), "left")
+        .join(u2, F.col("w2") == F.col("u2w"), "left")
+        .join(
+            b2,
+            (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return sc.select(
+        "i",
+        "w1",
+        "w2",
+        F.col("cb").isNull().alias("backed_off"),
+        F.expr(
+            "case when cb is not null"
+            " then cast(floor(ln(cast(cb as double) / cast(c1 as double))"
+            "      * 1000000) as bigint)"
+            " else cast(floor(ln(0.4 * cast(c2 as double)"
+            "      / cast(tt as double)) * 1000000) as bigint) end"
+        ).alias("score_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
