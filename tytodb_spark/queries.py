@@ -22623,6 +22623,351 @@ def q361_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _viterbi_params() -> dict[str, int | str]:
+    """2-state HMM (0 = engaged, 1 = churning) parameters as micro-nat
+    literals: floor(ln(p) * 1e6) at BUILD time — the Viterbi DP then
+    runs on pure int64 adds/maxes with ZERO runtime libm."""
+    import math as _math
+
+    def f(p: float) -> int:
+        return int(_math.floor(_math.log(p) * 1e6))
+
+    e0 = {"purchase": f(0.3), "click": f(0.3), "view": f(0.3),
+          "error": f(0.05), "signup": f(0.05)}
+    e1 = {"purchase": f(0.05), "click": f(0.15), "view": f(0.2),
+          "error": f(0.5), "signup": f(0.1)}
+
+    def case(tbl: dict[str, int]) -> str:
+        whens = " ".join(
+            f"WHEN event_type = '{k}' THEN cast({v} AS BIGINT)"
+            for k, v in list(tbl.items())[:-1]
+        )
+        last = list(tbl.values())[-1]
+        return f"CASE {whens} ELSE cast({last} AS BIGINT) END"
+
+    return {
+        "t00": f(0.9), "t01": f(0.1), "t10": f(0.2), "t11": f(0.8),
+        "e0_case": case(e0), "e1_case": case(e1),
+    }
+
+
+def _Q362_ORACLE() -> str:
+    # NOTE: duckdb 1.0.0's list_reduce mis-folds lists longer than a
+    # few elements (verified: 74-element integer fold returns a wrong
+    # value), so the oracle replays the DP with a RECURSIVE CTE —
+    # one row per (user, step), oracle-scale only.
+    p = _viterbi_params()
+    return f"""
+    WITH RECURSIVE ob AS (SELECT user_id,
+                       cast(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+                       {p["e0_case"]} AS e0,
+                       {p["e1_case"]} AS e1
+                FROM events),
+    seq AS (SELECT user_id,
+                   list_transform(
+                     list_sort(list(struct_pack(tsu := tsu,
+                                                event_id := event_id,
+                                                e0 := e0, e1 := e1))),
+                     x -> struct_pack(e0 := x.e0, e1 := x.e1)) AS ev
+            FROM ob GROUP BY user_id),
+    r AS (SELECT user_id, 1 AS t, len(ev) AS n,
+                 ev[1].e0 AS v0, ev[1].e1 AS v1
+          FROM seq
+          UNION ALL
+          SELECT r.user_id, r.t + 1, r.n,
+                 greatest(r.v0 + {p["t00"]}, r.v1 + {p["t10"]})
+                   + s.ev[r.t + 1].e0,
+                 greatest(r.v0 + {p["t01"]}, r.v1 + {p["t11"]})
+                   + s.ev[r.t + 1].e1
+          FROM r JOIN seq s ON s.user_id = r.user_id
+          WHERE r.t < r.n)
+    SELECT cast(CASE WHEN v0 >= v1 THEN 0 ELSE 1 END AS INT)
+             AS final_state,
+           cast(count(*) AS BIGINT) AS n_users,
+           cast(sum(greatest(v0, v1)) AS BIGINT) AS sum_score_micro
+    FROM r WHERE t = n GROUP BY 1
+    """
+
+
+@query(
+    "q362_viterbi_decode",
+    _Q362_ORACLE(),
+    doc="Viterbi decoding of a 2-state HMM (engaged / churning) over "
+    "every user's event sequence — the max-product DP behind "
+    "session-intent tagging, PII-span tagging, and any sequence "
+    "labeling a log pipeline runs (q39's state machine is a "
+    "threshold automaton; this is true joint-likelihood decoding). "
+    "The DP is a per-user FOLD over the time-ordered event array: "
+    "v_t(s) = max_s'(v_(t-1)(s') + T[s',s]) + E[s, o_t], spelled as "
+    "aggregate()/list_reduce() with a 2-field struct accumulator — "
+    "runs INSIDE the groupBy task, no window, no per-step shuffle, "
+    "and since transitions/emissions are build-time micro-nat "
+    "literals the whole decode is int64 add/max: exact, zero "
+    "runtime libm, bit-stable at any partitioning. Per-user arrays "
+    "are history-bounded (the q84 packing discipline; ~70 events "
+    "at bench scale — segment sequences for multi-million-event "
+    "keys). Output: final-state census with summed path scores "
+    "(ties decode to state 0).",
+)
+def q362_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _viterbi_params()
+    ev = _t(spark, sf_dir, "events")
+    # sort key is epoch MICROS (bigint) in both engines: DuckDB's view
+    # keeps nanosecond timestamps, so sorting raw ts there would order
+    # same-microsecond events by the nanos Spark never sees
+    ob = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        F.expr(str(p["e0_case"])).alias("e0"),
+        F.expr(str(p["e1_case"])).alias("e1"),
+    )
+    seq = ob.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(tsu, event_id, e0, e1))),"
+            " x -> named_struct('e0', x.e0, 'e1', x.e1))"
+        ).alias("ev")
+    )
+    dp = seq.select(
+        "user_id",
+        F.expr(
+            f"aggregate(slice(ev, 2, size(ev) - 1), element_at(ev, 1),"
+            f" (acc, x) -> named_struct("
+            f"'e0', greatest(acc.e0 + {p['t00']}, acc.e1 + {p['t10']})"
+            f" + x.e0,"
+            f"'e1', greatest(acc.e0 + {p['t01']}, acc.e1 + {p['t11']})"
+            f" + x.e1))"
+        ).alias("v"),
+    )
+    return dp.groupBy(
+        F.expr("cast(case when v.e0 >= v.e1 then 0 else 1 end as int)").alias(
+            "final_state"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr("greatest(v.e0, v.e1)"))
+        .cast("bigint")
+        .alias("sum_score_micro"),
+    )
+
+
+@query(
+    "q363_vocab_richness",
+    r"""
+    WITH tc AS (SELECT g, cast(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(list_filter(string_split_regex(
+                               lower(trim(text)), '\s+'), x -> x <> '')) AS g
+                      FROM documents)
+                GROUP BY g),
+    ff AS (SELECT cast(count(*) AS BIGINT) AS v,
+                  cast(sum(c) AS BIGINT) AS t,
+                  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f1,
+                  cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f2
+           FROM tc)
+    SELECT v AS vocab_seen, t AS total_tokens, f1 AS singletons,
+           f2 AS doubletons,
+           cast(v + CASE WHEN f2 > 0 THEN f1 * f1 // (2 * f2)
+                         ELSE f1 * (f1 - 1) // 2 END AS BIGINT)
+             AS chao1_est,
+           cast(f1 * 1000000 // t AS BIGINT) AS gt_unseen_ppm
+    FROM ff
+    """,
+    doc="Vocabulary richness + unseen mass: Chao1 lower-bound "
+    "estimate of TRUE vocabulary size (V + f1^2/2f2 from singleton/"
+    "doubleton counts, bias-corrected form when f2=0) and the "
+    "Good-Turing unseen-probability mass P(new word) = f1/T — the "
+    "pair that sizes tokenizer vocabularies and predicts OOV rates "
+    "BEFORE committing to a vocab (Heaps' law q187 fits growth; "
+    "this estimates the asymptote). One term-count aggregate then a "
+    "1-row frequency-of-frequencies reduction — the f1/f2 tallies "
+    "are map-side-combinable conditional sums over the count table, "
+    "no second shuffle. All exact integer: Chao1's square stays "
+    "inside int64 to f1 ~ 3e9 singletons, ppm floor division "
+    "per the house convention.",
+)
+def q363_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            F.explode(
+                F.expr(
+                    r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ff = tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.expr("case when c = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.expr("case when c = 2 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return ff.select(
+        F.col("v").alias("vocab_seen"),
+        F.col("t").alias("total_tokens"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.expr(
+            "cast(v + case when f2 > 0 then f1 * f1 div (2 * f2)"
+            " else f1 * (f1 - 1) div 2 end as bigint)"
+        ).alias("chao1_est"),
+        F.expr("cast(f1 * 1000000 div t as bigint)").alias("gt_unseen_ppm"),
+    )
+
+
+@query(
+    "q364_mantel_haenszel",
+    """
+    WITH u AS (SELECT user_id,
+                      cast(count(*) AS BIGINT) AS n_ev,
+                      cast(CASE WHEN sum(CASE WHEN event_type = 'error'
+                                        THEN 1 ELSE 0 END) * 5 > count(*)
+                           THEN 1 ELSE 0 END AS INT) AS x,
+                      cast(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                             AND value >= 50.0
+                                        THEN 1 ELSE 0 END) > 0
+                           THEN 1 ELSE 0 END AS INT) AS y
+               FROM events GROUP BY user_id),
+    tot AS (SELECT cast(count(*) AS BIGINT) AS nu,
+                   cast(sum(n_ev) AS BIGINT) AS te FROM u),
+    s AS (SELECT least(u.n_ev * 4 * tot.nu // tot.te, 7) AS stratum,
+                 u.x, u.y
+          FROM u CROSS JOIN tot),
+    g AS (SELECT stratum,
+                 cast(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                 cast(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 cast(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c,
+                 cast(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d
+          FROM s GROUP BY stratum),
+    mh AS (SELECT cast(sum(a * d * 1000000 // (a + b + c + d)) AS BIGINT)
+                    AS num_micro,
+                  cast(sum(b * c * 1000000 // (a + b + c + d)) AS BIGINT)
+                    AS den_micro
+           FROM g WHERE b * c > 0 OR a * d > 0)
+    SELECT cast(g.stratum AS INT) AS stratum, g.a, g.b, g.c, g.d,
+           CASE WHEN g.b * g.c > 0
+                THEN cast(g.a * g.d * 1000000 // (g.b * g.c) AS BIGINT)
+           END AS or_micro
+    FROM g
+    UNION ALL
+    SELECT -1 AS stratum, mh.num_micro AS a, mh.den_micro AS b,
+           cast(0 AS BIGINT) AS c, cast(0 AS BIGINT) AS d,
+           CASE WHEN mh.den_micro > 0
+                THEN cast(mh.num_micro * 1000000 // mh.den_micro AS BIGINT)
+           END AS or_micro
+    FROM mh
+    """,
+    doc="Cochran-Mantel-Haenszel pooled odds ratio: association "
+    "between high error share and high-value purchasing, pooled "
+    "across activity strata — the 2x2xK companion to q349 (ATE "
+    "estimates a difference; CMH estimates a common odds ratio "
+    "robust to Simpson reversals, OR_MH = sum(a_i d_i / n_i) / "
+    "sum(b_i c_i / n_i)). One user rollup, one stratum 2x2 "
+    "aggregate; the pooled ratio is a 1-row reduction. Exact "
+    "integers throughout: per-stratum terms carry a_i d_i * 1e6 "
+    "floor-divided by n_i (<= 1e6 * n_i/4, int64-safe to ~3.6e12 "
+    "users per stratum), per-stratum ORs surface alongside the "
+    "pooled -1 row so a Simpson flip is VISIBLE (stratum ORs one "
+    "side, pooled the other). Degenerate strata (zero cross "
+    "products) drop from the pooled sums, NULL in their own row.",
+)
+def q364_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.when(
+            F.sum(F.expr("case when event_type = 'error' then 1 else 0 end"))
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("x"),
+        F.when(
+            F.sum(
+                F.expr(
+                    "case when event_type = 'purchase' and value >= 50.0"
+                    " then 1 else 0 end"
+                )
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("y"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("n_ev").cast("bigint").alias("te"),
+    )
+    s = u.crossJoin(F.broadcast(tot)).select(
+        F.expr("least(n_ev * 4 * nu div te, 7)").alias("stratum"), "x", "y"
+    )
+    g = s.groupBy("stratum").agg(
+        F.sum(F.expr("case when x = 1 and y = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.expr("case when x = 1 and y = 0 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.expr("case when x = 0 and y = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.expr("case when x = 0 and y = 0 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    mh = g.filter(F.expr("b * c > 0 or a * d > 0")).agg(
+        F.sum(F.expr("a * d * 1000000 div (a + b + c + d)"))
+        .cast("bigint")
+        .alias("num_micro"),
+        F.sum(F.expr("b * c * 1000000 div (a + b + c + d)"))
+        .cast("bigint")
+        .alias("den_micro"),
+    )
+    per = g.select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "case when b * c > 0"
+            " then cast(a * d * 1000000 div (b * c) as bigint) end"
+        ).alias("or_micro"),
+    )
+    pooled = mh.select(
+        F.lit(-1).cast("int").alias("stratum"),
+        F.col("num_micro").alias("a"),
+        F.col("den_micro").alias("b"),
+        F.lit(0).cast("bigint").alias("c"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.expr(
+            "case when den_micro > 0"
+            " then cast(num_micro * 1000000 div den_micro as bigint) end"
+        ).alias("or_micro"),
+    )
+    return per.unionAll(pooled)
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
