@@ -22968,6 +22968,328 @@ def q364_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionAll(pooled)
 
 
+@query(
+    "q365_kruskal_wallis",
+    """
+    WITH b AS (SELECT event_type AS g,
+                      cast(floor(value * 100) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT v,
+                 cast(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 cast(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2,
+                 cast(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n3,
+                 cast(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n4,
+                 cast(sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n5
+          FROM b GROUP BY v),
+    cum AS (SELECT *,
+                   n1 + n2 + n3 + n4 + n5 AS t,
+                   cast(coalesce(sum(n1 + n2 + n3 + n4 + n5)
+                        OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS pre
+            FROM c),
+    agg AS (SELECT cast(sum(n1) AS BIGINT) AS m1,
+                   cast(sum(n2) AS BIGINT) AS m2,
+                   cast(sum(n3) AS BIGINT) AS m3,
+                   cast(sum(n4) AS BIGINT) AS m4,
+                   cast(sum(n5) AS BIGINT) AS m5,
+                   cast(sum(n1 * (2 * pre + t + 1)) AS BIGINT) AS r1,
+                   cast(sum(n2 * (2 * pre + t + 1)) AS BIGINT) AS r2,
+                   cast(sum(n3 * (2 * pre + t + 1)) AS BIGINT) AS r3,
+                   cast(sum(n4 * (2 * pre + t + 1)) AS BIGINT) AS r4,
+                   cast(sum(n5 * (2 * pre + t + 1)) AS BIGINT) AS r5,
+                   cast(sum(t * t * t - t) AS BIGINT) AS ties
+            FROM cum),
+    h AS (SELECT m1 + m2 + m3 + m4 + m5 AS n,
+                 (3.0 * (r1::DOUBLE * r1::DOUBLE / m1::DOUBLE
+                         + r2::DOUBLE * r2::DOUBLE / m2::DOUBLE
+                         + r3::DOUBLE * r3::DOUBLE / m3::DOUBLE
+                         + r4::DOUBLE * r4::DOUBLE / m4::DOUBLE
+                         + r5::DOUBLE * r5::DOUBLE / m5::DOUBLE)
+                  / ((m1 + m2 + m3 + m4 + m5)::DOUBLE
+                     * ((m1 + m2 + m3 + m4 + m5)::DOUBLE + 1.0))
+                  - 3.0 * ((m1 + m2 + m3 + m4 + m5)::DOUBLE + 1.0))
+                 / (1.0 - ties::DOUBLE
+                    / ((m1 + m2 + m3 + m4 + m5)::DOUBLE
+                       * (m1 + m2 + m3 + m4 + m5)::DOUBLE
+                       * (m1 + m2 + m3 + m4 + m5)::DOUBLE
+                       - (m1 + m2 + m3 + m4 + m5)::DOUBLE)) AS hval
+          FROM agg)
+    SELECT cast(n AS BIGINT) AS n, round(hval, 6) AS h_stat,
+           (hval >= 9.488) AS significant
+    FROM h
+    """,
+    doc="Kruskal-Wallis H (nonparametric one-way ANOVA by ranks, "
+    "midrank ties, tie-corrected) across the five funnel stages' "
+    "value distributions — the k-group extension of q176's "
+    "Mann-Whitney and the rank-based alternative to q162-style "
+    "ANOVA when q354 says the tails are heavy. Ranks never "
+    "materialize per row: the q176 doubling trick on the per-value "
+    "count table gives 2*R_g = sum_v n_g(v)*(2*pre(v)+t(v)+1) as "
+    "pure bigint (per-value counts + one distributed prefix sum — "
+    "the Spark side uses operators/stats.py with_prefix_sums, "
+    "bucketed, no corpus window; the oracle's window is oracle-"
+    "scale). The five groups are a FIXED design, so the H formula "
+    "pivots to one row with an explicit left-to-right addition "
+    "order — no float-sum order nondeterminism. Significance vs "
+    "the chi2(4) 5%% literal 9.488.",
+)
+def q365_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.stats import with_prefix_sums
+
+    ev = _t(spark, sf_dir, "events")
+    groups = ["click", "view", "signup", "purchase", "error"]
+    b = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("v"),
+    )
+    c = b.groupBy("v").agg(
+        *[
+            F.sum(F.expr(f"case when g = '{g}' then 1 else 0 end"))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i, g in enumerate(groups, start=1)
+        ]
+    )
+    pre = with_prefix_sums(c, 100, [f"n{i}" for i in range(1, 6)])
+    tsum = " + ".join(f"n{i}" for i in range(1, 6))
+    presum = " + ".join(f"pre_n{i}" for i in range(1, 6))
+    agg = pre.agg(
+        *[F.sum(f"n{i}").cast("bigint").alias(f"m{i}") for i in range(1, 6)],
+        *[
+            F.sum(
+                F.expr(f"n{i} * (2 * ({presum}) + ({tsum}) + 1)")
+            )
+            .cast("bigint")
+            .alias(f"r{i}")
+            for i in range(1, 6)
+        ],
+        F.sum(F.expr(f"({tsum}) * ({tsum}) * ({tsum}) - ({tsum})"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    nsum = " + ".join(f"m{i}" for i in range(1, 6))
+    rterm = " + ".join(
+        f"cast(r{i} as double) * cast(r{i} as double) / cast(m{i} as double)"
+        for i in range(1, 6)
+    )
+    h = agg.select(
+        F.expr(f"cast({nsum} as bigint)").alias("n"),
+        F.expr(
+            f"(3.0 * ({rterm})"
+            f" / (cast({nsum} as double) * (cast({nsum} as double) + 1.0))"
+            f" - 3.0 * (cast({nsum} as double) + 1.0))"
+            f" / (1.0 - cast(ties as double)"
+            f" / (cast({nsum} as double) * cast({nsum} as double)"
+            f" * cast({nsum} as double) - cast({nsum} as double)))"
+        ).alias("hval"),
+    )
+    return h.select(
+        "n",
+        F.round("hval", 6).alias("h_stat"),
+        (F.col("hval") >= 9.488).alias("significant"),
+    )
+
+
+@query(
+    "q366_cumulative_gains",
+    """
+    WITH u AS (SELECT user_id,
+                      cast(count(*) AS BIGINT) AS n_ev,
+                      cast(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                             AND value >= 50.0
+                                        THEN 1 ELSE 0 END) > 0
+                           THEN 1 ELSE 0 END AS INT) AS y
+               FROM events GROUP BY user_id),
+    band AS (SELECT n_ev // 5 AS b,
+                    cast(count(*) AS BIGINT) AS users,
+                    cast(sum(y) AS BIGINT) AS pos
+             FROM u GROUP BY 1),
+    tot AS (SELECT cast(sum(users) AS BIGINT) AS nu,
+                   cast(sum(pos) AS BIGINT) AS np FROM band),
+    cum AS (SELECT b, users, pos,
+                   cast(sum(users) OVER (ORDER BY b DESC) AS BIGINT)
+                     AS cum_users,
+                   cast(sum(pos) OVER (ORDER BY b DESC) AS BIGINT)
+                     AS cum_pos
+            FROM band)
+    SELECT cast(cum.b AS BIGINT) AS score_band,
+           cum.cum_users, cum.cum_pos,
+           cast(cum.cum_users * 1000000 // tot.nu AS BIGINT)
+             AS share_users_ppm,
+           cast(cum.cum_pos * 1000000 // tot.np AS BIGINT) AS recall_ppm,
+           cast(cum.cum_pos * tot.nu * 1000
+                // (tot.np * cum.cum_users) AS BIGINT) AS lift_milli
+    FROM cum CROSS JOIN tot
+    """,
+    doc="Cumulative gains / lift curve for a score (user activity) "
+    "predicting high-value purchasers: descending score bands "
+    "accumulate users and positives, yielding recall@share and "
+    "lift — the model-eval curve that decides how deep a targeting "
+    "or reranking cut should go (lift ~1 = the score is noise past "
+    "that depth). Banding (n_ev div 5) makes the curve's x-axis the "
+    "score DOMAIN, so the per-band aggregate is one shuffle and the "
+    "descending cumulative runs over the band table (score-domain-"
+    "sized = metadata; the q293 CDF discipline — at web scale use "
+    "with_prefix_sums on the banded counts, as q365 does). All "
+    "exact: ppm shares and milli lift via integer floor division "
+    "(cum_pos * nu caps ~9e18 at ~3e9 users with ~1e9 positives — "
+    "pre-divide beyond, q268 lesson).",
+)
+def q366_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.when(
+            F.sum(
+                F.expr(
+                    "case when event_type = 'purchase' and value >= 50.0"
+                    " then 1 else 0 end"
+                )
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("y"),
+    )
+    band = u.groupBy(F.expr("n_ev div 5").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = band.agg(
+        F.sum("users").cast("bigint").alias("nu"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    wdesc = W.orderBy(F.col("b").desc())
+    cum = band.select(
+        "b",
+        F.sum("users").over(wdesc).cast("bigint").alias("cum_users"),
+        F.sum("pos").over(wdesc).cast("bigint").alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("b").cast("bigint").alias("score_band"),
+        "cum_users",
+        "cum_pos",
+        F.expr("cast(cum_users * 1000000 div nu as bigint)").alias(
+            "share_users_ppm"
+        ),
+        F.expr("cast(cum_pos * 1000000 div np as bigint)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "cast(cum_pos * nu * 1000 div (np * cum_users) as bigint)"
+        ).alias("lift_milli"),
+    )
+
+
+@query(
+    "q367_friedman_test",
+    r"""
+    WITH s AS (SELECT cast(n_chars AS BIGINT) AS s1,
+                      cast(len(list_filter(string_split_regex(
+                        lower(trim(text)), '\s+'), x -> x <> ''))
+                        AS BIGINT) AS s2,
+                      cast(10 * len(list_filter(string_split_regex(
+                        lower(trim(text)), '\s+'),
+                        x -> x IN ('the', 'a', 'and', 'of', 'to')))
+                        AS BIGINT) AS s3
+               FROM documents),
+    rk AS (SELECT
+             1 + 2 * ((s2 < s1)::INT + (s3 < s1)::INT)
+               + (s2 = s1)::INT + (s3 = s1)::INT + 1 AS r1x2,
+             1 + 2 * ((s1 < s2)::INT + (s3 < s2)::INT)
+               + (s1 = s2)::INT + (s3 = s2)::INT + 1 AS r2x2,
+             1 + 2 * ((s1 < s3)::INT + (s2 < s3)::INT)
+               + (s1 = s3)::INT + (s2 = s3)::INT + 1 AS r3x2
+           FROM s),
+    a AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(r1x2) AS BIGINT) AS t1,
+                 cast(sum(r2x2) AS BIGINT) AS t2,
+                 cast(sum(r3x2) AS BIGINT) AS t3,
+                 cast(sum(r1x2 * r1x2 + r2x2 * r2x2 + r3x2 * r3x2)
+                      AS BIGINT) AS ss
+          FROM rk)
+    SELECT n,
+           round(2.0 * ((t1 - 4 * n)::DOUBLE * (t1 - 4 * n)::DOUBLE
+                        + (t2 - 4 * n)::DOUBLE * (t2 - 4 * n)::DOUBLE
+                        + (t3 - 4 * n)::DOUBLE * (t3 - 4 * n)::DOUBLE)
+                 / (ss::DOUBLE - 48.0 * n::DOUBLE), 6) AS chi2_f,
+           (2.0 * ((t1 - 4 * n)::DOUBLE * (t1 - 4 * n)::DOUBLE
+                   + (t2 - 4 * n)::DOUBLE * (t2 - 4 * n)::DOUBLE
+                   + (t3 - 4 * n)::DOUBLE * (t3 - 4 * n)::DOUBLE)
+            / (ss::DOUBLE - 48.0 * n::DOUBLE) >= 5.991) AS significant
+    FROM a
+    """,
+    doc="Friedman test (blocked nonparametric ANOVA, tie-corrected "
+    "Conover form) over three quality raters scored WITHIN each "
+    "document — do the raters induce systematically different "
+    "rankings, the repeated-measures question q320's kappa (pairwise "
+    "agreement) cannot answer (blocks remove per-document difficulty "
+    "exactly like paired tests remove per-user variance). Within-"
+    "block midranks of k=3 values are CLOSED-FORM map-side "
+    "arithmetic (2*rank = 2*#less + #tied + 1 including self — no "
+    "window, no sort, not even within the block); one moment "
+    "aggregate then the tie-safe statistic chi2 = (k-1) * "
+    "sum_j(R2_j - n(k+1))^2 / (sum r2^2 - nk(k+1)^2) with every "
+    "numerator term an exact integer (doubles only at the final "
+    "squares, correctly-rounded, explicit addition order over the "
+    "k=3 fixed design). Significance vs the chi2(2) 5%% literal.",
+)
+def q367_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        F.col("n_chars").cast("bigint").alias("s1"),
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" x -> x <> '')) as bigint)"
+        ).alias("s2"),
+        F.expr(
+            r"cast(10 * size(filter(split(lower(trim(text)), '\\s+'),"
+            r" x -> x in ('the', 'a', 'and', 'of', 'to'))) as bigint)"
+        ).alias("s3"),
+    )
+    def r2(j: int, others: list[int]) -> str:
+        less = " + ".join(
+            f"cast(s{o} < s{j} as int)" for o in others
+        )
+        tied = " + ".join(
+            f"cast(s{o} = s{j} as int)" for o in others
+        )
+        return f"1 + 2 * ({less}) + ({tied}) + 1"
+
+    rk = s.select(
+        F.expr(r2(1, [2, 3])).alias("r1x2"),
+        F.expr(r2(2, [1, 3])).alias("r2x2"),
+        F.expr(r2(3, [1, 2])).alias("r3x2"),
+    )
+    a = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r1x2").cast("bigint").alias("t1"),
+        F.sum("r2x2").cast("bigint").alias("t2"),
+        F.sum("r3x2").cast("bigint").alias("t3"),
+        F.sum(F.expr("r1x2 * r1x2 + r2x2 * r2x2 + r3x2 * r3x2"))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    chi = (
+        "2.0 * (cast(t1 - 4 * n as double) * cast(t1 - 4 * n as double)"
+        " + cast(t2 - 4 * n as double) * cast(t2 - 4 * n as double)"
+        " + cast(t3 - 4 * n as double) * cast(t3 - 4 * n as double))"
+        " / (cast(ss as double) - 48.0 * cast(n as double))"
+    )
+    return a.select(
+        "n",
+        F.round(F.expr(chi), 6).alias("chi2_f"),
+        F.expr(f"({chi}) >= 5.991").alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
