@@ -21127,9 +21127,10 @@ def q347_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per stratum; pre-divide beyond); strata violating positivity "
     "(no treated or no control) surface as NULL and are EXCLUDED "
     "from the overlap-population total (the -1 row), whose one "
-    "signed division is sign-split (sign * abs-div) because Spark "
-    "div truncates while DuckDB // floors — the only place a "
-    "negative quantity meets integer division. Two shuffles total: "
+    "signed division is sign-split (sign * abs-div) so no negative "
+    "quantity ever meets integer division — engines disagree there "
+    "(Python // floors; DuckDB // and Spark div truncate toward "
+    "zero). Two shuffles total: "
     "user rollup, stratum rollup; everything after is a "
     "metadata-sized frame.",
 )
@@ -23287,6 +23288,277 @@ def q367_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.expr(chi), 6).alias("chi2_f"),
         F.expr(f"({chi}) >= 5.991").alias("significant"),
+    )
+
+
+@query(
+    "q368_join_skew_audit",
+    """
+    WITH k AS (SELECT l_orderkey AS key, cast(count(*) AS BIGINT) AS c
+               FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS n,
+                   cast(count(*) AS BIGINT) AS ndv,
+                   cast(max(c) AS BIGINT) AS cmax FROM k),
+    top AS (SELECT c FROM k ORDER BY c DESC, key LIMIT 20),
+    ts AS (SELECT cast(sum(c) AS BIGINT) AS top20 FROM top),
+    sq AS (SELECT cast(sum(c * c) AS BIGINT) AS s2 FROM k)
+    SELECT tot.n AS n_rows, tot.ndv AS n_keys, tot.cmax AS max_key_rows,
+           cast(ts.top20 * 1000000 // tot.n AS BIGINT) AS top20_share_ppm,
+           cast(tot.cmax * tot.ndv * 1000 // tot.n AS BIGINT)
+             AS max_over_avg_milli,
+           cast(sq.s2 * tot.ndv * 1000 // (tot.n * tot.n) AS BIGINT)
+             AS chi_concentration_milli
+    FROM tot CROSS JOIN ts CROSS JOIN sq
+    """,
+    doc="Join-key skew pre-flight for the lineitem-orders edge: key "
+    "cardinality, the hottest key's row count, the top-20 keys' mass "
+    "share, max/avg ratio, and the chi-square concentration "
+    "sum(c^2)*ndv/n^2 (1.0 = uniform; the expected per-reducer "
+    "blow-up factor under hash partitioning) — the numbers that "
+    "decide BEFORE a 100 TB shuffle whether this join needs AQE "
+    "skew splitting, salting, or a broadcast rescue, and exactly "
+    "what AQE's runtime statistics would discover mid-query (this "
+    "audit moves the discovery to plan time). One key-count "
+    "aggregate (map-side combinable), a TakeOrdered top-20, and "
+    "two scalar reductions. All exact integer ppm/milli; c^2 sums "
+    "cap at cmax*n, int64-safe to ~1e9-row hot keys.",
+)
+def q368_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = k.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.max("c").cast("bigint").alias("cmax"),
+    )
+    ts = (
+        k.orderBy(F.col("c").desc(), "key")
+        .limit(20)
+        .agg(F.sum("c").cast("bigint").alias("top20"))
+    )
+    sq = k.agg(F.sum(F.expr("c * c")).cast("bigint").alias("s2"))
+    return (
+        tot.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(sq))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("ndv").alias("n_keys"),
+            F.col("cmax").alias("max_key_rows"),
+            F.expr("cast(top20 * 1000000 div n as bigint)").alias(
+                "top20_share_ppm"
+            ),
+            F.expr("cast(cmax * ndv * 1000 div n as bigint)").alias(
+                "max_over_avg_milli"
+            ),
+            F.expr("cast(s2 * ndv * 1000 div (n * n) as bigint)").alias(
+                "chi_concentration_milli"
+            ),
+        )
+    )
+
+
+@query(
+    "q369_corr_matrix",
+    r"""
+    WITH f AS (SELECT cast(n_chars AS BIGINT) AS x1,
+                      cast(len(list_filter(string_split_regex(
+                        lower(trim(text)), '\s+'), t -> t <> ''))
+                        AS BIGINT) AS x2,
+                      cast(len(list_filter(string_split_regex(
+                        lower(trim(text)), '\s+'),
+                        t -> t IN ('the', 'a', 'and', 'of', 'to')))
+                        AS BIGINT) AS x3,
+                      cast(length(text)
+                           - length(replace(text, 'e', '')) AS BIGINT) AS x4
+               FROM documents),
+    m AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(x1) AS BIGINT) AS s1, cast(sum(x2) AS BIGINT) AS s2,
+                 cast(sum(x3) AS BIGINT) AS s3, cast(sum(x4) AS BIGINT) AS s4,
+                 cast(sum(x1*x1) AS BIGINT) AS s11,
+                 cast(sum(x2*x2) AS BIGINT) AS s22,
+                 cast(sum(x3*x3) AS BIGINT) AS s33,
+                 cast(sum(x4*x4) AS BIGINT) AS s44,
+                 cast(sum(x1*x2) AS BIGINT) AS s12,
+                 cast(sum(x1*x3) AS BIGINT) AS s13,
+                 cast(sum(x1*x4) AS BIGINT) AS s14,
+                 cast(sum(x2*x3) AS BIGINT) AS s23,
+                 cast(sum(x2*x4) AS BIGINT) AS s24,
+                 cast(sum(x3*x4) AS BIGINT) AS s34
+          FROM f)
+    SELECT p.i, p.j,
+           round((p.sij::DOUBLE - p.si::DOUBLE * p.sj::DOUBLE / p.n::DOUBLE)
+                 / sqrt((p.sii::DOUBLE
+                         - p.si::DOUBLE * p.si::DOUBLE / p.n::DOUBLE)
+                        * (p.sjj::DOUBLE
+                           - p.sj::DOUBLE * p.sj::DOUBLE / p.n::DOUBLE)),
+                 6) AS corr
+    FROM (SELECT 1 AS i, 2 AS j, n, s1 AS si, s2 AS sj, s11 AS sii,
+                 s22 AS sjj, s12 AS sij FROM m
+          UNION ALL SELECT 1, 3, n, s1, s3, s11, s33, s13 FROM m
+          UNION ALL SELECT 1, 4, n, s1, s4, s11, s44, s14 FROM m
+          UNION ALL SELECT 2, 3, n, s2, s3, s22, s33, s23 FROM m
+          UNION ALL SELECT 2, 4, n, s2, s4, s22, s44, s24 FROM m
+          UNION ALL SELECT 3, 4, n, s3, s4, s33, s44, s34 FROM m) p
+    """,
+    doc="Pearson correlation matrix over four document features "
+    "(chars, tokens, stopword hits, 'e' count) in ONE pass: the "
+    "full exact integer moment matrix (4 sums, 4 squares, 6 cross-"
+    "products) from a single map-side-combinable aggregate, then "
+    "each upper-triangle r_ij from the closed covariance form — "
+    "the feature-engineering screen run before q357's VIF (corr "
+    "shows pairwise structure; VIF shows joint). No second scan, "
+    "no per-pair job: p features cost p(p+3)/2 accumulators in one "
+    "reduce, the classic single-pass trick that beats p^2 corr() "
+    "calls by a factor of the scan cost. Doubles appear only in "
+    "the final normalized ratio (+,-,*,/,sqrt on exact int64 "
+    "moments — correctly rounded, bit-identical, no libm).",
+)
+def q369_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" t -> t <> '')) as bigint)"
+        ).alias("x2"),
+        F.expr(
+            r"cast(size(filter(split(lower(trim(text)), '\\s+'),"
+            r" t -> t in ('the', 'a', 'and', 'of', 'to'))) as bigint)"
+        ).alias("x3"),
+        F.expr(
+            "cast(length(text) - length(replace(text, 'e', '')) as bigint)"
+        ).alias("x4"),
+    )
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"x{i}").cast("bigint").alias(f"s{i}") for i in range(1, 5)],
+        *[
+            F.sum(F.expr(f"x{i}*x{i}")).cast("bigint").alias(f"s{i}{i}")
+            for i in range(1, 5)
+        ],
+        *[
+            F.sum(F.expr(f"x{i}*x{j}")).cast("bigint").alias(f"s{i}{j}")
+            for i, j in pairs
+        ],
+    )
+    rows = ", ".join(
+        f"{i}, {j}, round((cast(s{i}{j} as double) - cast(s{i} as double)"
+        f" * cast(s{j} as double) / cast(n as double))"
+        f" / sqrt((cast(s{i}{i} as double) - cast(s{i} as double)"
+        f" * cast(s{i} as double) / cast(n as double))"
+        f" * (cast(s{j}{j} as double) - cast(s{j} as double)"
+        f" * cast(s{j} as double) / cast(n as double))), 6)"
+        for i, j in pairs
+    )
+    return m.selectExpr(f"stack(6, {rows}) as (i, j, corr)")
+
+
+def _Q370_ORACLE(iters: int = 4, dim: int = 64) -> str:
+    ctes = [
+        f"""c AS (SELECT list_transform(range(1, {dim + 1}), i ->
+             cast(floor(cast(embedding[i] AS DOUBLE) * 10000) AS BIGINT))
+             AS xq FROM embeddings)""",
+        f"""d1 AS (SELECT xq,
+             1000 * list_sum(xq) AS d FROM c)""",
+    ]
+    prev_d = "d1"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""y{t} AS (SELECT ks.k,
+               cast(sum(p.xq[ks.k] * p.d) AS BIGINT) AS y
+          FROM {prev_d} p
+          CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS k) ks
+          GROUP BY ks.k)"""
+        )
+        ctes.append(
+            f"""m{t} AS (SELECT cast(max(abs(y)) AS BIGINT) AS m
+                FROM y{t})"""
+        )
+        ctes.append(
+            f"""v{t} AS (SELECT y{t}.k,
+               cast(cast(sign(y{t}.y) AS BIGINT)
+                    * (abs(y{t}.y) * 1000 // m{t}.m) AS BIGINT) AS vk
+          FROM y{t} CROSS JOIN m{t})"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""vl{t} AS (SELECT list(vk ORDER BY k) AS vl FROM v{t})"""
+            )
+            ctes.append(
+                f"""d{t + 1} AS (SELECT c.xq,
+               list_sum(list_transform(range(1, {dim + 1}),
+                 k -> c.xq[k] * vl{t}.vl[k])) AS d
+          FROM c CROSS JOIN vl{t})"""
+            )
+            prev_d = f"d{t + 1}"
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_sql}
+    SELECT cast(k AS INT) AS dim, vk AS loading_milli FROM v{iters}
+    """
+
+
+@query(
+    "q370_pca_power_iteration",
+    _Q370_ORACLE(),
+    doc="Top principal direction of the embedding cloud by DISTRIBUTED "
+    "power iteration (uncentered: embeddings are ~zero-mean, the "
+    "standard dominant-singular-vector audit): 4 iterations of "
+    "v <- X^T(Xv), where each iteration is ONE corpus pass — the "
+    "per-row dot Xv is map-side, the 64 components of X^T(Xv) "
+    "aggregate via posexplode + per-dim sum — so the 64x64 "
+    "covariance NEVER materializes and the cost is O(N*d) per "
+    "iteration, the shape that holds at any corpus size (cf. the "
+    "anisotropy/hubness audits q311/q158 this direction explains). "
+    "The iterate renormalizes to exact MILLI integers via the "
+    "sign-split v = sign(y) * (|y|*1000 // max|y|) — negative "
+    "components never meet integer division directly, because the "
+    "three engines disagree there (Python // floors, DuckDB // and "
+    "Spark div truncate) — with each 64-element "
+    "iterate a bounded driver pin (the q348 regime); all products "
+    "are int64 (|y| <= N*4e4*2.6e9 — safe to ~1e4 rows at bench "
+    "magnitudes, rescale v to centi units at larger N, documented). "
+    "The oracle unrolls all 4 iterations as chained CTEs.",
+)
+def q370_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = spread(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(slice(embedding, 1, 64), x ->"
+                " cast(floor(cast(x as double) * 10000) as bigint))"
+            ).alias("xq"),
+        ),
+        "vec_id",
+    ).localCheckpoint(eager=False)
+    v = [1000] * 64
+    for t in range(4):
+        dot = " + ".join(
+            f"element_at(xq, {k + 1}) * ({v[k]})" for k in range(64)
+        )
+        y_rows = (
+            c.select(F.expr(f"cast({dot} as bigint)").alias("d"), "xq")
+            .select("d", F.posexplode("xq").alias("k", "xv"))
+            .groupBy("k")
+            .agg(F.sum(F.expr("xv * d")).cast("bigint").alias("y"))
+            .collect()  # bounded: exactly 64 rows per iteration
+        )
+        y = {int(r["k"]): int(r["y"]) for r in y_rows}
+        m = max(abs(val) for val in y.values())
+        # sign-split: truncate-toward-zero, matching the oracle's
+        # sign * (abs * 1000 // m) exactly (Python // floors negatives)
+        v = [
+            (1 if y[k] >= 0 else -1) * (abs(y[k]) * 1000 // m)
+            for k in range(64)
+        ]
+    return spark.createDataFrame(
+        [(k + 1, v[k]) for k in range(64)], "dim int, loading_milli long"
     )
 
 
