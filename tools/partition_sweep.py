@@ -110,6 +110,23 @@ QUERIES = [
     "q344_priority_waiting_semi",
     "q345_supplier_cnt_anti",
     "q346_waiting_supplier",
+    # round 8: the experimentation/calibration family (build-time
+    # literal spines, integer DP folds, bounded greedy replays) plus
+    # the retrieval-fusion and linear-algebra surfaces — the newest
+    # determinism disciplines (z-scale BH ranks, UCB/MMR argmax
+    # tie-breaks, Viterbi struct folds, power-iteration sign-split
+    # renormalization, midrank doubling at k groups)
+    "q347_bh_fdr",
+    "q352_rrf_fusion",
+    "q353_facility_location",
+    "q355_mmr_rerank",
+    "q356_dirichlet_ql",
+    "q358_ratio_delta_method",
+    "q360_distinct_n_diversity",
+    "q362_viterbi_decode",
+    "q365_kruskal_wallis",
+    "q368_join_skew_audit",
+    "q370_pca_power_iteration",
 ]
 
 SETTINGS = [8, 32, 128]

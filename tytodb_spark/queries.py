@@ -23562,6 +23562,333 @@ def q370_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q371_conditional_entropy",
+    r"""
+    WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'), x -> x <> '')
+                 AS s
+               FROM documents),
+    bi AS (SELECT g1, g2, cast(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(list_transform(range(1, len(s)),
+                          i -> s[i])) AS g1,
+                        unnest(list_transform(range(1, len(s)),
+                          i -> s[i + 1])) AS g2
+                 FROM t WHERE len(s) >= 2)
+           GROUP BY g1, g2),
+    qb AS (SELECT cast(sum(c) AS BIGINT) AS tb,
+                  cast(sum(cast(floor(c::DOUBLE * log2(c::DOUBLE) * 1e6
+                                      + 0.5) AS BIGINT)) AS BIGINT) AS sb
+           FROM bi),
+    ctx AS (SELECT g1, cast(sum(c) AS BIGINT) AS c FROM bi GROUP BY g1),
+    qc AS (SELECT cast(sum(cast(floor(c::DOUBLE * log2(c::DOUBLE) * 1e6
+                                      + 0.5) AS BIGINT)) AS BIGINT) AS sc
+           FROM ctx)
+    SELECT qb.tb AS n_bigrams,
+           cast(floor(log2(qb.tb::DOUBLE) * 1e6 + 0.5) - qb.sb // qb.tb
+                AS BIGINT) AS h_bigram_micro,
+           cast(floor(log2(qb.tb::DOUBLE) * 1e6 + 0.5) - qc.sc // qb.tb
+                AS BIGINT) AS h_context_micro,
+           cast((qc.sc - qb.sb) // qb.tb AS BIGINT) AS h_cond_micro
+    FROM qb CROSS JOIN qc
+    """,
+    doc="Corpus conditional entropy H(W2|W1) in bits: the bigram-model "
+    "entropy rate — how predictable the next token is given one "
+    "token of context — the information-theoretic compressibility "
+    "audit that separates natural prose (H_cond ~ 5-8 bits) from "
+    "templated/boilerplate slices (H_cond -> 0) and complements "
+    "q152's per-document marginal entropy (a corpus can have high "
+    "unigram entropy yet be utterly predictable bigram-wise). "
+    "Identity: H(W2|W1) = H(W1 W2) - H(W1), with the context "
+    "marginal aggregated FROM the bigram table (one gram shuffle "
+    "feeds everything). Per-term c*log2(c) quantizes to exact 1e-6 "
+    "integers BEFORE summation (the q152/token_entropy convention) "
+    "so the corpus-scale accumulation is pure bigint — order-"
+    "independent across partitions and engines; the single libm "
+    "log2 on the scalar total is floor(+0.5)-quantized once.",
+)
+def q371_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tytodb_spark.operators.textual import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    t = spread(docs.select("doc_id", "text"), "doc_id").select(
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+        ).alias("s")
+    )
+    bi = (
+        t.filter(F.expr("size(s) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) as g1,"
+                    " element_at(s, i + 1) as g2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.g1").alias("g1"), F.col("p.g2").alias("g2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    clgc = (
+        "cast(floor(cast(c as double) * log2(cast(c as double)) * 1e6"
+        " + 0.5) as bigint)"
+    )
+    qb = bi.agg(
+        F.sum("c").cast("bigint").alias("tb"),
+        F.sum(F.expr(clgc)).cast("bigint").alias("sb"),
+    )
+    qc = (
+        bi.groupBy("g1")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .agg(F.sum(F.expr(clgc)).cast("bigint").alias("sc"))
+    )
+    return qb.crossJoin(F.broadcast(qc)).select(
+        F.col("tb").alias("n_bigrams"),
+        F.expr(
+            "cast(floor(log2(cast(tb as double)) * 1e6 + 0.5)"
+            " - sb div tb as bigint)"
+        ).alias("h_bigram_micro"),
+        F.expr(
+            "cast(floor(log2(cast(tb as double)) * 1e6 + 0.5)"
+            " - sc div tb as bigint)"
+        ).alias("h_context_micro"),
+        F.expr("cast((sc - sb) div tb as bigint)").alias("h_cond_micro"),
+    )
+
+
+@query(
+    "q372_granger_lagged",
+    """
+    WITH h AS (SELECT cast(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                      cast(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                      cast(sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    p AS (SELECT cur.y, prev.y AS yl, prev.x AS xl
+          FROM h cur JOIN h prev
+            ON prev.hr = cur.hr - INTERVAL 1 HOUR),
+    m AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(y) AS BIGINT) AS sy,
+                 cast(sum(yl) AS BIGINT) AS s1,
+                 cast(sum(xl) AS BIGINT) AS s2,
+                 cast(sum(y * y) AS BIGINT) AS syy,
+                 cast(sum(yl * yl) AS BIGINT) AS s11,
+                 cast(sum(xl * xl) AS BIGINT) AS s22,
+                 cast(sum(y * yl) AS BIGINT) AS sy1,
+                 cast(sum(y * xl) AS BIGINT) AS sy2,
+                 cast(sum(yl * xl) AS BIGINT) AS s12
+          FROM p),
+    c AS (SELECT n,
+                 syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+                 s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+                 s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS c22,
+                 sy1::DOUBLE - sy::DOUBLE * s1::DOUBLE / n::DOUBLE AS cy1,
+                 sy2::DOUBLE - sy::DOUBLE * s2::DOUBLE / n::DOUBLE AS cy2,
+                 s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS c12
+          FROM m),
+    r AS (SELECT n,
+                 cyy - cy1 * cy1 / c11 AS rss_r,
+                 cyy - ((cy1 * c22 - cy2 * c12) * cy1
+                        + (cy2 * c11 - cy1 * c12) * cy2)
+                       / (c11 * c22 - c12 * c12) AS rss_u
+          FROM c)
+    SELECT n AS n_pairs,
+           round(rss_r, 6) AS rss_restricted,
+           round(rss_u, 6) AS rss_unrestricted,
+           round((rss_r - rss_u) / (rss_u / (n::DOUBLE - 3.0)), 6)
+             AS f_stat,
+           ((rss_r - rss_u) / (rss_u / (n::DOUBLE - 3.0)) >= 3.86)
+             AS significant
+    FROM r
+    """,
+    doc="Granger-style lagged-predictivity test: does last hour's "
+    "click count improve the prediction of this hour's purchase "
+    "count beyond purchases' own lag? F = (RSS_r - RSS_u) / "
+    "(RSS_u/(n-3)) comparing the AR(1)-restricted fit against the "
+    "one-extra-lag fit — the leading-indicator screen that decides "
+    "which upstream metric belongs on a forecasting dashboard "
+    "(correlation q369 can't distinguish lead from co-movement). "
+    "The lag is a self-JOIN on hr - 1 hour (adjacent-hour pairs; "
+    "no window at all, not even a series one); both fits come from "
+    "ONE exact integer moment aggregate via closed normal-equation "
+    "forms (the q357 machinery: doubles only in the final centered "
+    "algebra, +,-,*,/ correctly rounded, no libm). Significance vs "
+    "the F(1, ~700) 5%% literal 3.86.",
+)
+def q372_granger_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.expr("case when event_type = 'purchase' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.expr("case when event_type = 'click' then 1 else 0 end"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    prev = h.select(
+        F.col("hr").alias("phr"),
+        F.col("y").alias("yl"),
+        F.col("x").alias("xl"),
+    )
+    p = h.join(
+        prev, F.col("phr") == F.expr("hr - interval 1 hour")
+    ).select("y", "yl", "xl")
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("s1"),
+        F.sum("xl").cast("bigint").alias("s2"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("yl * yl")).cast("bigint").alias("s11"),
+        F.sum(F.expr("xl * xl")).cast("bigint").alias("s22"),
+        F.sum(F.expr("y * yl")).cast("bigint").alias("sy1"),
+        F.sum(F.expr("y * xl")).cast("bigint").alias("sy2"),
+        F.sum(F.expr("yl * xl")).cast("bigint").alias("s12"),
+    )
+    c = m.select(
+        "n",
+        F.expr(
+            "cast(syy as double) - cast(sy as double) * cast(sy as double)"
+            " / cast(n as double)"
+        ).alias("cyy"),
+        F.expr(
+            "cast(s11 as double) - cast(s1 as double) * cast(s1 as double)"
+            " / cast(n as double)"
+        ).alias("c11"),
+        F.expr(
+            "cast(s22 as double) - cast(s2 as double) * cast(s2 as double)"
+            " / cast(n as double)"
+        ).alias("c22"),
+        F.expr(
+            "cast(sy1 as double) - cast(sy as double) * cast(s1 as double)"
+            " / cast(n as double)"
+        ).alias("cy1"),
+        F.expr(
+            "cast(sy2 as double) - cast(sy as double) * cast(s2 as double)"
+            " / cast(n as double)"
+        ).alias("cy2"),
+        F.expr(
+            "cast(s12 as double) - cast(s1 as double) * cast(s2 as double)"
+            " / cast(n as double)"
+        ).alias("c12"),
+    )
+    r = c.select(
+        "n",
+        F.expr("cyy - cy1 * cy1 / c11").alias("rss_r"),
+        F.expr(
+            "cyy - ((cy1 * c22 - cy2 * c12) * cy1"
+            " + (cy2 * c11 - cy1 * c12) * cy2)"
+            " / (c11 * c22 - c12 * c12)"
+        ).alias("rss_u"),
+    )
+    fstat = "(rss_r - rss_u) / (rss_u / (cast(n as double) - 3.0))"
+    return r.select(
+        F.col("n").alias("n_pairs"),
+        F.round("rss_r", 6).alias("rss_restricted"),
+        F.round("rss_u", 6).alias("rss_unrestricted"),
+        F.round(F.expr(fstat), 6).alias("f_stat"),
+        F.expr(f"({fstat}) >= 3.86").alias("significant"),
+    )
+
+
+_DTW_BIG = 4611686018427387904  # 2^62 sentinel for out-of-grid cells
+
+
+@query(
+    "q373_dtw_alignment",
+    f"""
+    WITH RECURSIVE pa AS (SELECT cast(extract(day FROM ts) AS INT) AS d,
+                                 cast(count(*) AS BIGINT) AS y
+                          FROM events WHERE event_type = 'purchase'
+                          GROUP BY 1),
+    pb AS (SELECT cast(extract(day FROM ts) AS INT) AS d,
+                  cast(count(*) AS BIGINT) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+    s AS (SELECT (SELECT list(y ORDER BY d) FROM pa) AS al,
+                 (SELECT list(y ORDER BY d) FROM pb) AS bl),
+    r AS (
+      SELECT 2 AS d,
+             list_transform(range(1, len(s.al) + 1), i ->
+               CASE WHEN i = 1 THEN abs(s.al[1] - s.bl[1])
+                    ELSE {_DTW_BIG} END) AS cur,
+             list_transform(range(1, len(s.al) + 1),
+                            i -> {_DTW_BIG}) AS prev,
+             s.al AS al, s.bl AS bl
+      FROM s
+      UNION ALL
+      SELECT r.d + 1,
+             list_transform(range(1, len(r.al) + 1), i ->
+               CASE WHEN r.d + 1 - i BETWEEN 1 AND len(r.bl)
+                 THEN abs(r.al[i] - r.bl[r.d + 1 - i])
+                      + least(coalesce(r.cur[i - 1], {_DTW_BIG}),
+                              coalesce(r.cur[i], {_DTW_BIG}),
+                              coalesce(r.prev[i - 1], {_DTW_BIG}))
+                 ELSE {_DTW_BIG} END),
+             r.cur, r.al, r.bl
+      FROM r WHERE r.d < len(r.al) + len(r.bl))
+    SELECT cast(len(al) AS BIGINT) AS n_a, cast(len(bl) AS BIGINT) AS n_b,
+           cast(cur[len(al)] AS BIGINT) AS dtw_dist,
+           cast(cur[len(al)] * 1000 // (len(al) + len(bl)) AS BIGINT)
+             AS dtw_per_step_milli
+    FROM r WHERE d = len(al) + len(bl)
+    """,
+    doc="Dynamic-time-warping distance between the daily purchase and "
+    "click series: the elastic alignment cost that matches shapes "
+    "shifted or stretched in time, where q372's fixed-lag regression "
+    "and q369's correlation see nothing (a campaign whose conversion "
+    "lag drifts from 1 to 3 days ruins a fixed lag but barely moves "
+    "DTW). Corpus-scale work: two daily count aggregates; the DP "
+    "grid is day-domain-sized (30x30 — metadata BY CONSTRUCTION) "
+    "and runs as exact |a_i - b_j| integer arithmetic — Spark pins "
+    "the two bounded series to the driver (q348 regime) and replays "
+    "the DP; the oracle replays it as a RECURSIVE CTE over "
+    "anti-diagonals, each new diagonal a list_transform of the "
+    "previous two (the wavefront trick that removes within-row "
+    "sequential dependence), with a 2^62 sentinel for out-of-grid "
+    "cells. For thousand-point series, segment + banded DTW "
+    "(Sakoe-Chiba) keeps the grid bounded — documented, same "
+    "shape.",
+)
+def q373_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(et: str):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.dayofmonth("ts").alias("d"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+            .orderBy("d")
+            .collect()  # bounded: day-domain-sized (<= 31 rows)
+        )
+
+    a = [int(r["y"]) for r in daily("purchase")]
+    b = [int(r["y"]) for r in daily("click")]
+    big = _DTW_BIG
+    n, m = len(a), len(b)
+    prev_row = [big] * (m + 1)
+    cur_row = [big] * (m + 1)
+    for i in range(1, n + 1):
+        nxt = [big] * (m + 1)
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                nxt[j] = c
+            else:
+                best = min(cur_row[j] if i > 1 else big,
+                           nxt[j - 1],
+                           cur_row[j - 1] if i > 1 else big)
+                nxt[j] = c + best
+        prev_row, cur_row = cur_row, nxt
+    dtw = cur_row[m]
+    return spark.createDataFrame(
+        [(n, m, dtw, dtw * 1000 // (n + m))],
+        "n_a long, n_b long, dtw_dist long, dtw_per_step_milli long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
