@@ -23889,6 +23889,198 @@ def q373_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q374_distribution_drift",
+    """
+    WITH h AS (SELECT cast(floor(value / 10) AS BIGINT) AS bin,
+                      cast(sum(CASE WHEN extract(day FROM ts) <= 15
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      cast(sum(CASE WHEN extract(day FROM ts) > 15
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM events GROUP BY 1),
+    tot AS (SELECT cast(sum(ca) AS BIGINT) AS na,
+                   cast(sum(cb) AS BIGINT) AS nb,
+                   cast(count(*) AS BIGINT) AS nbins FROM h),
+    terms AS (SELECT
+        abs(h.ca * t.nb - h.cb * t.na) AS tvn,
+        cast(floor(sqrt(((h.ca * 1000000 // t.na)
+                         * (h.cb * 1000000 // t.nb))::DOUBLE))
+             AS BIGINT) AS bc_micro,
+        cast(floor(((h.ca + 1)::DOUBLE / (t.na + t.nbins)::DOUBLE)
+                   * ln(((h.ca + 1) * (t.nb + t.nbins))::DOUBLE
+                        / ((h.cb + 1) * (t.na + t.nbins))::DOUBLE)
+                   * 1e9) AS BIGINT) AS kl_nano
+      FROM h CROSS JOIN tot t)
+    SELECT t.na AS n_first_half, t.nb AS n_second_half,
+           cast(sum(terms.tvn) * 1000000 // (2 * t.na * t.nb) AS BIGINT)
+             AS tv_micro,
+           cast(sum(terms.bc_micro) AS BIGINT) AS bc_sum_micro,
+           cast(sum(terms.kl_nano) AS BIGINT) AS kl_nano
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    doc="Distribution-drift census between the month's halves over "
+    "binned event values: total variation, the Bhattacharyya "
+    "coefficient (Hellinger^2 = 1 - BC), and add-1-smoothed "
+    "KL(first||second) — the three-lens drift gate a feature-store "
+    "or training-mix monitor runs per snapshot (TV bounds any "
+    "probability change, BC/Hellinger is tail-sensitive, KL "
+    "punishes disappearing mass; q175's KS sees only the worst "
+    "single quantile). ONE histogram aggregate feeds all three; "
+    "every per-bin term quantizes to an exact integer BEFORE the "
+    "bin sum (TV exactly via |ca*nb - cb*na| cross products, BC "
+    "via sqrt of exact ppm products — correctly rounded on exact "
+    "ints — KL via per-bin nano-nat floors, the only libm), so "
+    "the aggregation is order-independent. Cross products cap at "
+    "na*nb ~ 4e8 at bench scale; int64-safe to ~3e9 x 3e9 events "
+    "after the *1e6 — pre-divide to ppm shares beyond (documented).",
+)
+def q374_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("cast(floor(value / 10) as bigint)").alias("bin")
+    ).agg(
+        F.sum(F.expr("case when day(ts) <= 15 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.expr("case when day(ts) > 15 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nbins"),
+    )
+    terms = h.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.expr("abs(ca * nb - cb * na)").alias("tvn"),
+        F.expr(
+            "cast(floor(sqrt(cast((ca * 1000000 div na)"
+            " * (cb * 1000000 div nb) as double))) as bigint)"
+        ).alias("bc_micro"),
+        F.expr(
+            "cast(floor((cast(ca + 1 as double)"
+            " / cast(na + nbins as double))"
+            " * ln(cast((ca + 1) * (nb + nbins) as double)"
+            " / cast((cb + 1) * (na + nbins) as double)) * 1e9) as bigint)"
+        ).alias("kl_nano"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.expr(
+            "cast(sum(tvn) * 1000000 div (2 * na * nb) as bigint)"
+        ).alias("tv_micro"),
+        F.sum("bc_micro").cast("bigint").alias("bc_sum_micro"),
+        F.sum("kl_nano").cast("bigint").alias("kl_nano"),
+    ).select(
+        F.col("na").alias("n_first_half"),
+        F.col("nb").alias("n_second_half"),
+        "tv_micro",
+        "bc_sum_micro",
+        "kl_nano",
+    )
+
+
+@query(
+    "q375_wasserstein1",
+    """
+    WITH v AS (SELECT cast(floor(value * 100 + 0.5) AS BIGINT) // 12 AS b,
+                      cast(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END AS BIGINT) AS ia,
+                      cast(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END AS BIGINT) AS ib
+               FROM events
+               WHERE event_type IN ('click', 'view')),
+    c AS (SELECT b, cast(sum(ia) AS BIGINT) AS ca,
+                 cast(sum(ib) AS BIGINT) AS cb
+          FROM v GROUP BY b),
+    grid AS (SELECT unnest(range(0, 4085)) AS b),
+    g AS (SELECT grid.b, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+          FROM grid LEFT JOIN c ON c.b = grid.b),
+    cum AS (SELECT b,
+                   cast(sum(ca) OVER (ORDER BY b) AS BIGINT) AS fa,
+                   cast(sum(cb) OVER (ORDER BY b) AS BIGINT) AS fb
+            FROM g),
+    tot AS (SELECT cast(sum(ca) AS BIGINT) AS na,
+                   cast(sum(cb) AS BIGINT) AS nb FROM g)
+    SELECT tot.na AS n_click, tot.nb AS n_view,
+           cast(sum(abs(cum.fa * tot.nb - cum.fb * tot.na)) * 12 * 1000
+                // (tot.na * tot.nb) AS BIGINT) AS w1_millicents
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+    doc="Wasserstein-1 (earth mover) distance between the click and "
+    "view value distributions on a FIXED 4085-bin cent grid: "
+    "W1 = integral |F_a - F_b| dv — the drift metric that weighs "
+    "HOW FAR mass moved, where TV/KL (q374) only see that it moved "
+    "and KS (q175) only the worst point; the right gate for 'did "
+    "prices shift by pennies or dollars'. The grid is fixed BY "
+    "CONSTRUCTION (12-cent bins over the value domain), so the "
+    "cumulative window runs over 4085 metadata rows regardless of "
+    "corpus size — the corpus-scale work is one binned count "
+    "aggregate; empty bins enter via the exploded grid left-join "
+    "(their CDF gap still contributes, which a distinct-values-"
+    "only spelling would silently drop). Exact integer cross-"
+    "product CDF differences |fa*nb - fb*na| summed as bigints "
+    "(caps ~4085 * na*nb * 12000 ~ 2e16 at bench scale; pre-divide "
+    "to ppm CDFs past ~1e7 x 1e7 events, documented).",
+)
+def q375_wasserstein1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.expr(
+                "cast(floor(value * 100 + 0.5) as bigint) div 12"
+            ).alias("b")
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(case when event_type = 'click' then 1 else 0 end as bigint)")
+            )
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(
+                F.expr("cast(case when event_type = 'view' then 1 else 0 end as bigint)")
+            )
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    grid = spark.range(0, 4085).select(F.col("id").alias("b"))
+    g = grid.join(c, "b", "left").select(
+        "b",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    wcum = W.orderBy("b")
+    cum = g.select(
+        "b",
+        F.sum("ca").over(wcum).cast("bigint").alias("fa"),
+        F.sum("cb").over(wcum).cast("bigint").alias("fb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.expr(
+                "cast(sum(abs(fa * nb - fb * na)) * 12 * 1000"
+                " div (na * nb) as bigint)"
+            ).alias("w1_millicents")
+        )
+        .select(
+            F.col("na").alias("n_click"),
+            F.col("nb").alias("n_view"),
+            "w1_millicents",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry order = driver check order (MECHANICAL — derived from artifacts)
 # ---------------------------------------------------------------------------
