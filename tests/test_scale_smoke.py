@@ -68,6 +68,15 @@ SCALE_SENSITIVE = [
     "q311_hubness_audit",  # query-sample x corpus pair volume
     "q314_modularity",  # co-supply pair fan-out
     "q315_gsp_support",  # per-user activity^2 existence join
+    # round 8: panel x corpus fan-outs, chained corpus passes, per-order
+    # pair fan-out, gram-volume distinct — all fixture-structure-
+    # dependent volumes
+    "q353_facility_location",  # 16-candidate x corpus sims, 4 passes
+    "q370_pca_power_iteration",  # 4 chained corpus passes
+    "q378_triangle_count",  # per-order pair fan-out + wedge join
+    "q360_distinct_n_diversity",  # 1/2/3-gram distinct volume
+    "q371_conditional_entropy",  # bigram vocabulary volume
+    "q377_trending_terms",  # full-vocabulary fold ranking
 ]
 
 
