@@ -262,10 +262,12 @@ def test_cohens_kappa_matches_python(spark, sf_dir):
     s = sum(na[c] * nb[c] for c in set(na) | set(nb))
     assert (row["n"], row["agree"]) == (n, agree)
     assert row["po_ppm"] == agree * 1_000_000 // n
-    assert row["pe_ppm"] == (s // n) * 1_000_000 // n
-    assert row["kappa_ppm"] == (agree - s // n) * 1_000_000 // max(
-        n - s // n, 1
-    )
+    # remainder-split spelling (round-8 precision fix): s = q*n + r
+    q, r_ = divmod(s, n)
+    assert row["pe_ppm"] == (q * 1_000_000 + r_ * 1_000_000 // n) // n
+    assert row["kappa_ppm"] == (
+        (agree - q) * 1_000_000 - r_ * 1_000_000 // n
+    ) // max(n - q, 1)
 
 
 def test_mcnemar_matches_python(spark, sf_dir):
