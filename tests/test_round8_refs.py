@@ -532,6 +532,51 @@ def test_dtw_matches_python_full_dp(spark, sf_dir):
     assert row["dtw_per_step_milli"] == dtw * 1000 // (n + m)
 
 
+def test_viterbi_matches_python_single_fold(spark, sf_dir):
+    """Single lifetime-fold replay — also proves the registry's
+    day-chunked max-plus composition equals the unchunked decode."""
+    got = {
+        r["final_state"]: (r["n_users"], r["sum_score_micro"])
+        for r in _rows(spark, sf_dir, "q362_viterbi_decode")
+    }
+    from tytodb_spark.queries import _viterbi_params
+
+    p = _viterbi_params()
+
+    def lnq(x: float) -> int:
+        return math.floor(math.log(x) * 1e6)
+
+    e0 = {"purchase": lnq(0.3), "click": lnq(0.3), "view": lnq(0.3),
+          "error": lnq(0.05), "signup": lnq(0.05)}
+    e1 = {"purchase": lnq(0.05), "click": lnq(0.15), "view": lnq(0.2),
+          "error": lnq(0.5), "signup": lnq(0.1)}
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    import calendar
+
+    seqs: dict[int, list] = defaultdict(list)
+    for r in ev:
+        tsu = (
+            calendar.timegm(r["ts"].timetuple()) * 1_000_000
+            + r["ts"].microsecond
+        )
+        seqs[r["user_id"]].append((tsu, r["event_id"], r["event_type"]))
+    ref: dict[int, list] = defaultdict(lambda: [0, 0])
+    for pts in seqs.values():
+        pts.sort()
+        v0, v1 = e0[pts[0][2]], e1[pts[0][2]]
+        for _, _, et in pts[1:]:
+            v0, v1 = (
+                max(v0 + p["t00"], v1 + p["t10"]) + e0[et],
+                max(v0 + p["t01"], v1 + p["t11"]) + e1[et],
+            )
+        s = 0 if v0 >= v1 else 1
+        ref[s][0] += 1
+        ref[s][1] += max(v0, v1)
+    assert got == {s: tuple(v) for s, v in ref.items()}
+
+
 def test_wasserstein1_matches_python(spark, sf_dir):
     row = _rows(spark, sf_dir, "q375_wasserstein1")[0]
     ev = load_tables(spark, sf_dir)["events"].select(
