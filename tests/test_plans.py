@@ -752,3 +752,30 @@ def test_rrf_lists_are_take_ordered(spark, sf_dir):
     TakeOrderedAndProject — distributed heaps, no global sort."""
     df = _df(spark, sf_dir, "q352_rrf_fusion")
     assert P.physical_plan(df).count("TakeOrderedAndProject") >= 2
+
+
+def test_no_unpaired_persist_in_package():
+    """Cache-leak guard (the q343/q92/q208 class): a registry-iterating
+    driver (bench, sweeps) accumulates storage blocks from any
+    `.persist(` a query path never unpersists. Barrier/reuse points use
+    `localCheckpoint(eager=False)` instead — blocks release with the
+    plan. `.cache()` is allowed only where a paired `.unpersist()`
+    exists in the same module (engine.py's cursor lifecycle)."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "tytodb_spark")
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                src = fh.read()
+            assert ".persist(" not in src, (
+                f"{fname}: use localCheckpoint(eager=False), not persist"
+            )
+            if re.search(r"\.cache\(\)", src) and "engine.py" in fname:
+                assert ".unpersist()" in src, (
+                    f"{fname}: .cache() without a paired .unpersist()"
+                )

@@ -359,14 +359,15 @@ def simhash_near_pairs(
     :func:`simhash64_portable` (bit-identical in other engines → DuckDB
     oracle-checkable); the banding/verify plan is unchanged.
 
-    The signature table is persisted: both sides of the band self-join
-    consume it, and without the persist each branch would re-run the
-    signature computation over the full corpus (map-side work gets no
-    shuffle-stage reuse, unlike the old groupBy formulation)."""
-    from pyspark.storagelevel import StorageLevel
-
+    The signature table is checkpointed: both sides of the band
+    self-join consume it, and without the barrier each branch would
+    re-run the signature computation over the full corpus (map-side
+    work gets no shuffle-stage reuse, unlike the old groupBy
+    formulation). localCheckpoint rather than persist so the blocks
+    are released with the plan by the context cleaner — an operator
+    cannot unpersist a frame it returns."""
     sig_fn = simhash64_portable if portable else simhash64
-    sh = sig_fn(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sig_fn(df, id_col, text_col).localCheckpoint(eager=False)
     banded = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",

@@ -284,21 +284,21 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     trigram sets equals Jaccard over the trigram strings.
 
     Spread first (tokenization must fan out, not run on the scan's map
-    side), then PERSIST the arrays. The persist is load-bearing twice:
-    (a) every downstream branch — candidate generation and both verify
-    join sides — reuses the arrays instead of re-tokenizing the corpus,
-    and (b) it is an optimizer barrier: CollapseProject would otherwise
-    inline the n-gram expression into every consumer lambda (e.g. all
-    64 per-seed MinHash lambdas — a measured ~30× blowup) and push the
-    size-filter down into the file scan as a second full tokenization.
-    MEMORY_AND_DISK so a corpus-scale run spills instead of OOMing;
-    __n is computed on the cached attribute, never on the raw text."""
-    from pyspark.storagelevel import StorageLevel
-
+    side), then CHECKPOINT the arrays. The barrier is load-bearing
+    twice: (a) every downstream branch — candidate generation and both
+    verify join sides — reuses the arrays instead of re-tokenizing the
+    corpus, and (b) CollapseProject would otherwise inline the n-gram
+    expression into every consumer lambda (e.g. all 64 per-seed MinHash
+    lambdas — a measured ~30× blowup) and push the size-filter down
+    into the file scan as a second full tokenization. localCheckpoint
+    (disk-backed, spills like MEMORY_AND_DISK) rather than persist so
+    the blocks are released with the plan by the context cleaner — an
+    operator cannot unpersist a frame it returns. __n is computed on
+    the checkpointed attribute, never on the raw text."""
     cached = (
         spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")), "__id")
         .select("__id", F.array_distinct(hashed_word_ngrams("__txt", n)).alias("__sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     return cached.withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
 
