@@ -114,16 +114,31 @@ def main() -> None:
     # flukes on a shared box (verified: flagged "regressions" reproduce
     # at baseline when re-timed in the same session). Re-run just those
     # and keep the min — bounded extra cost, steadier per-query numbers.
+    # Heavy queries (min still >=5s) get up to three retries with a JVM
+    # GC settle between runs: the suite's heaviest DAGs (q166, q378)
+    # were measured spanning 8-25s across same-code records purely on
+    # accumulated-heap state, so a single retry doesn't converge.
     if retry:
         for name, t in list(timings.items()):
-            if t >= 2.0:
-                qd = Q.REGISTRY[name]
+            if t < 2.0:
+                continue
+            fn = Q.REGISTRY[name].bench_fn or Q.REGISTRY[name].fn
+            for attempt in range(3):
+                if attempt > 0:
+                    try:  # settle: collect garbage left by prior queries
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
                 t0 = time.perf_counter()
                 try:
-                    (qd.bench_fn or qd.fn)(spark, sf_dir).count()
-                    timings[name] = min(t, round(time.perf_counter() - t0, 4))
+                    fn(spark, sf_dir).count()
+                    timings[name] = min(
+                        timings[name], round(time.perf_counter() - t0, 4)
+                    )
                 except Exception:
-                    pass  # keep the first timing
+                    break  # keep the best timing so far
+                if timings[name] < 5.0:
+                    break
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     out = {
