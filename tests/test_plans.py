@@ -779,3 +779,32 @@ def test_no_unpaired_persist_in_package():
                 assert ".unpersist()" in src, (
                     f"{fname}: .cache() without a paired .unpersist()"
                 )
+
+
+def test_q17_threshold_join_broadcasts_aggregate(spark, sf_dir):
+    """q382's decorrelated per-part (count, sum) aggregate is
+    part-domain-sized and must broadcast back to the probe side —
+    the Q17 rewrite without a corpus shuffle."""
+    df = _df(spark, sf_dir, "q382_small_order_revenue")
+    assert P.num_broadcast_joins(df) >= 2  # brand dim + the aggregate
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_q20_excess_share_reuses_rollup_partitioning(spark, sf_dir):
+    """q383's part totals re-aggregate the checkpointed (part,
+    supplier) rollup; dims broadcast and the top-20 is a distributed
+    TakeOrderedAndProject."""
+    df = _df(spark, sf_dir, "q383_dominant_supplier")
+    assert P.num_broadcast_joins(df) >= 2  # supplier + nation dims
+    assert P.has_take_ordered(df)
+
+
+def test_q2_argmin_is_aggregate_then_join(spark, sf_dir):
+    """q384's correlated min subquery must decorrelate to min-per-part
+    + equi-join back — no window-rank over the corpus."""
+    df = _df(spark, sf_dir, "q384_min_cost_supplier")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) >= 2  # region-filtered eu + part dim
+    assert P.has_take_ordered(df)
