@@ -808,3 +808,20 @@ def test_q2_argmin_is_aggregate_then_join(spark, sf_dir):
     assert "Window" not in plan
     assert P.num_broadcast_joins(df) >= 2  # region-filtered eu + part dim
     assert P.has_take_ordered(df)
+
+
+def test_coverage_md_lists_every_registry_entry():
+    """COVERAGE.md drift guard (the QUERIES.md guard's sibling): every
+    registry entry's qNNN id must appear in the coverage mapping, so a
+    reader auditing SURVEY §2 coverage from that file alone sees the
+    full surface (it silently stopped at q309 for two rounds)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as fh:
+        ids = set(re.findall(r"\bq\d+", fh.read()))
+    missing = [
+        name for name in Q.REGISTRY if name.split("_")[0] not in ids
+    ]
+    assert not missing, f"COVERAGE.md missing: {missing}"
