@@ -825,3 +825,39 @@ def test_coverage_md_lists_every_registry_entry():
         name for name in Q.REGISTRY if name.split("_")[0] not in ids
     ]
     assert not missing, f"COVERAGE.md missing: {missing}"
+
+
+def test_jonckheere_windows_are_cdf_machinery_only(spark, sf_dir):
+    """q386's only partition-less window must be with_prefix_sums'
+    bucket-OFFSET window over the per-bucket subtotal table (metadata-
+    sized by design — the q175/q199/q365 exclusion); any other global
+    window would be a corpus-scale single-task funnel."""
+    df = _df(spark, sf_dir, "q386_jonckheere_trend")
+    others = [w for w in P.global_windows(df) if "__bkt" not in w]
+    assert others == []
+
+
+def test_shapley_mask_joins_broadcast(spark, sf_dir):
+    """q389's 16-row value table and 32-row factorial grid must meet
+    as broadcast joins — the corpus-scale work is only the user
+    rollup."""
+    df = _df(spark, sf_dir, "q389_shapley_attribution")
+    assert P.num_broadcast_joins(df) >= 2
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_reciprocal_best_match_no_window(spark, sf_dir):
+    """q390's argmax decorrelates to aggregate-then-join — no
+    rank-window over the candidate pairs."""
+    df = _df(spark, sf_dir, "q390_reciprocal_best_match")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_ols_influence_broadcasts_moments(spark, sf_dir):
+    """q392's 1-row moment frame must broadcast into the per-row scan
+    (a shuffle there would be a corpus-scale cross join)."""
+    df = _df(spark, sf_dir, "q392_ols_influence")
+    assert P.num_broadcast_joins(df) >= 1
+    assert P.global_windows(df) == []
