@@ -127,6 +127,42 @@ QUERIES = [
     "q365_kruskal_wallis",
     "q368_join_skew_audit",
     "q370_pca_power_iteration",
+    # round 9a: the round-8 tail the earlier sweeps didn't reach —
+    # quantized-entropy identities, lag self-joins, driver-pinned
+    # bounded DPs, fixed-grid CDF windows, level-exploded block sums,
+    # the degree-ordered wedge join (AQE re-plans it at different
+    # partition counts), and the fan-out census/q-q/lag/retention four
+    "q371_conditional_entropy",
+    "q372_granger_lagged",
+    "q373_dtw_alignment",
+    "q374_distribution_drift",
+    "q375_wasserstein1",
+    "q376_haar_energy",
+    "q377_trending_terms",
+    "q378_triangle_count",
+    "q379_qq_table",
+    "q380_conversion_lag",
+    "q381_retention_matrix",
+    # round 9b: this round's new surfaces — decorrelated threshold/
+    # argmin joins (broadcast-aggregate plans AQE may flip), the
+    # prefix-sum JT statistic, the mask-grid Shapley join, blocked
+    # mutual-argmax, the pair-literal KL fan-out, and the moment-
+    # broadcast influence scan
+    "q382_small_order_revenue",
+    "q383_dominant_supplier",
+    "q384_min_cost_supplier",
+    "q385_cochran_q",
+    "q386_jonckheere_trend",
+    "q387_theil_u",
+    "q388_cramers_v",
+    "q389_shapley_attribution",
+    "q390_reciprocal_best_match",
+    "q391_source_divergence_matrix",
+    "q392_ols_influence",
+    "q393_partial_correlation",
+    "q394_mann_kendall",
+    "q395_capture_recapture",
+    "q396_gumbel_extremes",
 ]
 
 SETTINGS = [8, 32, 128]
