@@ -861,3 +861,80 @@ def test_ols_influence_broadcasts_moments(spark, sf_dir):
     df = _df(spark, sf_dir, "q392_ols_influence")
     assert P.num_broadcast_joins(df) >= 1
     assert P.global_windows(df) == []
+
+
+# --- round-9b: TPC-H shape completion (q397-q406) ---
+
+
+def test_q6_is_single_scan_with_pushdown(spark, sf_dir):
+    """q397 must be one parquet scan + scalar aggregate: every predicate
+    either pushes to the scan or evaluates inline — no join, no window,
+    and the only exchange is the 1-row partial-agg combine."""
+    df = _df(spark, sf_dir, "q397_forecast_revenue")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert P.num_shuffles(df) <= 1
+
+
+def test_q7_nation_dims_broadcast(spark, sf_dir):
+    """q398's nation-filtered supplier (and both nation joins) must
+    broadcast; the only shuffle joins may be the fact-side edges."""
+    df = _df(spark, sf_dir, "q398_volume_shipping")
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.global_windows(df) == []
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    """q399 touches the fact once: part (type-filtered) and the
+    supplier-nation dim both broadcast, leaving zero corpus-scale
+    shuffle joins before the 175-group aggregate."""
+    df = _df(spark, sf_dir, "q399_product_profit")
+    assert P.num_broadcast_joins(df) >= 2
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_q13_left_join_survives(spark, sf_dir):
+    """q401's filtered-condition LEFT join must stay a LeftOuter (a
+    rewrite to inner would silently drop zero-order customers — the
+    query's whole point)."""
+    df = _df(spark, sf_dir, "q401_customer_distribution")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftOuter" in plan
+
+
+def test_q15_max_is_broadcast_scalar(spark, sf_dir):
+    """q403's scalar max joins back as a broadcast 1-row frame, and the
+    supplier dim broadcasts onto the winners."""
+    df = _df(spark, sf_dir, "q403_top_supplier")
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.global_windows(df) == []
+
+
+def test_q11_total_is_broadcast_and_topk(spark, sf_dir):
+    """q404: the global total re-enters as a broadcast 1-row scalar and
+    the top-50 compiles to TakeOrderedAndProject, not a global sort."""
+    df = _df(spark, sf_dir, "q404_important_stock")
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.has_take_ordered(df)
+
+
+def test_q19_envelope_pushdown(spark, sf_dir):
+    """q405's disjunction cannot push whole, but the derivable quantity
+    envelope (<= 30) must reach the lineitem scan and part must
+    broadcast."""
+    df = _df(spark, sf_dir, "q405_brand_band_revenue")
+    assert P.num_broadcast_joins(df) >= 1
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_quantity" in pushed
+
+
+def test_q22_is_left_anti(spark, sf_dir):
+    """q406's NOT EXISTS must decorrelate to LeftAnti against the
+    date-filtered custkey projection; the threshold scalar broadcasts."""
+    df = _df(spark, sf_dir, "q406_sales_opportunity")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert P.num_broadcast_joins(df) >= 1
