@@ -938,3 +938,88 @@ def test_q22_is_left_anti(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan
     assert P.num_broadcast_joins(df) >= 1
+
+
+# --- round-9b block: survival / causal / basket / graph / layout -----------
+
+
+def test_survival_corpus_work_is_one_aggregate(spark, sf_dir):
+    """q407/q408's only corpus-scale op is the per-customer min/max
+    aggregate; the KM/NA windows run on the <=90-row localCheckpointed
+    bucket domain. Guard: at most 3 shuffles (customer agg + bucket agg
+    + the tiny window exchange), no TakeOrdered surprises."""
+    for name in ("q407_kaplan_meier", "q408_nelson_aalen"):
+        df = _df(spark, sf_dir, name)
+        assert P.num_shuffles(df) <= 3, name
+
+
+def test_did_is_single_shuffle_with_broadcast_dim(spark, sf_dir):
+    """q409: customer dim broadcasts into the orders scan; the 2x2 cell
+    aggregate is ONE shuffle and the pivot is a 4-row final agg — no
+    Window anywhere."""
+    df = _df(spark, sf_dir, "q409_did_estimator")
+    assert P.num_broadcast_joins(df) >= 1
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_cem_att_has_no_window_and_exact_weighting(spark, sf_dir):
+    """q410: block means + floor-quantized gaps are plain aggregates —
+    no Window, no global sort; ATT reduction is integer-exact."""
+    df = _df(spark, sf_dir, "q410_cem_att")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in P.physical_plan(df).replace("SortMergeJoin", "")
+
+
+def test_basket_dims_broadcast_and_topk_is_distributed(spark, sf_dir):
+    """q411: the part dim and both metadata-sized count tables broadcast
+    onto the pair aggregate; top-20-by-lift is TakeOrderedAndProject,
+    never a global sort."""
+    df = _df(spark, sf_dir, "q411_market_basket")
+    assert P.num_broadcast_joins(df) >= 3
+    assert P.has_take_ordered(df)
+
+
+def test_butterfly_has_no_window_no_takeordered(spark, sf_dir):
+    """q412 is aggregates all the way down (wedge groupBy + two scalar
+    reductions) — no Window, no sort of any corpus-scale set."""
+    df = _df(spark, sf_dir, "q412_butterfly_count")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_pagerank_iterations_share_edge_checkpoint(spark, sf_dir):
+    """q413: the edge list is localCheckpointed once and reused by all
+    three iterations; the rank top-10 is a distributed heap."""
+    df = _df(spark, sf_dir, "q413_pagerank_cosupply")
+    assert P.has_take_ordered(df)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_item_item_cf_broadcasts_norms(spark, sf_dir):
+    """q414: the two brand-domain norm tables broadcast onto the dot
+    aggregate; top-15 is TakeOrderedAndProject."""
+    df = _df(spark, sf_dir, "q414_item_item_cf")
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.has_take_ordered(df)
+
+
+def test_zorder_audit_is_one_aggregate_no_sort(spark, sf_dir):
+    """q415 buckets by FIXED curve ranges (zkey div 16384) — one
+    groupBy shuffle, no Window, no ntile, no global sort (the whole
+    point vs an ntile spelling)."""
+    df = _df(spark, sf_dir, "q415_zorder_layout")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert P.num_shuffles(df) <= 2  # bucket agg + the 64-row output sort
+
+
+def test_rfm_is_two_aggregates_no_window(spark, sf_dir):
+    """q416 scores with fixed bands — per-customer agg + segment agg,
+    no ntile/Window, no quantile sort."""
+    df = _df(spark, sf_dir, "q416_rfm_segments")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert P.num_shuffles(df) <= 3
