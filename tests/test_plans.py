@@ -1023,3 +1023,73 @@ def test_rfm_is_two_aggregates_no_window(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
     assert P.num_shuffles(df) <= 3
+
+
+# --- round-9c block: survival-inference / concentration / control charts ---
+
+
+def test_logrank_windows_are_arm_partitioned(spark, sf_dir):
+    """q417's at-risk cumulative is partitioned by arm on the <=180-row
+    checkpointed grid; the corpus never sees a window."""
+    df = _df(spark, sf_dir, "q417_logrank_test")
+    assert P.num_broadcast_joins(df) >= 2  # customer dim + arms literal
+
+
+def test_qini_is_integer_curve_no_sort_of_corpus(spark, sf_dir):
+    """q418: fixed bands (no ntile), 20-row window domain, int64 curve."""
+    df = _df(spark, sf_dir, "q418_qini_curve")
+    assert P.num_shuffles(df) <= 4
+
+
+def test_gini_single_window_on_band_domain(spark, sf_dir):
+    """q419: one customer agg + one 100-row band agg; Gini numerator is
+    an exact integer sum."""
+    df = _df(spark, sf_dir, "q419_gini_revenue")
+    assert P.num_shuffles(df) <= 3
+
+
+def test_hhi_broadcasts_totals(spark, sf_dir):
+    """q420: the 25-row per-nation totals broadcast back onto the
+    supplier rollup; supplier + nation dims broadcast."""
+    df = _df(spark, sf_dir, "q420_hhi_market")
+    assert P.num_broadcast_joins(df) >= 3
+
+
+def test_benford_is_one_scan_nine_groups(spark, sf_dir):
+    """q421: one orders scan, 9-group aggregate, expectation literals;
+    no Window, no string formatting in the digit path."""
+    df = _df(spark, sf_dir, "q421_benford_audit")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_skipgram_join_is_doc_keyed(spark, sf_dir):
+    """q422: the positional self-join must key on doc_id (co-partitioned
+    equi-join), and the top-30 must be a distributed heap."""
+    df = _df(spark, sf_dir, "q422_skipgram_pairs")
+    assert P.has_take_ordered(df)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_cvm_windows_on_price_grid_only(spark, sf_dir):
+    """q423: ECDF windows run on the checkpointed bounded price grid;
+    corpus work is one groupBy(bin)."""
+    df = _df(spark, sf_dir, "q423_cvm_binned")
+    assert P.num_shuffles(df) <= 3
+
+
+def test_mahalanobis_broadcasts_moments_and_heaps_topk(spark, sf_dir):
+    """q425: ONE moment row broadcast onto the scan, top-10 via
+    TakeOrderedAndProject — the q392 influence-audit shape."""
+    df = _df(spark, sf_dir, "q425_mahalanobis_outliers")
+    assert P.has_take_ordered(df)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_cusum_is_day_domain_windows(spark, sf_dir):
+    """q426: the running-extremum identity runs three ordered windows on
+    the <=31-row day domain; corpus work is one daily aggregate."""
+    df = _df(spark, sf_dir, "q426_cusum_drift")
+    assert P.num_shuffles(df) <= 3

@@ -77,6 +77,16 @@ SCALE_SENSITIVE = [
     "q360_distinct_n_diversity",  # 1/2/3-gram distinct volume
     "q371_conditional_entropy",  # bigram vocabulary volume
     "q377_trending_terms",  # full-vocabulary fold ranking
+    # round 9: per-order/per-customer pair fan-outs (basket sizes and
+    # brand counts are fixture-structure-dependent), the co-supply
+    # edge-generation fan-out (C(suppliers_per_part,2) per part, feeds
+    # 3 join iterations), and the Q9-shape fact-fact exchange
+    "q411_market_basket",
+    "q412_butterfly_count",
+    "q413_pagerank_cosupply",
+    "q414_item_item_cf",
+    "q399_product_profit",
+    "q422_skipgram_pairs",  # per-doc positional fan-out, vocab volume
 ]
 
 

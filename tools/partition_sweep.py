@@ -163,6 +163,44 @@ QUERIES = [
     "q394_mann_kendall",
     "q395_capture_recapture",
     "q396_gumbel_extremes",
+    # round 9c: TPC-H shape completion (single-scan pushdown, fact-fact
+    # exchange, scalar-subquery broadcast) + the survival/causal/
+    # basket/graph/layout batch — ordered ln-sum windows (q407),
+    # floor-quantized block gaps (q410), bounded pair fan-outs
+    # (q411/q412/q414), the integer-rank PageRank fixpoint (q413,
+    # summation-order-free BY CONSTRUCTION — this sweep is the proof),
+    # and the arithmetic Morton interleave (q415)
+    "q397_forecast_revenue",
+    "q398_volume_shipping",
+    "q399_product_profit",
+    "q401_customer_distribution",
+    "q403_top_supplier",
+    "q404_important_stock",
+    "q406_sales_opportunity",
+    "q407_kaplan_meier",
+    "q408_nelson_aalen",
+    "q409_did_estimator",
+    "q410_cem_att",
+    "q411_market_basket",
+    "q412_butterfly_count",
+    "q413_pagerank_cosupply",
+    "q414_item_item_cf",
+    "q415_zorder_layout",
+    "q416_rfm_segments",
+    # round 9d: arm-partitioned at-risk windows, integer Qini/Gini/HHI
+    # curves, the doc-keyed skip-gram join, per-mille ECDF windows,
+    # dyadic EWMA sums (exact-by-construction — the sweep proves it),
+    # and the CUSUM running-extremum identity
+    "q417_logrank_test",
+    "q418_qini_curve",
+    "q419_gini_revenue",
+    "q420_hhi_market",
+    "q421_benford_audit",
+    "q422_skipgram_pairs",
+    "q423_cvm_binned",
+    "q424_ewma_chart",
+    "q425_mahalanobis_outliers",
+    "q426_cusum_drift",
 ]
 
 SETTINGS = [8, 32, 128]
