@@ -1093,3 +1093,58 @@ def test_cusum_is_day_domain_windows(spark, sf_dir):
     the <=31-row day domain; corpus work is one daily aggregate."""
     df = _df(spark, sf_dir, "q426_cusum_drift")
     assert P.num_shuffles(df) <= 3
+
+
+# --- round-9d block: spectral / robust / decomposition / mining ------------
+
+
+def test_periodogram_phase_tables_broadcast(spark, sf_dir):
+    """q427: the 24/7-row phase literals broadcast onto the bucket
+    aggregates; no trig in the plan, no Window."""
+    df = _df(spark, sf_dir, "q427_periodogram")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "COS" not in plan.upper() or "cos(" not in plan
+
+
+def test_tukey_quartiles_broadcast_back(spark, sf_dir):
+    """q428: the 3-row quartile table broadcasts onto the second fact
+    pass — two scans, no sort, no window."""
+    df = _df(spark, sf_dir, "q428_tukey_outliers")
+    assert P.num_broadcast_joins(df) >= 1
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_ljung_box_lag_join_is_metadata(spark, sf_dir):
+    """q429: the lag self-join runs on the checkpointed <=744-row hour
+    domain x a 10-row spine; corpus work is one hourly aggregate — of
+    the <=5 exchanges, only the first moves corpus-scale rows (the
+    moment/denominator/lag-count aggregates and the 10-row lag window
+    all run on the checkpointed hour domain)."""
+    df = _df(spark, sf_dir, "q429_ljung_box")
+    assert P.num_shuffles(df) <= 5
+
+
+def test_decomposition_is_all_integer_day_domain(spark, sf_dir):
+    """q430: day-domain MA windows + one dow aggregate, integer units
+    throughout."""
+    df = _df(spark, sf_dir, "q430_classical_decomposition")
+    assert P.num_shuffles(df) <= 3
+
+
+def test_hard_negative_anchors_broadcast(spark, sf_dir):
+    """q431: the ~9% anchor panel must be on the broadcast side of the
+    panel x corpus score join (the bounded-probe shape)."""
+    df = _df(spark, sf_dir, "q431_hard_negative_mining")
+    assert P.num_broadcast_joins(df) >= 1
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_join_is_gram_keyed(spark, sf_dir):
+    """q432: the inverted-index self-join keys on the shingle hash
+    (equi-join, co-partitioned); top-25 is a distributed heap."""
+    df = _df(spark, sf_dir, "q432_containment_pairs")
+    assert P.has_take_ordered(df)
+    assert "CartesianProduct" not in P.physical_plan(df)

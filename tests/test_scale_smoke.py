@@ -87,6 +87,8 @@ SCALE_SENSITIVE = [
     "q414_item_item_cf",
     "q399_product_profit",
     "q422_skipgram_pairs",  # per-doc positional fan-out, vocab volume
+    "q431_hard_negative_mining",  # anchor-panel x corpus sim volume
+    "q432_containment_pairs",  # inverted-index pair fan-out
 ]
 
 

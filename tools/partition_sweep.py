@@ -201,6 +201,15 @@ QUERIES = [
     "q424_ewma_chart",
     "q425_mahalanobis_outliers",
     "q426_cusum_drift",
+    # round 9e: phase-literal spectral sums, quartile-broadcast fences,
+    # the hour-domain lag join, the all-integer decomposition, the
+    # anchor-panel mining join, and the hashed-shingle containment gate
+    "q427_periodogram",
+    "q428_tukey_outliers",
+    "q429_ljung_box",
+    "q430_classical_decomposition",
+    "q431_hard_negative_mining",
+    "q432_containment_pairs",
 ]
 
 SETTINGS = [8, 32, 128]
