@@ -1136,7 +1136,7 @@ def test_decomposition_is_all_integer_day_domain(spark, sf_dir):
 def test_hard_negative_anchors_broadcast(spark, sf_dir):
     """q431: the ~9% anchor panel must be on the broadcast side of the
     panel x corpus score join (the bounded-probe shape)."""
-    df = _df(spark, sf_dir, "q431_hard_negative_mining")
+    df = _df(spark, sf_dir, "q431_triplet_margin")
     assert P.num_broadcast_joins(df) >= 1
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan
@@ -1148,3 +1148,49 @@ def test_containment_join_is_gram_keyed(spark, sf_dir):
     df = _df(spark, sf_dir, "q432_containment_pairs")
     assert P.has_take_ordered(df)
     assert "CartesianProduct" not in P.physical_plan(df)
+
+
+# --- round-9e block: ML feature / business / graph / recsys eval -----------
+
+
+def test_feature_hashing_is_distinct_plus_one_agg(spark, sf_dir):
+    """q433: one distinct + one scalar aggregate, no Window."""
+    df = _df(spark, sf_dir, "q433_feature_hashing_audit")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_loo_encoding_broadcasts_brand_stats(spark, sf_dir):
+    """q434: the 25-row brand-stats table broadcasts back onto the fact
+    — the encoder is a map with a broadcast, never a window."""
+    df = _df(spark, sf_dir, "q434_loo_target_encoding")
+    assert P.num_broadcast_joins(df) >= 2  # part dim + stats
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_nrr_is_two_aggregates_plus_pivot(spark, sf_dir):
+    """q435: cohort min (checkpointed, reused) + (cohort, offset)
+    rollup + sum-CASE pivot + broadcast cohort sizes. Of the <=6
+    exchanges only the cohort aggregate and the revenue rollup move
+    corpus-scale rows; the rest are month-domain."""
+    df = _df(spark, sf_dir, "q435_nrr_cohorts")
+    assert P.num_shuffles(df) <= 6
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_edge_support_reuses_q378_orientation(spark, sf_dir):
+    """q436: triangle enumeration stays degree-ordered (the q378 wedge
+    bound); top-20 is a distributed heap."""
+    df = _df(spark, sf_dir, "q436_edge_support")
+    assert P.has_take_ordered(df)
+    assert "CartesianProduct" not in P.physical_plan(df)
+
+
+def test_cf_eval_broadcasts_sims_and_partitions_topk(spark, sf_dir):
+    """q437: the 600-row sim table broadcasts into scoring; the top-5
+    window is user-partitioned (never global)."""
+    df = _df(spark, sf_dir, "q437_cf_holdout_eval")
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.global_windows(df) == []

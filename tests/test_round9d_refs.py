@@ -142,7 +142,7 @@ def test_decomposition_matches_python(spark, sf_dir):
 def test_hard_negative_mining_matches_python(spark, sf_dir):
     import hashlib
 
-    got = {r["anchor_id"]: r for r in _rows(spark, sf_dir, "q431_hard_negative_mining")}
+    got = {r["anchor_id"]: r for r in _rows(spark, sf_dir, "q431_triplet_margin")}
     t = load_tables(spark, sf_dir)
     embs = {
         r["vec_id"]: (list(r["embedding"]), r["label"])

@@ -87,8 +87,10 @@ SCALE_SENSITIVE = [
     "q414_item_item_cf",
     "q399_product_profit",
     "q422_skipgram_pairs",  # per-doc positional fan-out, vocab volume
-    "q431_hard_negative_mining",  # anchor-panel x corpus sim volume
+    "q431_triplet_margin",  # anchor-panel x corpus sim volume
     "q432_containment_pairs",  # inverted-index pair fan-out
+    "q436_edge_support",  # triangle-volume explode
+    "q437_cf_holdout_eval",  # scoring fan-out x user top-5
 ]
 
 

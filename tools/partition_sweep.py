@@ -208,8 +208,17 @@ QUERIES = [
     "q428_tukey_outliers",
     "q429_ljung_box",
     "q430_classical_decomposition",
-    "q431_hard_negative_mining",
+    "q431_triplet_margin",
     "q432_containment_pairs",
+    # round 9f: md5 feature buckets, broadcast-stats encoding, cohort
+    # pivots, the triangle-support explode (AQE-sensitive wedge join),
+    # and the full recsys-eval DAG (temporal split + user-partitioned
+    # top-5 + integer NDCG)
+    "q433_feature_hashing_audit",
+    "q434_loo_target_encoding",
+    "q435_nrr_cohorts",
+    "q436_edge_support",
+    "q437_cf_holdout_eval",
 ]
 
 SETTINGS = [8, 32, 128]
