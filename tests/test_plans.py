@@ -1194,3 +1194,38 @@ def test_cf_eval_broadcasts_sims_and_partitions_topk(spark, sf_dir):
     df = _df(spark, sf_dir, "q437_cf_holdout_eval")
     assert P.num_broadcast_joins(df) >= 2
     assert P.global_windows(df) == []
+
+
+# --- round-9f block: attribution / keyphrase / ESD / LM eval ---------------
+
+
+def test_ushape_windows_are_user_partitioned(spark, sf_dir):
+    """q438: position/count windows partition by user_id — never a
+    global ordered window over the event log."""
+    df = _df(spark, sf_dir, "q438_ushape_attribution")
+    assert P.global_windows(df) == []
+
+
+def test_rake_run_window_is_doc_partitioned(spark, sf_dir):
+    """q439: the gap-trick row_number partitions by doc_id; word and
+    phrase scores are aggregates over the checkpointed phrase table."""
+    df = _df(spark, sf_dir, "q439_rake_keyphrases")
+    assert P.global_windows(df) == []
+    assert P.has_take_ordered(df)
+
+
+def test_esd_rounds_are_day_domain(spark, sf_dir):
+    """q440: three unrolled rounds over the checkpointed <=31-row day
+    table — moments broadcast, corpus touched once."""
+    df = _df(spark, sf_dir, "q440_generalized_esd")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_bigram_predictor_is_aggregate_then_join(spark, sf_dir):
+    """q441: argmax continuation via max-count + equi-join (no window
+    over the vocabulary); positional join keys on doc_id."""
+    df = _df(spark, sf_dir, "q441_bigram_next_token")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in P.physical_plan(df)

@@ -91,6 +91,8 @@ SCALE_SENSITIVE = [
     "q432_containment_pairs",  # inverted-index pair fan-out
     "q436_edge_support",  # triangle-volume explode
     "q437_cf_holdout_eval",  # scoring fan-out x user top-5
+    "q439_rake_keyphrases",  # phrase-run volume, per-doc windows
+    "q441_bigram_next_token",  # positional fan-out, vocab volume
 ]
 
 

@@ -219,6 +219,13 @@ QUERIES = [
     "q435_nrr_cohorts",
     "q436_edge_support",
     "q437_cf_holdout_eval",
+    # round 9g: user-partitioned credit windows, the gap-trick phrase
+    # segmentation, unrolled remove-max rounds, and the argmax
+    # continuation join
+    "q438_ushape_attribution",
+    "q439_rake_keyphrases",
+    "q440_generalized_esd",
+    "q441_bigram_next_token",
 ]
 
 SETTINGS = [8, 32, 128]
