@@ -1229,3 +1229,38 @@ def test_bigram_predictor_is_aggregate_then_join(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in P.physical_plan(df)
+
+
+# --- round-9g block: richness / shrinkage / elasticity / ensemble ----------
+
+
+def test_chao1_is_two_aggregates(spark, sf_dir):
+    """q442: shingle count + frequency-of-frequency aggregate, no
+    Window, no sort."""
+    df = _df(spark, sf_dir, "q442_chao1_richness")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_eb_prior_is_one_broadcast_row(spark, sf_dir):
+    """q443: the MoM prior is a single broadcast row onto the
+    checkpointed brand table — no window, no re-aggregation."""
+    df = _df(spark, sf_dir, "q443_eb_shrinkage")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_elasticity_is_one_moment_row(spark, sf_dir):
+    """q444: per-part aggregate + one DECIMAL(38,0) moment row; the
+    normal equations are closed-form expressions."""
+    df = _df(spark, sf_dir, "q444_price_elasticity")
+    assert P.num_shuffles(df) <= 3
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_consensus_windows_on_day_domain(spark, sf_dir):
+    """q445: the CUSUM windows run on the <=31-row checkpointed day
+    table; corpus work is one daily aggregate."""
+    df = _df(spark, sf_dir, "q445_anomaly_consensus")
+    assert P.num_shuffles(df) <= 5  # day agg + 3 tiny moment/median aggs

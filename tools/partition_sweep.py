@@ -226,6 +226,12 @@ QUERIES = [
     "q439_rake_keyphrases",
     "q440_generalized_esd",
     "q441_bigram_next_token",
+    # round 9h: frequency-of-frequency census, broadcast-prior
+    # shrinkage, decimal-moment OLS, and the three-detector ensemble
+    "q442_chao1_richness",
+    "q443_eb_shrinkage",
+    "q444_price_elasticity",
+    "q445_anomaly_consensus",
 ]
 
 SETTINGS = [8, 32, 128]
