@@ -1264,3 +1264,43 @@ def test_consensus_windows_on_day_domain(spark, sf_dir):
     table; corpus work is one daily aggregate."""
     df = _df(spark, sf_dir, "q445_anomaly_consensus")
     assert P.num_shuffles(df) <= 5  # day agg + 3 tiny moment/median aggs
+
+
+# --- round-9h block: sampling design / scaling law / stream metrics --------
+
+
+def test_neyman_is_two_aggregates(spark, sf_dir):
+    """q446: customer agg + 5-row stratum moments, broadcast total."""
+    df = _df(spark, sf_dir, "q446_neyman_allocation")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_heaps_is_one_first_occurrence_pass(spark, sf_dir):
+    """q447: ONE min-doc-id aggregate feeds all 10 prefix checkpoints —
+    the plan must contain exactly one shingle explode, never 10."""
+    df = _df(spark, sf_dir, "q447_heaps_law")
+    plan = P.physical_plan(df)
+    assert plan.count("Generate explode") <= 2  # shingle + none per decile
+
+
+def test_burstiness_grid_is_spine_join(spark, sf_dir):
+    """q448: the complete hourly grid comes from a broadcast spine
+    cross-join; moments are one aggregate per type."""
+    df = _df(spark, sf_dir, "q448_burstiness")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_mase_lags_are_day_domain(spark, sf_dir):
+    """q449: both lag joins run on the checkpointed <=31-row day table."""
+    df = _df(spark, sf_dir, "q449_seasonal_naive_mase")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_stickiness_week_table_broadcasts(spark, sf_dir):
+    """q450: the 5-row week table and the 1-row MAU broadcast onto the
+    daily counts."""
+    df = _df(spark, sf_dir, "q450_dau_stickiness")
+    assert P.num_broadcast_joins(df) >= 1

@@ -93,6 +93,7 @@ SCALE_SENSITIVE = [
     "q437_cf_holdout_eval",  # scoring fan-out x user top-5
     "q439_rake_keyphrases",  # phrase-run volume, per-doc windows
     "q441_bigram_next_token",  # positional fan-out, vocab volume
+    "q447_heaps_law",  # shingle-type first-occurrence volume
 ]
 
 

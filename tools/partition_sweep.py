@@ -232,6 +232,13 @@ QUERIES = [
     "q443_eb_shrinkage",
     "q444_price_elasticity",
     "q445_anomaly_consensus",
+    # round 9i: stratum moments, the first-occurrence prefix trick,
+    # zero-kept spine grids, day-domain lag joins, distinct-count ppm
+    "q446_neyman_allocation",
+    "q447_heaps_law",
+    "q448_burstiness",
+    "q449_seasonal_naive_mase",
+    "q450_dau_stickiness",
 ]
 
 SETTINGS = [8, 32, 128]
