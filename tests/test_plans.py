@@ -1304,3 +1304,32 @@ def test_stickiness_week_table_broadcasts(spark, sf_dir):
     daily counts."""
     df = _df(spark, sf_dir, "q450_dau_stickiness")
     assert P.num_broadcast_joins(df) >= 1
+
+
+# --- round-9i block: tokenizer econ / clustering eval / classifier eval ----
+
+
+def test_fertility_is_one_aggregate_no_udf(spark, sf_dir):
+    """q451: token counts are map-side regex expressions feeding one
+    per-language aggregate — no UDF, no Window."""
+    df = _df(spark, sf_dir, "q451_tokenizer_fertility")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan and "PythonUDF" not in plan
+
+
+def test_ari_never_materializes_pairs(spark, sf_dir):
+    """q452: pair counting is C(n,2) per contingency cell — the plan
+    must contain no join of the corpus against itself. Only the first
+    exchange (the contingency groupBy) moves corpus rows; the marginal
+    rollups all run on the checkpointed <=|langs x sources| table."""
+    df = _df(spark, sf_dir, "q452_adjusted_rand")
+    assert P.num_shuffles(df) <= 7
+
+
+def test_prf_touches_corpus_once(spark, sf_dir):
+    """q453: one confusion contingency feeds every per-class count;
+    the documents scan appears at most twice (scored pass + class
+    list)."""
+    df = _df(spark, sf_dir, "q453_multiclass_prf")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan

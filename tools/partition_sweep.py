@@ -239,6 +239,11 @@ QUERIES = [
     "q448_burstiness",
     "q449_seasonal_naive_mase",
     "q450_dau_stickiness",
+    # round 9j: map-side regex counts, contingency pair counting, the
+    # confusion-matrix rollup
+    "q451_tokenizer_fertility",
+    "q452_adjusted_rand",
+    "q453_multiclass_prf",
 ]
 
 SETTINGS = [8, 32, 128]
