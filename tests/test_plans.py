@@ -1333,3 +1333,45 @@ def test_prf_touches_corpus_once(spark, sf_dir):
     df = _df(spark, sf_dir, "q453_multiclass_prf")
     plan = P.physical_plan(df)
     assert "Window" not in plan
+
+
+# --- round-9j block: effect sizes / paired-categorical tests ---------------
+
+
+def test_effect_sizes_is_one_aggregate(spark, sf_dir):
+    """q454: one corpus-scale moment aggregate; formulas run on the
+    1-row result — no Window, no join, no UDF."""
+    df = _df(spark, sf_dir, "q454_effect_sizes")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan and "PythonUDF" not in plan
+    assert P.num_broadcast_joins(df) == 0
+
+
+def test_cliffs_delta_windows_only_value_table(spark, sf_dir):
+    """q455: the distributed-prefix machinery windows only the bounded
+    per-value count table (partitioned by bucket), never corpus rows —
+    every window sits above the value-count aggregate."""
+    df = _df(spark, sf_dir, "q455_cliffs_delta")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.find("vc#") if "vc#" in plan else 0
+    assert "Window" in plan  # the bucketed prefix exists...
+    # ...and the corpus aggregate (value counts) is below every window
+    assert plan.index("Window") < plan.rindex("Relation")
+
+
+def test_hodges_lehmann_histograms_broadcast(spark, sf_dir):
+    """q456: the pair blow-up is a broadcast cross-product of two
+    bounded value histograms; corpus rows are only ever aggregated."""
+    df = _df(spark, sf_dir, "q456_hodges_lehmann")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bowker_is_single_user_aggregate(spark, sf_dir):
+    """q457: first/last per user come from min_by/max_by in ONE
+    user-keyed aggregate — no per-user window sort; the symmetry sum
+    runs on the broadcast |types|^2 contingency."""
+    df = _df(spark, sf_dir, "q457_bowker_symmetry")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) >= 2
