@@ -1375,3 +1375,43 @@ def test_bowker_is_single_user_aggregate(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "Window" not in plan
     assert P.num_broadcast_joins(df) >= 2
+
+
+# --- round-9k block: eval / agreement / calibration / fairness -------------
+
+
+def test_pass_at_k_is_one_user_aggregate(spark, sf_dir):
+    """q458: one user-keyed aggregate + a 1-row rollup; the telescoping
+    product is per-row arithmetic — no window, no join."""
+    df = _df(spark, sf_dir, "q458_pass_at_k")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan and "PythonUDF" not in plan
+    assert P.num_broadcast_joins(df) == 0
+
+
+def test_krippendorff_runs_on_broadcast_metadata(spark, sf_dir):
+    """q459: corpus touched once (user min_by/max_by aggregate); the
+    coincidence matrix, marginals and expected-disagreement join are
+    all broadcast |types|-sized frames."""
+    df = _df(spark, sf_dir, "q459_krippendorff_alpha")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_spiegelhalter_is_single_pass(spark, sf_dir):
+    """q460: ONE map-side-combinable aggregate — no shuffle beyond the
+    final 1-row exchange, no window, no join."""
+    df = _df(spark, sf_dir, "q460_spiegelhalter_z")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_shuffles(df) <= 1
+
+
+def test_fairness_gaps_broadcast_back(spark, sf_dir):
+    """q461: per-source rates come from one corpus aggregate; the 1-row
+    gap summary broadcasts back onto the |sources| table."""
+    df = _df(spark, sf_dir, "q461_fairness_audit")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) >= 1
