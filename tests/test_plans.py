@@ -1415,3 +1415,35 @@ def test_fairness_gaps_broadcast_back(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "Window" not in plan
     assert P.num_broadcast_joins(df) >= 1
+
+
+# --- round-9l block: time-series (PACF / Hurst / Page-Hinkley / spectra) ---
+
+
+def test_dayseries_windows_are_post_aggregate(spark, sf_dir):
+    """q462/q464: every window (rank spine, cumulative U, running min)
+    sits ABOVE the day aggregate — the optimized plan's windows only
+    ever see the calendar-bounded day table, never corpus rows."""
+    for name in ("q462_pacf_closed", "q464_page_hinkley"):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Window" in plan:
+            assert plan.index("Aggregate") < plan.index("Window") or (
+                plan.rindex("Relation") > plan.index("Window")
+            )
+
+
+def test_hurst_blocks_partition_by_size_block(spark, sf_dir):
+    """q463: the cumulative-deviation window partitions by
+    (size, block) — <= 64 rows per partition."""
+    df = _df(spark, sf_dir, "q463_hurst_rs")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "partitionby" in plan.lower().replace(" ", "") or "size" in plan
+
+
+def test_spectral_probe_is_broadcast_phase_join(spark, sf_dir):
+    """q465: the 44-row phase bank broadcasts onto the day spine; the
+    corpus appears once (the day aggregate)."""
+    df = _df(spark, sf_dir, "q465_spectral_entropy")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
