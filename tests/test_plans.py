@@ -1447,3 +1447,35 @@ def test_spectral_probe_is_broadcast_phase_join(spark, sf_dir):
     df = _df(spark, sf_dir, "q465_spectral_entropy")
     plan = P.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- round-9m block: graph / recommender evaluation ------------------------
+
+
+def test_lcc_triangles_enumerate_once(spark, sf_dir):
+    """q466: degree-ordered orientation — at most 2 self-joins of the
+    oriented edge set (wedge + close), and top-20 is a bounded
+    TakeOrderedAndProject, not a global sort."""
+    df = _df(spark, sf_dir, "q466_local_clustering")
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_degrees_broadcast(spark, sf_dir):
+    """q467: the per-supplier degree table joins as broadcast metadata;
+    top-50 is a bounded top-k."""
+    df = _df(spark, sf_dir, "q467_link_prediction")
+    plan = P.physical_plan(df)
+    assert P.num_broadcast_joins(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rec_windows_partition_by_brand(spark, sf_dir):
+    """q468/q469: the only windows are the per-brand rank over <= 24
+    cosine rows — partitioned, never global."""
+    for name in ("q468_rec_coverage", "q469_intra_list_diversity"):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for frag in plan.split("Window")[1:]:
+            head = frag[:200]
+            assert "b1" in head  # partitionBy(b1) present
