@@ -1479,3 +1479,38 @@ def test_rec_windows_partition_by_brand(spark, sf_dir):
         for frag in plan.split("Window")[1:]:
             head = frag[:200]
             assert "b1" in head  # partitionBy(b1) present
+
+
+# --- round-9n block: embedding geometry / vocabulary -----------------------
+
+
+def test_anisotropy_never_materializes_pairs(spark, sf_dir):
+    """q470: the ||sum u||^2 identity — no self-join of embeddings
+    against embeddings; one explode, two nested aggregates."""
+    df = _df(spark, sf_dir, "q470_anisotropy")
+    plan = P.physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") + plan.count("Generate posexplode") <= 1
+
+
+def test_good_turing_is_nested_aggregates(spark, sf_dir):
+    """q471: explode -> token counts -> spectrum; no window."""
+    df = _df(spark, sf_dir, "q471_good_turing")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+
+
+def test_ch_index_has_no_pair_join(spark, sf_dir):
+    """q472: scatter moments come from keyed aggregates of the
+    component grid — never a vector-vector join."""
+    df = _df(spark, sf_dir, "q472_calinski_harabasz")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_pr_gram_join_is_per_row(spark, sf_dir):
+    """q473: the only self-join keys on vec_id (per-row outer product,
+    64^2 fan-out bounded by the dim), feeding one (d1,d2) aggregate."""
+    df = _df(spark, sf_dir, "q473_participation_ratio")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "vec_id" in plan and "Window" not in plan
