@@ -1514,3 +1514,35 @@ def test_pr_gram_join_is_per_row(spark, sf_dir):
     df = _df(spark, sf_dir, "q473_participation_ratio")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "vec_id" in plan and "Window" not in plan
+
+
+# --- round-9o block: data quality / inequality -----------------------------
+
+
+def test_fd_panel_has_no_window(spark, sf_dir):
+    """q474/q475: profiling panels are unions of independent keyed
+    aggregates — no window anywhere."""
+    for name in ("q474_fd_discovery", "q475_candidate_keys"):
+        df = _df(spark, sf_dir, name)
+        assert "Window" not in P.physical_plan(df)
+
+
+def test_atkinson_is_two_aggregates(spark, sf_dir):
+    """q476: customer rollup -> 1-row moments; no join, no window."""
+    df = _df(spark, sf_dir, "q476_atkinson_index")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) == 0
+
+
+def test_theil_totals_broadcast(spark, sf_dir):
+    """q477: the 1-row totals and the |nations| group table broadcast;
+    corpus appears once after the customer rollup."""
+    df = _df(spark, sf_dir, "q477_theil_decomposition")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    # the checkpointed |nations| frame hides the upstream joins; the
+    # visible tail still broadcasts the 1-row rollup both ways
+    assert (
+        P.num_broadcast_joins(df) + plan.count("BroadcastNestedLoopJoin") >= 2
+    )
