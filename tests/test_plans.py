@@ -1546,3 +1546,30 @@ def test_theil_totals_broadcast(spark, sf_dir):
     assert (
         P.num_broadcast_joins(df) + plan.count("BroadcastNestedLoopJoin") >= 2
     )
+
+
+# --- round-9p block: experiment-analysis completion -------------------------
+
+
+def test_ab_moment_queries_are_one_pass(spark, sf_dir):
+    """q479/q481: the shared moment table is ONE corpus aggregate; the
+    statistic is arithmetic on the 1-row result — no window."""
+    for name in ("q479_tost_equivalence", "q481_fieller_ratio_ci"):
+        df = _df(spark, sf_dir, name)
+        plan = P.physical_plan(df)
+        assert "Window" not in plan
+        assert P.num_shuffles(df) <= 1
+
+
+def test_welch_group_frame_is_bounded(spark, sf_dir):
+    """q478: after the per-type moment aggregate, every frame is
+    |event types| rows; no window anywhere."""
+    df = _df(spark, sf_dir, "q478_welch_anova")
+    assert "Window" not in P.physical_plan(df)
+
+
+def test_power_tables_are_broadcast_literals(spark, sf_dir):
+    """q480: the 121-point CDF table and the 5-point effect grid join
+    as broadcast literals onto the 1-row moment table."""
+    df = _df(spark, sf_dir, "q480_posthoc_power")
+    assert P.num_broadcast_joins(df) >= 2
