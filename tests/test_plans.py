@@ -1573,3 +1573,40 @@ def test_power_tables_are_broadcast_literals(spark, sf_dir):
     as broadcast literals onto the 1-row moment table."""
     df = _df(spark, sf_dir, "q480_posthoc_power")
     assert P.num_broadcast_joins(df) >= 2
+
+
+# --- round-9q block: LLM-pipeline planning ---------------------------------
+
+
+def test_span_budget_is_map_side_ints(spark, sf_dir):
+    """q482: one token-count expression feeding one per-source
+    aggregate — no window, no UDF, all integer."""
+    df = _df(spark, sf_dir, "q482_span_corruption_stats")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan and "PythonUDF" not in plan
+
+
+def test_mixture_normalizer_broadcasts(spark, sf_dir):
+    """q483: the 1-row total and the DECIMAL normalizer broadcast onto
+    the |langs| frame."""
+    df = _df(spark, sf_dir, "q483_mixture_temperature")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_best_of_n_window_is_per_user(spark, sf_dir):
+    """q484: the rank window partitions by user (bounded per key);
+    the n-grid is a 4-row broadcast."""
+    df = _df(spark, sf_dir, "q484_best_of_n")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for frag in plan.split("Window")[1:]:
+        assert "user_id" in frag[:260]
+
+
+def test_spearman_brown_runs_on_metadata(spark, sf_dir):
+    """q485: after the user-keyed min_by/max_by pass every frame is
+    1-row or |types|-sized; the k grid is a broadcast literal."""
+    df = _df(spark, sf_dir, "q485_spearman_brown")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan

@@ -244,6 +244,44 @@ QUERIES = [
     "q451_tokenizer_fertility",
     "q452_adjusted_rand",
     "q453_multiclass_prf",
+    # round 9j-9p (this session): exact-decimal moment aggregates, the
+    # 2U1 rank identity on the bucketed prefix, histogram cross-product
+    # weighted medians, min_by/max_by composite keys, per-task ppm
+    # quantization, symmetrized coincidence matrices, nano-quantized
+    # per-row calibration terms, day-spine integer prefixes (PACF /
+    # R/S / Page-Hinkley / spectral probes), degree-ordered per-node
+    # triangles, rec-list metrics on bit-identical cosines, the
+    # pair-free anisotropy identity, the distributed Gram build, FD /
+    # key profiling panels, nano-quantized inequality terms, and the
+    # interpolated normal-CDF literal table
+    "q454_effect_sizes",
+    "q455_cliffs_delta",
+    "q456_hodges_lehmann",
+    "q457_bowker_symmetry",
+    "q458_pass_at_k",
+    "q459_krippendorff_alpha",
+    "q460_spiegelhalter_z",
+    "q461_fairness_audit",
+    "q462_pacf_closed",
+    "q463_hurst_rs",
+    "q464_page_hinkley",
+    "q465_spectral_entropy",
+    "q466_local_clustering",
+    "q467_link_prediction",
+    "q468_rec_coverage",
+    "q469_intra_list_diversity",
+    "q470_anisotropy",
+    "q471_good_turing",
+    "q472_calinski_harabasz",
+    "q473_participation_ratio",
+    "q474_fd_discovery",
+    "q475_candidate_keys",
+    "q476_atkinson_index",
+    "q477_theil_decomposition",
+    "q478_welch_anova",
+    "q479_tost_equivalence",
+    "q480_posthoc_power",
+    "q481_fieller_ratio_ci",
 ]
 
 SETTINGS = [8, 32, 128]
