@@ -1610,3 +1610,32 @@ def test_spearman_brown_runs_on_metadata(spark, sf_dir):
     df = _df(spark, sf_dir, "q485_spearman_brown")
     plan = P.physical_plan(df)
     assert "Window" not in plan
+
+
+# --- round-9r block: rank concordance / ordinal trend ----------------------
+
+
+def test_concordance_windows_are_panel_sized(spark, sf_dir):
+    """q486/q487: rank windows partition by year (25 rows) or brand
+    (6 rows) on the 150-row panel — never corpus rows."""
+    for name, part_col in (("q486_kendall_w", "y"), ("q487_page_trend", "b")):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for frag in plan.split("Window")[1:]:
+            assert part_col in frag[:260]
+
+
+def test_gamma_pairs_collapse_to_contingency(spark, sf_dir):
+    """q488: C and D are metadata self-joins of the 5x5 contingency;
+    the corpus appears once (the banding aggregate)."""
+    df = _df(spark, sf_dir, "q488_goodman_kruskal_gamma")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+
+
+def test_cochran_armitage_is_two_aggregates(spark, sf_dir):
+    """q489: priority rollup -> 1-row moments; no window, no join."""
+    df = _df(spark, sf_dir, "q489_cochran_armitage")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan
+    assert P.num_broadcast_joins(df) == 0
