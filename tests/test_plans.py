@@ -1639,3 +1639,34 @@ def test_cochran_armitage_is_two_aggregates(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "Window" not in plan
     assert P.num_broadcast_joins(df) == 0
+
+
+# --- round-9s block: survival parametrics / calibration / info theory ------
+
+
+def test_km_derived_stats_stay_on_bucket_domain(spark, sf_dir):
+    """q490/q492: the KM windows run above the checkpointed <=90-row
+    at-risk table (visible as LogicalRDD), never on a parquet scan."""
+    for name in ("q490_weibull_fit", "q492_rmst"):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" in plan and "LogicalRDD" in plan
+        assert "Relation" not in plan  # corpus scan is behind the checkpoint
+
+
+def test_adaptive_ece_has_no_corpus_window(spark, sf_dir):
+    """q491: binning runs on the milli-probability value-count table
+    (<=1000 rows) — no ntile, and every visible window (if any) sits
+    above the checkpointed bin table, not a corpus scan."""
+    df = _df(spark, sf_dir, "q491_adaptive_ece")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in plan.lower()
+
+
+def test_entropy_rate_window_is_per_user(spark, sf_dir):
+    """q493: the transition lead() partitions by user; chain stats run
+    on the broadcast |types|^2 contingency."""
+    df = _df(spark, sf_dir, "q493_markov_entropy_rate")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for frag in plan.split("Window")[1:]:
+        assert "user_id" in frag[:260]
