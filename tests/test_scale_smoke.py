@@ -94,6 +94,19 @@ SCALE_SENSITIVE = [
     "q439_rake_keyphrases",  # phrase-run volume, per-doc windows
     "q441_bigram_next_token",  # positional fan-out, vocab volume
     "q447_heaps_law",  # shingle-type first-occurrence volume
+    # round 9 (this session): the pair/fan-out additions whose volume
+    # is fixture-structure-dependent — co-supply wedge closes (q466),
+    # degree-gated pair aggregates (q467), customer x brand pair dots
+    # (q468/q469), the dim^2-per-row Gram explode (q473), the token
+    # frequency-spectrum explode (q471), and the per-user order-
+    # statistic fan-out (q484)
+    "q466_local_clustering",
+    "q467_link_prediction",
+    "q468_rec_coverage",
+    "q469_intra_list_diversity",
+    "q471_good_turing",
+    "q473_participation_ratio",
+    "q484_best_of_n",
 ]
 
 

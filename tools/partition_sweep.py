@@ -282,6 +282,23 @@ QUERIES = [
     "q479_tost_equivalence",
     "q480_posthoc_power",
     "q481_fieller_ratio_ci",
+    # round 9 final batches: integer span accounting, DECIMAL-
+    # normalized mixture weights, the order-statistic identity under
+    # per-user windows, prophecy projection, panel rank windows,
+    # contingency pair collapse, KM-derived parametrics, equal-mass
+    # binning on the value domain, and the per-user transition chain
+    "q482_span_corruption_stats",
+    "q483_mixture_temperature",
+    "q484_best_of_n",
+    "q485_spearman_brown",
+    "q486_kendall_w",
+    "q487_page_trend",
+    "q488_goodman_kruskal_gamma",
+    "q489_cochran_armitage",
+    "q490_weibull_fit",
+    "q491_adaptive_ece",
+    "q492_rmst",
+    "q493_markov_entropy_rate",
 ]
 
 SETTINGS = [8, 32, 128]
