@@ -1452,13 +1452,14 @@ def test_spectral_probe_is_broadcast_phase_join(spark, sf_dir):
 # --- round-9m block: graph / recommender evaluation ------------------------
 
 
-def test_lcc_triangles_enumerate_once(spark, sf_dir):
-    """q466: degree-ordered orientation — at most 2 self-joins of the
-    oriented edge set (wedge + close), and top-20 is a bounded
-    TakeOrderedAndProject, not a global sort."""
+def test_lcc_counts_only_hub_triangles(spark, sf_dir):
+    """q466: triangles are NOT globally enumerated — the hub-neighbor
+    membership table broadcasts onto the edge list (two broadcast
+    joins), and no corpus-scale sort survives in the visible tail."""
     df = _df(spark, sf_dir, "q466_local_clustering")
     plan = P.physical_plan(df)
-    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
 
 
 def test_link_prediction_degrees_broadcast(spark, sf_dir):

@@ -312,14 +312,23 @@ def result_hash(df) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # --from qNNN: sweep only list entries >= that name (supplemental
+    # passes for a new tail without re-running the whole family)
+    start = None
+    for a in sys.argv[1:]:
+        if a.startswith("--from="):
+            start = a.split("=", 1)[1]
     from tytodb_spark.session import get_spark
     from tytodb_spark import queries as Q
 
     spark = get_spark()
     available = [q for q in QUERIES if q in Q.REGISTRY]
+    if start:
+        available = [q for q in available if q >= start]
     # warm the Python worker pool + parquet footer cache so the first
     # setting isn't charged for process spin-up
     spark.conf.set("spark.sql.shuffle.partitions", str(SETTINGS[0]))
