@@ -1671,3 +1671,32 @@ def test_entropy_rate_window_is_per_user(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     for frag in plan.split("Window")[1:]:
         assert "user_id" in frag[:260]
+
+
+# --- round-9t block: pipeline-tuning curves --------------------------------
+
+
+def test_threshold_curves_score_once(spark, sf_dir):
+    """q494/q495: the pair/score table materializes once (checkpoint)
+    and all cutoffs aggregate conditionally — the curve's plan reads
+    ONE LogicalRDD, not 5 corpus scans."""
+    for name in ("q494_dedup_threshold_curve", "q495_quality_tradeoff_curve"):
+        df = _df(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LogicalRDD") >= 1
+        assert "Window" not in plan
+
+
+def test_overlap_probes_broadcast(spark, sf_dir):
+    """q496: each n-gram probe set broadcasts onto the train side —
+    raw text never shuffles."""
+    df = _df(spark, sf_dir, "q496_overlap_curve")
+    assert P.num_broadcast_joins(df) >= 3
+
+
+def test_length_bias_bins_on_value_domain(spark, sf_dir):
+    """q497: binning uses the exclusive-prefix trick on the n_chars
+    value-count table — no ntile."""
+    df = _df(spark, sf_dir, "q497_length_bias_audit")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in plan.lower()
