@@ -1700,3 +1700,31 @@ def test_length_bias_bins_on_value_domain(spark, sf_dir):
     df = _df(spark, sf_dir, "q497_length_bias_audit")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ntile" not in plan.lower()
+
+
+# --- round-9u block: causal designs / index numbers ------------------------
+
+
+def test_switchback_inference_is_day_level(spark, sf_dir):
+    """q498: one corpus aggregate to the day grain; arm moments and
+    the Welch t run on calendar-bounded frames — no window."""
+    df = _df(spark, sf_dir, "q498_switchback_analysis")
+    assert "Window" not in P.physical_plan(df)
+
+
+def test_rd_and_its_are_moment_ols(spark, sf_dir):
+    """q499/q500: each side/segment is one exact-decimal five-moment
+    aggregate; the fits are arithmetic on 1-row frames."""
+    for name in ("q499_regression_discontinuity", "q500_interrupted_time_series"):
+        df = _df(spark, sf_dir, name)
+        plan = P.physical_plan(df)
+        assert "Window" not in plan
+
+
+def test_price_index_basket_sums_are_keyed(spark, sf_dir):
+    """q501: the base-year join keys on partkey; the basket sums are
+    one keyed aggregate over the checkpointed |years x parts| price
+    table — no window."""
+    df = _df(spark, sf_dir, "q501_price_index")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan

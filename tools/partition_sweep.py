@@ -305,6 +305,12 @@ QUERIES = [
     "q495_quality_tradeoff_curve",
     "q496_overlap_curve",
     "q497_length_bias_audit",
+    # round 9 causal/index batch: cluster-level day means, two-sided
+    # exact-moment OLS, segmented day-spine fits, DECIMAL basket sums
+    "q498_switchback_analysis",
+    "q499_regression_discontinuity",
+    "q500_interrupted_time_series",
+    "q501_price_index",
 ]
 
 SETTINGS = [8, 32, 128]
