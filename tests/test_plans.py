@@ -1728,3 +1728,38 @@ def test_price_index_basket_sums_are_keyed(spark, sf_dir):
     df = _df(spark, sf_dir, "q501_price_index")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+# --- round-9v block: tuning advisors ---------------------------------------
+
+
+def test_session_curve_lags_once(spark, sf_dir):
+    """q502: ONE per-user lag pass feeds all three cutoffs via the
+    checkpointed gap table — the visible plan reads a LogicalRDD."""
+    df = _df(spark, sf_dir, "q502_session_gap_curve")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+
+
+def test_topk_stability_heads_are_bounded(spark, sf_dir):
+    """q503: overlap joins run on the <=100-row per-half heads; the
+    rank window partitions by half."""
+    df = _df(spark, sf_dir, "q503_topk_stability")
+    plan = P.physical_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsor_caps_share_one_cdf(spark, sf_dir):
+    """q504: all cap levels read the same checkpointed value-count CDF
+    — no per-level corpus re-sort, no ntile."""
+    df = _df(spark, sf_dir, "q504_winsor_sensitivity")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "LogicalRDD" in plan
+
+
+def test_shuffle_advisor_is_independent_probes(spark, sf_dir):
+    """q505: a union of five 1-row aggregates; no join, no window."""
+    df = _df(spark, sf_dir, "q505_shuffle_advisor")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan

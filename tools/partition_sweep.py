@@ -311,6 +311,12 @@ QUERIES = [
     "q499_regression_discontinuity",
     "q500_interrupted_time_series",
     "q501_price_index",
+    # round 9 advisor batch: checkpoint-shared gap/CDF tables,
+    # deterministic top-k heads, schema-arithmetic probes
+    "q502_session_gap_curve",
+    "q503_topk_stability",
+    "q504_winsor_sensitivity",
+    "q505_shuffle_advisor",
 ]
 
 SETTINGS = [8, 32, 128]
