@@ -1763,3 +1763,23 @@ def test_shuffle_advisor_is_independent_probes(spark, sf_dir):
     df = _df(spark, sf_dir, "q505_shuffle_advisor")
     plan = P.physical_plan(df)
     assert "Window" not in plan
+
+
+# --- round-9w block: streaming decayed counts ------------------------------
+
+
+def test_decayed_counts_state_is_key_bounded(spark, sf_dir):
+    """q506: the returned state is |event types| rows pinned through
+    the guarded driver pin; the batch twin's plan (decay_state on the
+    full frame) is two keyed aggregates, no window."""
+    from tytodb_spark.streaming.pipeline import decay_state
+    from tytodb_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.expr("cast(floor(unix_micros(ts) / 86400e6) as bigint)").alias("day"),
+    )
+    df = decay_state(ev, "event_type", "day")
+    assert "Window" not in P.physical_plan(df)
+    assert df.count() <= 10
