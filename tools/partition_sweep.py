@@ -317,6 +317,9 @@ QUERIES = [
     "q503_topk_stability",
     "q504_winsor_sensitivity",
     "q505_shuffle_advisor",
+    # round 9 streaming batch: dyadic decayed-count state (the merge
+    # itself is the order-independence proof; the sweep re-checks it)
+    "q506_stream_decayed_counts",
 ]
 
 SETTINGS = [8, 32, 128]
