@@ -1783,3 +1783,39 @@ def test_decayed_counts_state_is_key_bounded(spark, sf_dir):
     df = decay_state(ev, "event_type", "day")
     assert "Window" not in P.physical_plan(df)
     assert df.count() <= 10
+
+
+# --- round-9x block: retrieval tuning / inference --------------------------
+
+
+def test_bm25_grid_builds_index_once(spark, sf_dir):
+    """q507: one tokenize/tf/df build serves all four (k1,b) settings;
+    per-setting top-10s are bounded TakeOrderedAndProject plans."""
+    df = _df(spark, sf_dir, "q507_bm25_parameter_curve")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan  # the checkpointed scored table
+
+
+def test_paired_ttest_window_is_per_user(spark, sf_dir):
+    """q508: the split rank partitions by user; moments are one
+    aggregate of milli-quantized differences."""
+    df = _df(spark, sf_dir, "q508_paired_ttest")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for frag in plan.split("Window")[1:]:
+        assert "user_id" in frag[:260]
+
+
+def test_holm_windows_are_grid_sized(spark, sf_dir):
+    """q509: the rank and first-failure windows run on the <=120-cell
+    designed grid — above the cell aggregate, never corpus rows."""
+    df = _df(spark, sf_dir, "q509_holm_bonferroni")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Window") < plan.rindex("Relation")
+
+
+def test_moods_median_has_no_corpus_sort(spark, sf_dir):
+    """q510: the global median reads off the value-count CDF
+    (exclusive-prefix trick) — no corpus-wide Sort outside windows."""
+    df = _df(spark, sf_dir, "q510_moods_median")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in plan.lower()

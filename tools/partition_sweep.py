@@ -320,6 +320,12 @@ QUERIES = [
     # round 9 streaming batch: dyadic decayed-count state (the merge
     # itself is the order-independence proof; the sweep re-checks it)
     "q506_stream_decayed_counts",
+    # round 9 inference batch: grid-shared index builds, per-user
+    # split windows, bounded step-down scans, CDF-derived medians
+    "q507_bm25_parameter_curve",
+    "q508_paired_ttest",
+    "q509_holm_bonferroni",
+    "q510_moods_median",
 ]
 
 SETTINGS = [8, 32, 128]
