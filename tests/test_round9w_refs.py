@@ -68,6 +68,42 @@ def test_merge_decay_is_order_independent(spark):
             assert got == cold, (left, right)
 
 
+def test_decay_state_raises_on_batch_over_60_day_span(spark):
+    """A batch spanning >60 days per key would make the shift amount
+    negative, which Java shiftleft silently masks to 6 bits — the
+    guarded expression must raise instead of corrupting the mass."""
+    import pytest
+
+    rows = [("a", 0), ("a", 61)]
+    with pytest.raises(Exception, match="decay_state"):
+        decay_state(_day_frame(spark, rows), "event_type", "day").collect()
+    # the 60-day boundary itself is still legal (contribution = 2^0)
+    ok = decay_state(
+        _day_frame(spark, [("a", 0), ("a", 60)]), "event_type", "day"
+    ).collect()
+    assert int(ok[0]["v"]) == 2**60 + 1
+
+
+def test_merge_decay_raises_outside_exactness_window(spark):
+    """A frontier gap that would round the halving (or wrap shiftleft
+    at >=64 days) must raise, not silently break order-independence."""
+    import pytest
+
+    a = decay_state(_day_frame(spark, [("a", 0)]), "event_type", "day")
+    # gap 61: mass 2^60 / 2^61 rounds — must raise
+    b = decay_state(_day_frame(spark, [("a", 61)]), "event_type", "day")
+    with pytest.raises(Exception, match="merge_decay"):
+        merge_decay(a, b, "event_type").collect()
+    # gap 70: shiftleft would wrap entirely — must also raise
+    c = decay_state(_day_frame(spark, [("a", 70)]), "event_type", "day")
+    with pytest.raises(Exception, match="merge_decay"):
+        merge_decay(a, c, "event_type").collect()
+    # gap 60 with a frontier-day event divides exactly — still legal
+    d = decay_state(_day_frame(spark, [("a", 60)]), "event_type", "day")
+    got = merge_decay(a, d, "event_type").collect()
+    assert (got[0]["max_day"], int(got[0]["v"])) == (60, 2**60 + 1)
+
+
 def test_decay_masses_are_exact_dyadic_integers(spark):
     """Every partial's mass is an integer multiple of 2^31 (the
     headroom that makes frontier re-basing exact integer halving for

@@ -339,16 +339,33 @@ def result_hash(df) -> tuple[str, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    # --from qNNN: sweep only list entries >= that name (supplemental
-    # passes for a new tail without re-running the whole family)
+    # --from qNNN / --from=qNNN: sweep only list entries >= that name
+    # (supplemental passes for a new tail without re-running the whole
+    # family). Unknown --flags fail fast rather than being silently
+    # dropped into the sf_dir positional.
     start = None
-    for a in sys.argv[1:]:
+    positional = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--from="):
             start = a.split("=", 1)[1]
+        elif a == "--from":
+            if i + 1 >= len(argv):
+                print("--from requires a query name", file=sys.stderr)
+                return 2
+            i += 1
+            start = argv[i]
+        elif a.startswith("--"):
+            print(f"unrecognized flag: {a}", file=sys.stderr)
+            return 2
+        else:
+            positional.append(a)
+        i += 1
+    sf_dir = positional[0] if positional else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     from tytodb_spark.session import get_spark
     from tytodb_spark import queries as Q
 

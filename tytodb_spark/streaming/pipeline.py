@@ -627,7 +627,15 @@ def decay_state(batch: DataFrame, key_col: str, day_col: str) -> DataFrame:
     as DECIMAL(38,0). The 2^60 fixed-point makes every contribution an
     exact power-of-two integer for any event up to 60 days older than
     the partial's frontier, so merging partials (merge_decay) is exact
-    integer halving — no float ever accumulates."""
+    integer halving — no float ever accumulates.
+
+    VALIDITY WINDOW: a single batch must span at most 60 days per key
+    (oldest event >= frontier - 60). Beyond that the shift amount goes
+    negative, which Java shiftleft would silently wrap (mask to 6
+    bits) into enormous wrong masses — so the expression raises loudly
+    (assert_true) instead. An event >60 days older than the frontier
+    contributes < 1 ulp of the fixed point anyway; callers with longer
+    histories should pre-filter rather than expect silent decay."""
     mx = batch.groupBy(key_col).agg(F.max(day_col).alias("max_day"))
     return (
         batch.join(mx, key_col)
@@ -636,11 +644,20 @@ def decay_state(batch: DataFrame, key_col: str, day_col: str) -> DataFrame:
             F.sum(
                 # shiftleft, NOT pow()->decimal: casting the double 2^60
                 # to decimal rounds at 17 significant digits (measured
-                # +6 on a 3x30-day batch); the bigint shift is exact
+                # +6 on a 3x30-day batch); the bigint shift is exact.
+                # assert_true returns NULL on pass, so the CASE yields
+                # the shifted value; a >60-day span raises instead of
+                # letting shiftleft wrap the negative amount.
                 F.expr(
-                    "cast(shiftleft(cast(1 as bigint),"
+                    "case when assert_true("
+                    f"{day_col} - max_day + 60 >= 0,"
+                    " 'decay_state: batch spans more than 60 days —"
+                    " contribution would underflow the 2^60 fixed point"
+                    " (shiftleft would wrap); pre-filter events older"
+                    " than frontier - 60') is null"
+                    " then cast(shiftleft(cast(1 as bigint),"
                     f" cast({day_col} - max_day + 60 as int))"
-                    " as decimal(38,0))"
+                    " as decimal(38,0)) end"
                 )
             )
             .cast("decimal(38,0)")
@@ -652,11 +669,20 @@ def decay_state(batch: DataFrame, key_col: str, day_col: str) -> DataFrame:
 def merge_decay(a: DataFrame, b: DataFrame, key_col: str) -> DataFrame:
     """Merge two decayed-count partials: per key the older frontier's
     mass halves once per day of frontier difference — exact integer
-    division because every surviving contribution carries at least
-    2^(60 - 59) of headroom. The operation is ASSOCIATIVE and
-    COMMUTATIVE (it is just a change of fixed-point basis + add), so
-    the final state is independent of micro-batch arrival order — the
-    property the oracle equality and the partition sweep both lean on."""
+    division while every contribution still carries headroom in the
+    2^60 fixed point. The operation is ASSOCIATIVE and COMMUTATIVE
+    (it is just a change of fixed-point basis + add), so the final
+    state is independent of micro-batch arrival order — the property
+    the oracle equality and the partition sweep both lean on.
+
+    VALIDITY WINDOW: exactness holds while every event stays within
+    60 days of the merged frontier (so its dyadic term remains an
+    integer after re-basing). Outside that window the decimal division
+    would round HALF_UP — silently breaking the order-independence
+    guarantee — and a frontier gap >= 64 days would wrap shiftleft
+    entirely (divisor 1, no halving at all). Both conditions raise
+    loudly via assert_true instead: the gap must be < 63 and the
+    older mass must be exactly divisible by 2^gap."""
     u = a.select(key_col, "max_day", "v").unionByName(
         b.select(key_col, "max_day", "v")
     )
@@ -666,10 +692,22 @@ def merge_decay(a: DataFrame, b: DataFrame, key_col: str) -> DataFrame:
         .select(
             key_col,
             F.col("__mx").alias("max_day"),
+            # least(gap, 62) keeps the divisibility probe's shiftleft
+            # well-defined when the gap itself is out of range — the
+            # `gap < 63` conjunct is what actually fires there.
             F.expr(
-                "cast(v / cast(shiftleft(cast(1 as bigint),"
+                "case when assert_true("
+                " __mx - max_day < 63 and"
+                " v % cast(shiftleft(cast(1 as bigint),"
+                " cast(least(__mx - max_day, 62) as int))"
+                " as decimal(38,0)) = 0,"
+                " 'merge_decay: frontier gap exceeds the 60-day"
+                " exactness window — halving would round (or shiftleft"
+                " would wrap); expire stale partials before merging')"
+                " is null"
+                " then cast(v / cast(shiftleft(cast(1 as bigint),"
                 " cast(__mx - max_day as int)) as decimal(38,0))"
-                " as decimal(38,0))"
+                " as decimal(38,0)) end"
             ).alias("v"),
         )
         .groupBy(key_col, "max_day")
@@ -695,7 +733,10 @@ def stream_decayed_counts(
     (dyadic masses, frontier re-basing = integer halving), the final
     state provably equals the cold one-pass aggregate regardless of
     how the availableNow drain splits batches — which is exactly what
-    the DuckDB oracle asserts, bit-for-bit."""
+    the DuckDB oracle asserts, bit-for-bit. Validity window: exact
+    while all events per key fall within 60 days of that key's final
+    frontier (see decay_state / merge_decay — both raise loudly
+    outside it rather than silently rounding or wrapping)."""
     staging = tempfile.mkdtemp(prefix="tyto_decay_")
     try:
         src_dir = os.path.join(staging, "src")
