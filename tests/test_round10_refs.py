@@ -1,0 +1,293 @@
+"""Round-10 reference tests: independent pure-Python replicas of the
+12 registry entries that previously relied on the DuckDB oracle alone
+(VERDICT r09 gap #1) — q383_dominant_supplier, q392_ols_influence,
+and the TPC-H shape-completion ten q397-q406.
+
+Each replica recomputes the result from collected base tables with
+textbook Python (Counter / dict loops / float formulas), sharing NO
+code with the Spark plans or the oracle SQL — the transliteration-risk
+discipline that already covers the other 133 round-8/9 formula
+queries.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from datetime import datetime
+
+from tytodb_spark.catalog import load_tables
+from tytodb_spark.queries import REGISTRY
+
+_CACHE: dict = {}
+
+
+def _tables(spark, sf_dir, *names):
+    out = []
+    for n in names:
+        key = (sf_dir, n)
+        if key not in _CACHE:
+            _CACHE[key] = load_tables(spark, sf_dir)[n].collect()
+        out.append(_CACHE[key])
+    return out if len(out) > 1 else out[0]
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def _cents(x):
+    return math.floor(x * 100 + 0.5)
+
+
+def _rev_e4(r):
+    return _cents(r["l_extendedprice"]) * (100 - _cents(r["l_discount"]))
+
+
+def test_q383_dominant_supplier(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q383_dominant_supplier")]
+    li, sup, nat = _tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    ps = Counter()
+    for r in li:
+        ps[(r["l_partkey"], r["l_suppkey"])] += _cents(r["l_quantity"])
+    pt = Counter()
+    for (pk, _sk), q in ps.items():
+        pt[pk] += q
+    s_info = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"]) for r in sup}
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nat}
+    cnt = Counter()
+    for (pk, sk), q in ps.items():
+        if q * 5 > pt[pk]:
+            sname, snk = s_info[sk]
+            cnt[(sname, n_name[snk])] += 1
+    want = sorted(
+        ((s, n, c) for (s, n), c in cnt.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    assert got == want
+
+
+def test_q392_ols_influence(spark, sf_dir):
+    got = {r["doc_id"]: r for r in _rows(spark, sf_dir, "q392_ols_influence")}
+    docs = _tables(spark, sf_dir, "documents")
+    pts = [
+        (
+            r["doc_id"],
+            int(r["n_chars"]),
+            len([w for w in r["text"].lower().strip().split() if w]),
+        )
+        for r in docs
+    ]
+    n = len(pts)
+    sx = sum(x for _, x, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    sxx = sum(x * x for _, x, _ in pts)
+    syy = sum(y * y for _, _, y in pts)
+    sxy = sum(x * y for _, x, y in pts)
+    xbar = sx / n
+    ybar = sy / n
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    slope = cxy / cxx
+    s2 = (cyy - slope * cxy) / (n - 2.0)
+    flagged = {}
+    for did, x, y in pts:
+        h = 1.0 / n + (x - xbar) * (x - xbar) / cxx
+        r = (y - (ybar + slope * (x - xbar))) / math.sqrt(s2 * (1.0 - h))
+        if r >= 3.0 - 1e-9 or r <= -3.0 + 1e-9 or h * n >= 10.0 - 1e-9:
+            flagged[did] = (x, y, h, r)
+    assert set(got) == set(flagged)
+    for did, (x, y, h, r) in flagged.items():
+        row = got[did]
+        assert (row["x"], row["y"]) == (x, y)
+        assert abs(row["leverage"] - h) < 1e-6
+        assert abs(row["std_resid"] - r) < 1e-6
+
+
+def test_q397_forecast_revenue(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q397_forecast_revenue")[0]
+    li = _tables(spark, sf_dir, "lineitem")
+    n = rev = 0
+    for r in li:
+        if (
+            datetime(1996, 1, 1) <= r["l_shipdate"] < datetime(1997, 1, 1)
+            and 5 <= _cents(r["l_discount"]) <= 7
+            and r["l_quantity"] < 24
+        ):
+            n += 1
+            rev += _cents(r["l_extendedprice"]) * _cents(r["l_discount"])
+    assert (got["n_lines"], got["revenue_e4"]) == (n, rev)
+
+
+def test_q398_volume_shipping(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q398_volume_shipping")]
+    li, o, c, s, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nat}
+    supp_nat = {r["s_suppkey"]: n_name[r["s_nationkey"]] for r in s}
+    cust_nat = {r["c_custkey"]: n_name[r["c_nationkey"]] for r in c}
+    order_cust = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        if not (
+            datetime(1996, 1, 1) <= r["l_shipdate"] < datetime(1998, 1, 1)
+        ):
+            continue
+        sn = supp_nat[r["l_suppkey"]]
+        cn = cust_nat[order_cust[r["l_orderkey"]]]
+        if (sn, cn) in (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")):
+            cell = agg[(sn, cn, r["l_shipdate"].year)]
+            cell[0] += 1
+            cell[1] += _rev_e4(r)
+    want = sorted((k + tuple(v)) for k, v in agg.items())
+    assert got == want
+
+
+def test_q399_product_profit(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q399_product_profit")]
+    li, p, s, nat = _tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nat}
+    supp_nat = {r["s_suppkey"]: n_name[r["s_nationkey"]] for r in s}
+    std_rc = {
+        r["p_partkey"]: _cents(r["p_retailprice"])
+        for r in p
+        if r["p_type"] == "STANDARD"
+    }
+    agg = Counter()
+    for r in li:
+        rc = std_rc.get(r["l_partkey"])
+        if rc is None:
+            continue
+        amount = _rev_e4(r) - (rc * _cents(r["l_quantity"])) // 5
+        agg[(supp_nat[r["l_suppkey"]], r["l_shipdate"].year)] += amount
+    want = sorted(
+        ((n, y, v) for (n, y), v in agg.items()),
+        key=lambda t: (t[0], -t[1]),
+    )
+    assert got == want
+
+
+def test_q400_late_shipments(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q400_late_shipments")]
+    li, o = _tables(spark, sf_dir, "lineitem", "orders")
+    orders = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"]) for r in o
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        if not (
+            datetime(1996, 1, 1) <= r["l_shipdate"] < datetime(1997, 1, 1)
+        ):
+            continue
+        odate, oprio = orders[r["l_orderkey"]]
+        if (r["l_shipdate"].date() - odate.date()).days > 90:
+            hi = oprio in ("1-URGENT", "2-HIGH")
+            agg[r["l_returnflag"]][0 if hi else 1] += 1
+    want = sorted((k, v[0], v[1]) for k, v in agg.items())
+    assert got == want
+
+
+def test_q401_customer_distribution(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q401_customer_distribution")]
+    c, o = _tables(spark, sf_dir, "customer", "orders")
+    per_cust = {r["c_custkey"]: 0 for r in c}
+    for r in o:
+        if r["o_orderpriority"] != "4-NOT SPECIFIED":
+            per_cust[r["o_custkey"]] += 1
+    hist = Counter(per_cust.values())
+    want = sorted(
+        ((cc, d) for cc, d in hist.items()), key=lambda t: (-t[1], -t[0])
+    )
+    assert got == want
+
+
+def test_q402_promo_revenue(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q402_promo_revenue")[0]
+    li, p = _tables(spark, sf_dir, "lineitem", "part")
+    promo_parts = {r["p_partkey"] for r in p if r["p_type"] == "PROMO"}
+    promo = total = 0
+    for r in li:
+        if datetime(1996, 3, 1) <= r["l_shipdate"] < datetime(1996, 4, 1):
+            rev = _rev_e4(r)
+            total += rev
+            if r["l_partkey"] in promo_parts:
+                promo += rev
+    assert (got["promo_e4"], got["total_e4"]) == (promo, total)
+    assert abs(got["promo_revenue_pct"] - 100.0 * promo / total) < 1e-6
+
+
+def test_q403_top_supplier(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q403_top_supplier")]
+    li, s = _tables(spark, sf_dir, "lineitem", "supplier")
+    rev = Counter()
+    for r in li:
+        if datetime(1996, 1, 1) <= r["l_shipdate"] < datetime(1996, 4, 1):
+            rev[r["l_suppkey"]] += _rev_e4(r)
+    mx = max(rev.values())
+    names = {r["s_suppkey"]: r["s_name"] for r in s}
+    want = sorted((sk, names[sk], v) for sk, v in rev.items() if v == mx)
+    assert got == want
+
+
+def test_q404_important_stock(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q404_important_stock")]
+    li, s, nat = _tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation3 = {
+        r["n_nationkey"] for r in nat if r["n_name"] == "NATION_3"
+    }
+    supps = {r["s_suppkey"] for r in s if r["s_nationkey"] in nation3}
+    pv = Counter()
+    for r in li:
+        if r["l_suppkey"] in supps:
+            pv[r["l_partkey"]] += _cents(r["l_extendedprice"])
+    tot = sum(pv.values())
+    want = sorted(
+        ((pk, v) for pk, v in pv.items() if v * 1000 > tot),
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    assert got == want
+
+
+def test_q405_brand_band_revenue(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q405_brand_band_revenue")[0]
+    li, p = _tables(spark, sf_dir, "lineitem", "part")
+    part = {r["p_partkey"]: (r["p_brand"], r["p_size"]) for r in p}
+    bands = {"Brand#1": (10, 1, 11), "Brand#2": (20, 10, 20),
+             "Brand#3": (30, 20, 30)}
+    n = rev = 0
+    for r in li:
+        brand, size = part[r["l_partkey"]]
+        band = bands.get(brand)
+        if band is None:
+            continue
+        max_size, qlo, qhi = band
+        if 1 <= size <= max_size and qlo <= r["l_quantity"] <= qhi:
+            n += 1
+            rev += _rev_e4(r)
+    assert (got["n_lines"], got["revenue_e4"]) == (n, rev)
+
+
+def test_q406_sales_opportunity(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q406_sales_opportunity")]
+    c, o = _tables(spark, sf_dir, "customer", "orders")
+    pos = [
+        (r["c_custkey"], r["c_nationkey"], _cents(r["c_acctbal"]))
+        for r in c
+        if r["c_nationkey"] in (1, 2, 3, 4, 5, 6, 7)
+    ]
+    positive = [ac for _, _, ac in pos if ac > 0]
+    s, n = sum(positive), len(positive)
+    recent = {
+        r["o_custkey"] for r in o if r["o_orderdate"] >= datetime(2000, 1, 1)
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for ck, nk, ac in pos:
+        if ac * n > s and ck not in recent:
+            agg[nk][0] += 1
+            agg[nk][1] += ac
+    want = sorted((nk, v[0], v[1]) for nk, v in agg.items())
+    assert got == want
