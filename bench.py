@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tytodb_spark.session import get_spark
+from tytodb_spark.session import checkpoint_scope, get_spark
 from tytodb_spark import queries as Q
 
 
@@ -95,20 +95,26 @@ def main() -> None:
     if warm:
         for name, qd in Q.REGISTRY.items():
             try:
-                (qd.bench_fn or qd.fn)(spark, warm_dir).count()
+                with checkpoint_scope(spark):
+                    (qd.bench_fn or qd.fn)(spark, warm_dir).count()
             except Exception:
                 pass  # the timed loop will surface it as -1.0
 
+    # checkpoint_scope: chained localCheckpoint barriers are NOT
+    # reclaimed by the ContextCleaner (see session.py), so a 500-query
+    # session accumulates every query's blocks. Release each query's
+    # pins as soon as its action completes — outside the timed region.
     timings: dict[str, float] = {}
     for name, qd in Q.REGISTRY.items():
         fn = qd.bench_fn or qd.fn  # bench_fn: operator without its self-check
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # a failing query should not zero the bench
-            timings[name] = -1.0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+        with checkpoint_scope(spark):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 4)
+            except Exception as e:  # a failing query should not zero the bench
+                timings[name] = -1.0
+                print(f"# bench error {name}: {e}", file=sys.stderr)
 
     # Single-shot timings above ~2s carry multi-second GC/contention
     # flukes on a shared box (verified: flagged "regressions" reproduce
@@ -129,14 +135,15 @@ def main() -> None:
                         spark.sparkContext._jvm.System.gc()
                     except Exception:
                         pass
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).count()
-                    timings[name] = min(
-                        timings[name], round(time.perf_counter() - t0, 4)
-                    )
-                except Exception:
-                    break  # keep the best timing so far
+                with checkpoint_scope(spark):
+                    t0 = time.perf_counter()
+                    try:
+                        fn(spark, sf_dir).count()
+                        timings[name] = min(
+                            timings[name], round(time.perf_counter() - t0, 4)
+                        )
+                    except Exception:
+                        break  # keep the best timing so far
                 if timings[name] < 5.0:
                     break
 

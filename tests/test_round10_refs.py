@@ -291,3 +291,119 @@ def test_q406_sales_opportunity(spark, sf_dir):
             agg[nk][1] += ac
     want = sorted((nk, v[0], v[1]) for nk, v in agg.items())
     assert got == want
+
+
+def test_q511_ar2_forecast(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q511_ar2_forecast")[0]
+    ev = _tables(spark, sf_dir, "events")
+    days = defaultdict(int)
+    for r in ev:
+        days[int(r["ts"].timestamp() // 86400)] += 1
+    xs = [days[d] for d in sorted(days)]
+    n = len(xs)
+    s = sum(xs)
+    xbar = s / n
+    p0 = sum(x * x for x in xs)
+    p1 = sum(xs[t] * xs[t - 1] for t in range(1, n))
+    a1, b1 = sum(xs[1:]), sum(xs[:-1])
+    p2 = sum(xs[t] * xs[t - 2] for t in range(2, n))
+    a2, b2 = sum(xs[2:]), sum(xs[:-2])
+    c0 = p0 - 2.0 * s * xbar + n * xbar * xbar
+    c1 = p1 - xbar * (a1 + b1) + (n - 1) * xbar * xbar
+    c2 = p2 - xbar * (a2 + b2) + (n - 2) * xbar * xbar
+    r1, r2 = c1 / c0, c2 / c0
+    phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    serr = sum(
+        math.floor(
+            abs(xs[t] - (xbar + phi1 * (xs[t - 1] - xbar)
+                         + phi2 * (xs[t - 2] - xbar))) * 1e6
+        )
+        for t in range(2, n)
+    )
+    snaive = sum(abs(xs[t] - xs[t - 1]) for t in range(1, n))
+    assert got["n_days"] == n
+    assert got["phi1_micro"] == math.floor(phi1 * 1e6)
+    assert got["phi2_micro"] == math.floor(phi2 * 1e6)
+    assert got["mase_ppm"] == serr * (n - 1) // ((n - 2) * snaive)
+    # sanity: an AR(2) fit should beat (or at worst match) the naive
+    # random walk it is scaled by only when the series has structure —
+    # either way the scale-free score stays in a sane band
+    assert 0 < got["mase_ppm"] < 5_000_000
+
+
+def test_q512_consistent_hash_rebalance(spark, sf_dir):
+    import hashlib
+
+    got = _rows(spark, sf_dir, "q512_consistent_hash_rebalance")[0]
+    cust = _tables(spark, sf_dir, "customer")
+
+    def h(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:13], 16)
+
+    vnodes = [
+        (s, h(f"vn:{s}:{v}") * 16 + s) for s in range(9) for v in range(8)
+    ]
+    ring8 = sorted(p for s, p in vnodes if s < 8)
+    ring9 = sorted(p for s, p in vnodes)
+
+    def assign(ring, kpos):
+        for p in ring:
+            if p >= kpos:
+                return p % 16
+        return ring[0] % 16
+
+    ring_moved = mod_moved = 0
+    for r in cust:
+        hk = h(f"key:{r['c_custkey']}")
+        kpos = hk * 16 + 15
+        if assign(ring8, kpos) != assign(ring9, kpos):
+            ring_moved += 1
+        if hk % 8 != hk % 9:
+            mod_moved += 1
+    n = len(cust)
+    assert got["n_keys"] == n
+    assert got["ring_moved"] == ring_moved
+    assert got["mod_moved"] == mod_moved
+    assert got["ring_moved_ppm"] == ring_moved * 1_000_000 // n
+    assert got["mod_moved_ppm"] == mod_moved * 1_000_000 // n
+    assert got["consistent_wins"] is True
+    # the whole point: the ring moves ~1/9 of keys, mod-N ~8/9
+    assert got["ring_moved_ppm"] < 250_000 < got["mod_moved_ppm"]
+
+
+def test_q513_rank_biased_overlap(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q513_rank_biased_overlap")[0]
+    docs = _tables(spark, sf_dir, "documents")
+    toks = {
+        r["doc_id"]: (
+            int(r["n_chars"]),
+            len([w for w in r["text"].lower().strip().split() if w]),
+        )
+        for r in docs
+    }
+    depth, p = 50, 0.9
+    la = sorted(toks, key=lambda d: (-toks[d][0], d))[:depth]
+    lb = sorted(toks, key=lambda d: (-toks[d][1], d))[:depth]
+    ra = {d: i + 1 for i, d in enumerate(la)}
+    rb = {d: i + 1 for i, d in enumerate(lb)}
+    cw = {
+        m: round(
+            sum((1 - p) * p ** (d - 1) / d * 1e9 for d in range(m, depth + 1))
+        )
+        for m in range(1, depth + 1)
+    }
+    common = set(ra) & set(rb)
+    rbo_nano = sum(cw[max(ra[d], rb[d])] for d in common)
+    assert got["n_common"] == len(common)
+    assert got["rbo_nano"] == rbo_nano
+    # cross-check the telescoped literal sum against the textbook
+    # per-depth RBO definition computed with plain floats
+    textbook = sum(
+        (1 - p)
+        * p ** (d - 1)
+        * sum(1 for x in common if max(ra[x], rb[x]) <= d)
+        / d
+        for d in range(1, depth + 1)
+    )
+    assert abs(got["rbo_nano"] / 1e9 - textbook) < 1e-5

@@ -115,3 +115,104 @@ SCALE_SENSITIVE = [
 def test_runs_at_bench_sf(spark, name):
     df = Q.REGISTRY[name].fn(spark, SF_BENCH)
     assert df.count() >= 0  # completes without raising at the bench SF
+
+
+@pytest.mark.slow
+def test_degree_gate_survives_hot_part_skew(spark, tmp_path):
+    """The 100x question for the co-supply graph family (q222/q466/
+    q467): their pair fan-out bound is the `n_supp BETWEEN 2 AND 32`
+    gate. Salt sf0.1 with ONE part supplied by 500 suppliers — an
+    ungated plan would enumerate C(500,2) = 124,750 extra pairs from
+    that part alone (and a real skewed corpus would melt a straggler
+    executor); the gate must drop the hot part entirely, so every
+    query's output on the salted corpus must EQUAL its clean-corpus
+    output row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tytodb_spark.catalog import TABLES, table_path
+
+    skew_dir = tmp_path / "skew"
+    skew_dir.mkdir()
+    for t in TABLES:
+        src = table_path(SF_BENCH, t)
+        if t != "lineitem" and os.path.exists(src):
+            os.symlink(src, skew_dir / f"{t}.parquet")
+
+    li = spark.read.parquet(table_path(SF_BENCH, "lineitem"))
+    hot_part = li.agg(F.max("l_partkey") + 1).collect()[0][0]
+    hot = (
+        li.limit(500)
+        .withColumn("l_partkey", F.lit(hot_part).cast("bigint"))
+        .withColumn(
+            "l_suppkey",
+            (F.lit(10_000_000) + F.monotonically_increasing_id()).cast(
+                "bigint"
+            ),
+        )
+    )
+    staged = str(tmp_path / "staged")
+    li.unionByName(hot).coalesce(1).write.parquet(staged)
+    part_file = next(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(staged, part_file), skew_dir / "lineitem.parquet"
+    )
+
+    # the salt is real: the hot part exceeds the gate by 15x
+    ps = (
+        spark.read.parquet(str(skew_dir / "lineitem.parquet"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .count()
+    )
+    assert ps.agg(F.max("count")).collect()[0][0] >= 500
+
+    for name in (
+        "q222_adamic_adar",
+        "q466_local_clustering",
+        "q467_link_prediction",
+    ):
+        clean = sorted(
+            map(tuple, Q.REGISTRY[name].fn(spark, SF_BENCH).collect())
+        )
+        salted = sorted(
+            map(tuple, Q.REGISTRY[name].fn(spark, str(skew_dir)).collect())
+        )
+        assert salted == clean, f"{name}: hot part leaked past the gate"
+
+
+@pytest.mark.slow
+def test_checkpoint_scope_releases_round9_tail_blocks(spark):
+    """Runtime twin of test_plans' static `.persist(` guard, extended
+    over the round-9 localCheckpoint(eager=False) chains (q436/q466 et
+    al.). Finding that motivated it: a SINGLE lazy checkpoint is
+    reclaimed by the ContextCleaner once its plan is garbage, but a
+    checkpoint whose plan reads another checkpoint (the edge ->
+    orientation -> adjacency chains) is NEVER reclaimed — measured
+    pinned through 60+ s of explicit driver+JVM GC. Registry-iterating
+    drivers therefore release per-query via session.py's
+    checkpoint_scope (bench.py and tools/partition_sweep.py both use
+    it); this asserts (a) the chains DO pin blocks, and (b) the scope
+    returns storage to baseline deterministically — no GC polling."""
+    from tytodb_spark.session import checkpoint_scope, persistent_rdd_ids
+
+    base = persistent_rdd_ids(spark)
+    pinned_during = 0
+    for name in (
+        "q378_triangle_count",
+        "q436_edge_support",
+        "q437_cf_holdout_eval",
+        "q466_local_clustering",
+    ):
+        with checkpoint_scope(spark):
+            assert Q.REGISTRY[name].fn(spark, SF_BENCH).count() >= 0
+            pinned_during += len(persistent_rdd_ids(spark) - base)
+        assert persistent_rdd_ids(spark) <= base, (
+            f"{name}: checkpoint blocks survived its scope"
+        )
+    # the guard is not vacuous: these queries really do pin checkpoints
+    assert pinned_during >= 4

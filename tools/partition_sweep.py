@@ -326,6 +326,11 @@ QUERIES = [
     "q508_paired_ttest",
     "q509_holm_bonferroni",
     "q510_moods_median",
+    # round 10: day-domain lag moments, the 72-vnode broadcast ring,
+    # and the dual TakeOrdered-50 rank join
+    "q511_ar2_forecast",
+    "q512_consistent_hash_rebalance",
+    "q513_rank_biased_overlap",
 ]
 
 SETTINGS = [8, 32, 128]
@@ -366,7 +371,7 @@ def main() -> int:
     sf_dir = positional[0] if positional else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    from tytodb_spark.session import get_spark
+    from tytodb_spark.session import checkpoint_scope, get_spark
     from tytodb_spark import queries as Q
 
     spark = get_spark()
@@ -384,7 +389,11 @@ def main() -> int:
         times = {}
         for q in available:
             t0 = time.time()
-            h, n = result_hash(Q.REGISTRY[q].fn(spark, sf_dir))
+            # janitor: chained localCheckpoints are never reclaimed by
+            # the ContextCleaner (session.py) — release per query or a
+            # 3-setting full sweep triples the accumulation
+            with checkpoint_scope(spark):
+                h, n = result_hash(Q.REGISTRY[q].fn(spark, sf_dir))
             dt = time.time() - t0
             results[q][parts] = (h, n, dt)
             times[q] = round(dt, 2)

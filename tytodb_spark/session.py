@@ -78,6 +78,63 @@ def _ship_package(spark: SparkSession) -> None:
     sc._tyto_pkg_shipped = True
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently pinned in executor storage (cached
+    or checkpointed)."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def release_persistent_rdds(spark: SparkSession, keep: set[int]) -> int:
+    """Explicitly unpersist every persistent RDD whose id is not in
+    ``keep``. Returns the number released.
+
+    Why this exists: the registry's reuse barriers are
+    ``localCheckpoint(eager=False)``, whose blocks are supposed to be
+    reclaimed by the ContextCleaner once the plan is garbage — and for
+    a SINGLE checkpoint they are (~25 s after GC, measured). But a
+    checkpoint whose plan reads ANOTHER checkpoint (q378/q436/q466's
+    edge -> orientation -> adjacency chains) is never reclaimed: the
+    truncated-lineage RDDs keep each other reachable and the weak-ref
+    cleanup never fires (measured: pinned through 60+ s of explicit
+    driver+JVM GC). A registry-iterating driver (bench, sweeps, a
+    resident query service) must therefore release a finished query's
+    blocks EXPLICITLY — only after its action completes; unpersisted
+    local checkpoints cannot recompute."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.iterator()
+    n = 0
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() not in keep:
+            kv._2().unpersist(False)
+            n += 1
+    return n
+
+
+class checkpoint_scope:
+    """Context manager: release every persistent RDD a block of work
+    pins (its localCheckpoint barriers) once it finishes — the
+    per-query janitor for registry-iterating drivers. Use around a
+    COMPLETED query (define + act + read result inside the scope);
+    blocks released on exit cannot be recomputed."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self._before = persistent_rdd_ids(self.spark)
+        return self
+
+    def __exit__(self, *exc):
+        release_persistent_rdds(self.spark, self._before)
+        return False
+
+
 def get_spark(app_name: str = "tytodb_spark", cpus: str | None = None) -> SparkSession:
     """Build a local session for tests/bench (driver owns its own)."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
