@@ -407,3 +407,63 @@ def test_q513_rank_biased_overlap(spark, sf_dir):
         for d in range(1, depth + 1)
     )
     assert abs(got["rbo_nano"] / 1e9 - textbook) < 1e-5
+
+
+def test_q514_dedup_storage_savings(spark, sf_dir):
+    import hashlib
+    import re
+
+    got = _rows(spark, sf_dir, "q514_dedup_storage_savings")[0]
+    docs = _tables(spark, sf_dir, "documents")
+    norm = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower().strip())
+        for r in docs
+    }
+    size = {r["doc_id"]: int(r["n_chars"]) for r in docs}
+    groups = defaultdict(list)
+    for did, t in norm.items():
+        groups[hashlib.md5(t.encode()).hexdigest()].append(did)
+    keepers = {min(g) for g in groups.values()}
+    exact_dup = sum(size[d] for d in norm if d not in keepers)
+
+    # survivor-set near-dup clusters: exact 3-shingle Jaccard >= 0.5
+    def shingles(t):
+        toks = [w for w in t.split() if w]
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)} or {
+            tuple(toks)
+        }
+
+    sh = {d: shingles(norm[d]) for d in keepers}
+    ids = sorted(sh)
+    adj = defaultdict(set)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.5:
+                adj[a].add(b)
+                adj[b].add(a)
+    label = {}
+    for root in sorted(adj):
+        if root in label:
+            continue
+        stack, comp = [root], []
+        seen = {root}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        c = min(comp)
+        for x in comp:
+            label[x] = c
+    nd_extra = sum(size[d] for d, c in label.items() if c != d)
+
+    total = sum(size.values())
+    assert got["n_docs"] == len(docs)
+    assert got["total_bytes"] == total
+    assert got["exact_dup_bytes"] == exact_dup
+    assert got["neardup_extra_bytes"] == nd_extra
+    assert got["kept_bytes"] == total - exact_dup - nd_extra
+    assert got["savings_ppm"] == (exact_dup + nd_extra) * 1_000_000 // total

@@ -107,6 +107,9 @@ SCALE_SENSITIVE = [
     "q471_good_turing",
     "q473_participation_ratio",
     "q484_best_of_n",
+    # round 10: the dedup-funnel composition (LSH pair fan-out over the
+    # exact-survivor set is fixture-structure-dependent)
+    "q514_dedup_storage_savings",
 ]
 
 

@@ -331,6 +331,7 @@ QUERIES = [
     "q511_ar2_forecast",
     "q512_consistent_hash_rebalance",
     "q513_rank_biased_overlap",
+    "q514_dedup_storage_savings",
 ]
 
 SETTINGS = [8, 32, 128]
