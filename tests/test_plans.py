@@ -1819,3 +1819,43 @@ def test_moods_median_has_no_corpus_sort(spark, sf_dir):
     df = _df(spark, sf_dir, "q510_moods_median")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ntile" not in plan.lower()
+
+
+# --- round-10 block: AR fit / placement / ranking overlap / savings --------
+
+
+def test_ar2_lag_window_is_above_daily_rollup(spark, sf_dir):
+    """q511: the corpus work (daily rollup + day-domain lag windows)
+    sits entirely behind the checkpointed lagged table — the final
+    plan reads the LogicalRDD barrier and contains no Window and no
+    raw Relation of its own."""
+    df = _df(spark, sf_dir, "q511_ar2_forecast")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert "Window" not in plan
+    assert "Relation" not in plan
+
+
+def test_ring_rebalance_broadcasts_vnodes(spark, sf_dir):
+    """q512: the 72-row vnode ring broadcasts into one pass over
+    customers — no shuffle join, no sort, no window."""
+    df = _df(spark, sf_dir, "q512_consistent_hash_rebalance")
+    assert P.num_broadcast_joins(df) >= 1
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_rbo_cuts_are_take_ordered(spark, sf_dir):
+    """q513: both top-50 list cuts plan as TakeOrderedAndProject —
+    distributed heaps, never a corpus-wide sort; the rank windows run
+    on the 50-row frames."""
+    df = _df(spark, sf_dir, "q513_rank_biased_overlap")
+    assert P.physical_plan(df).count("TakeOrderedAndProject") >= 2
+
+
+def test_dedup_savings_has_no_cartesian(spark, sf_dir):
+    """q514: the funnel composes exact groups + survivor LSH clusters
+    — candidate generation stays band-bucket-bounded, no cartesian
+    anywhere in the physical plan."""
+    df = _df(spark, sf_dir, "q514_dedup_storage_savings")
+    assert "CartesianProduct" not in P.physical_plan(df)
