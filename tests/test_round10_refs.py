@@ -428,10 +428,10 @@ def test_q514_dedup_storage_savings(spark, sf_dir):
 
     # survivor-set near-dup clusters: exact 3-shingle Jaccard >= 0.5
     def shingles(t):
+        # <3-token docs have NO 3-shingles: both engines produce an
+        # empty set there, which can never reach the Jaccard gate
         toks = [w for w in t.split() if w]
-        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)} or {
-            tuple(toks)
-        }
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
 
     sh = {d: shingles(norm[d]) for d in keepers}
     ids = sorted(sh)
