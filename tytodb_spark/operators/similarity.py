@@ -847,12 +847,23 @@ def power_iteration_dominant(
     Output: (pos, v_q) — the unit-direction vector in trunc-1e6
     integer units (sign follows the all-ones start vector).
     """
-    xq = df.select(
-        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "__x")
-    ).select(
-        "__id",
-        "pos",
-        (F.col("__x").cast("double") * F.lit(1e7)).cast("bigint").alias("xq"),
+    xq = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(vec_col).alias("pos", "__x"),
+        )
+        .select(
+            "__id",
+            "pos",
+            (F.col("__x").cast("double") * F.lit(1e7))
+            .cast("bigint")
+            .alias("xq"),
+        )
+        # EAGER barrier: every iteration consumes xq twice (Xv and
+        # Xᵀa), so 4 rounds re-ran the parquet explode 8x without it —
+        # and the per-round max-abs broadcast jobs would race a lazy
+        # checkpoint's first materialization
+        .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
     dims = xq.select("pos").distinct()
