@@ -139,3 +139,21 @@ def test_incremental_join_mv_equals_full_recompute(spark, sf_dir):
         )
     )
     assert got == sorted(map(tuple, full.collect()))
+
+
+def test_fixture_lineitem_orders_referential_integrity(spark, oracle_sf_dir):
+    """Fixture-level RI guard (round-10 ADVICE item): q414/q437/q468/
+    q469 roll brand popularity up from lineitem JOIN orders instead of
+    scanning lineitem x part directly, so their novelty/popularity
+    terms silently depend on every lineitem row having a parent order.
+    TPC-H-shaped testdata guarantees it today; this pins the
+    assumption so a future corpus change can't skew novelty without a
+    red test. Uses the engine's own RI auditor (dogfooding q's
+    quality surface) — one pass over lineitem's key column."""
+    from tytodb_spark.catalog import load_tables
+
+    t = load_tables(spark, oracle_sf_dir)
+    r = QA.referential_integrity(
+        t["lineitem"], t["orders"], "l_orderkey", "o_orderkey"
+    ).collect()[0]
+    assert r["passed"] and r["n_orphans"] == 0 and r["n_child"] > 0
