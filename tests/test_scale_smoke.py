@@ -219,3 +219,143 @@ def test_checkpoint_scope_releases_round9_tail_blocks(spark):
         )
     # the guard is not vacuous: these queries really do pin checkpoints
     assert pinned_during >= 4
+
+
+@pytest.mark.slow
+def test_brand_cf_survives_hot_brand_skew(spark, tmp_path):
+    """The 100x question for the brand-CF family (q414/q437/q468/q469):
+    their fan-out bound is the 25-value p_brand domain — per-customer
+    pair enumeration is C(brands,2) and candidate scoring fans out
+    <= |brands| per history row, REGARDLESS of how popular any brand
+    is. Salt sf0.1 with one hyper-popular brand bought by EVERY
+    customer (one new lineitem row per order-holding customer, a new
+    hot part carrying 'Brand#99'): a plan that enumerated pairs per
+    interaction row instead of per aggregated (customer, brand) vector
+    would blow up on the hot brand; the aggregated shape must keep
+    every global pair/candidate table <= C(26,2).
+
+    Assertions: (a) the salt is real — the hot brand reaches every
+    order-holding customer; (b) each family query completes with
+    output bounded by the 26-brand domain; (c) old-brand pair scores
+    are UNCHANGED — a new brand's interactions alter neither the
+    counts nor the norms of existing brand vectors, so any (b1,b2)
+    pair present in both clean and salted q414 top-15 must carry an
+    identical exact dot and cosine."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tytodb_spark.catalog import TABLES, table_path
+
+    skew_dir = tmp_path / "brandskew"
+    skew_dir.mkdir()
+    for t in TABLES:
+        src = table_path(SF_BENCH, t)
+        if t not in ("lineitem", "part") and os.path.exists(src):
+            os.symlink(src, skew_dir / f"{t}.parquet")
+
+    p = spark.read.parquet(table_path(SF_BENCH, "part"))
+    hot_key = p.agg(F.max("p_partkey") + 1).collect()[0][0]
+    hot_part = p.limit(1).withColumn(
+        "p_partkey", F.lit(hot_key).cast(p.schema["p_partkey"].dataType.simpleString())
+    ).withColumn("p_brand", F.lit("Brand#99"))
+    staged_p = str(tmp_path / "staged_part")
+    p.unionByName(hot_part).coalesce(1).write.parquet(staged_p)
+    os.rename(
+        os.path.join(
+            staged_p,
+            next(f for f in os.listdir(staged_p) if f.endswith(".parquet")),
+        ),
+        skew_dir / "part.parquet",
+    )
+
+    li = spark.read.parquet(table_path(SF_BENCH, "lineitem"))
+    o = spark.read.parquet(table_path(SF_BENCH, "orders"))
+    first_order = o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("l_orderkey")
+    )
+    tmpl = li.limit(1).drop("l_orderkey", "l_partkey")
+    hot_li = (
+        first_order.select("l_orderkey")
+        .crossJoin(F.broadcast(tmpl))
+        .withColumn(
+            "l_partkey",
+            F.lit(hot_key).cast(li.schema["l_partkey"].dataType.simpleString()),
+        )
+        .select(*li.columns)
+    )
+    staged_li = str(tmp_path / "staged_li")
+    li.unionByName(hot_li).coalesce(1).write.parquet(staged_li)
+    os.rename(
+        os.path.join(
+            staged_li,
+            next(f for f in os.listdir(staged_li) if f.endswith(".parquet")),
+        ),
+        skew_dir / "lineitem.parquet",
+    )
+
+    # (a) the salt is real: every order-holding customer bought it
+    sli = spark.read.parquet(str(skew_dir / "lineitem.parquet"))
+    n_cust = o.select("o_custkey").distinct().count()
+    n_hot = (
+        sli.filter(F.col("l_partkey") == hot_key)
+        .join(o, sli.l_orderkey == o.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_hot == n_cust
+
+    # (b) bounded outputs on the salted corpus: 26-brand domain
+    q414_clean = Q.REGISTRY["q414_item_item_cf"].fn(spark, SF_BENCH).collect()
+    q414_salt = (
+        Q.REGISTRY["q414_item_item_cf"].fn(spark, str(skew_dir)).collect()
+    )
+    assert len(q414_salt) == 15
+    brands = {r["b1"] for r in q414_salt} | {r["b2"] for r in q414_salt}
+    assert len(brands) <= 26
+
+    r468 = Q.REGISTRY["q468_rec_coverage"].fn(spark, str(skew_dir)).collect()
+    assert len(r468) == 1
+    assert r468[0]["n_items"] == 26
+    assert r468[0]["n_rec_slots"] <= 26 * 3
+
+    r469 = (
+        Q.REGISTRY["q469_intra_list_diversity"]
+        .fn(spark, str(skew_dir))
+        .collect()
+    )
+    assert 0 < len(r469) <= 26
+
+    r437 = Q.REGISTRY["q437_cf_holdout_eval"].fn(spark, str(skew_dir)).collect()
+    assert len(r437) == 1 and r437[0]["n_users"] > 0
+
+    # (c) exact aggregated-vector semantics under the salt: every
+    # customer bought the hot brand exactly ONCE, so for any pair
+    # (b, Brand#99) dot = sum_ck cnt_b(ck) * 1 = brand b's total
+    # interaction count. The salt dominates the top-15 (a brand in
+    # every basket correlates with everything — expected), and each
+    # hot pair's exact int dot must equal the partner's corpus total;
+    # a plan that enumerated per interaction row instead of per
+    # aggregated (ck, brand) vector would inflate it.
+    assert all(
+        "Brand#99" in (r["b1"], r["b2"]) for r in q414_salt
+    ), "hot brand failed to dominate the top-15 — salt not real?"
+    assert q414_clean != q414_salt  # displacement happened
+    sp = spark.read.parquet(str(skew_dir / "part.parquet"))
+    brand_tot = {
+        r["b"]: r["n"]
+        for r in sli.join(
+            F.broadcast(sp), sli.l_partkey == sp.p_partkey
+        )
+        .join(o, sli.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in q414_salt:
+        other = r["b1"] if r["b2"] == "Brand#99" else r["b2"]
+        assert r["dot"] == brand_tot[other], (
+            f"pair ({other}, Brand#99): dot {r['dot']} != brand total "
+            f"{brand_tot[other]} — per-row fan-out leaked into the dot"
+        )
