@@ -2077,3 +2077,19 @@ def test_water_fill_caps_matches_brute_force(spark):
                 for i, t in enumerate(ts)
             }
             assert got == ref, (ts, dens, got, ref)
+
+
+def test_connected_components_jump_converges_in_log_rounds(spark):
+    """Pins the round-11 pointer jump (path halving): a 200-node path
+    has diameter 199, so plain neighbor-min label propagation cannot
+    converge in 13 rounds — with the jump, reach doubles per round
+    (1, 2, 5, 11, 23, ..., 383) and the chain settles in ~10. If this
+    raises, the jump was lost; if it mislabels, the jump is unsound."""
+    from tytodb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = connected_components(chain, max_iters=13).collect()
+    assert len(out) == 200
+    assert all(r["component"] == 0 for r in out)

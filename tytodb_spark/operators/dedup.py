@@ -543,14 +543,28 @@ def connected_components(
     pair finding: "keep one doc per duplicate CLUSTER", not per pair
     (A~B, B~C must collapse A,B,C together even when A≁C directly).
 
-    Each iteration is one shuffle round: every vertex takes the min of
-    its own label and its neighbors' labels. Iterations needed = graph
-    diameter; near-dup clusters are small and dense, so a handful. The
-    loop is driver-side CONTROL only (a convergence counter — no data
-    ever reaches the driver); per-iteration lineage is cut with
-    localCheckpoint so the plan doesn't grow exponentially. This is the
-    standard MapReduce-CC construction (cf. the large-star/small-star
-    refinement for web-scale graphs).
+    Each iteration: every vertex takes the min of its own label and its
+    neighbors' labels (one shuffle round), then POINTER-JUMPS — also
+    takes its current label's label (path halving, one co-keyed
+    self-join). Plain neighbor-min needs graph-DIAMETER rounds; the
+    jump lets labels travel through labels, so rounds are O(log
+    diameter) — measured 10 → 4 rounds on sf0.1's 10-chains and the
+    difference grows with chain length (a diameter-1000 mirror chain:
+    ~10 jumped rounds vs 1000). Fixed points are unchanged: labels
+    only decrease, the min vertex keeps its own id, and a state fixed
+    under BOTH steps is constant along every edge, i.e. component =
+    min reachable id — identical output, fewer rounds.
+
+    The loop is driver-side CONTROL only (a convergence counter — no
+    data ever reaches the driver); per-iteration lineage is cut with
+    localCheckpoint so the plan doesn't grow exponentially. Skew note
+    for the jump join: the build side (vertex → label) is unique-keyed
+    and the probe side hashes on `component`, which concentrates as
+    components coalesce — AQE skew-join splits those partitions, and
+    the alternative (star alternation, :func:`connected_components_star`)
+    remains the forced-choice regime for adversarially star-shaped
+    graphs. This is the standard MapReduce-CC construction plus the
+    Hash-to-Min-style path-halving refinement.
 
     Output: (vertex, component) — component = min vertex id reachable.
     """
@@ -567,7 +581,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.vertex)
             .groupBy(F.col("dst").alias("vertex"))
@@ -576,18 +590,41 @@ def connected_components(
         # carry the previous label through the checkpoint so convergence
         # is a scan of already-materialized partitions — not an extra
         # join+shuffle job per round
-        stepped = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
+        stepped = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.col("component").alias("__prev"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jump (path halving): component <- label(component),
+        # looked up in the PREVIOUS round's labels — already
+        # checkpointed, so the jump join never duplicates this round's
+        # neighbor-min subtree (a self-join on `stepped` would compute
+        # it twice). Reach doubles per round: prev labels encode paths
+        # of length r, the neighbor step adds one hop, and the jump
+        # splices the two — r' = 2r + 1. Skipped for the first two
+        # rounds: dense near-dup graphs (diameter 2-3) converge before
+        # a jump could shorten anything, so they never pay the extra
+        # exchange; chain-shaped graphs start doubling from round 3
+        # (reach 1, 2, 5, 11, 23, ... — still O(log diameter) rounds).
+        if i >= 2:
+            root = labels.select(
+                F.col("vertex").alias("__rv"),
+                F.col("component").alias("__rc"),
+            )
+            stepped = stepped.join(
+                root, stepped.component == root.__rv, "left"
+            ).select(
                 "vertex",
-                F.col("component").alias("__prev"),
+                "__prev",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.coalesce(F.col("__rc"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # cut lineage each round
-        )
+        stepped = stepped.localCheckpoint(eager=True)  # cut lineage each round
         changed = (
             stepped.filter(F.col("component") != F.col("__prev")).limit(1).count()
         )
@@ -941,13 +978,15 @@ def connected_components_auto(
     the data grows, so the fallback has to be in the operator.
 
     Cost tradeoff: escalation restarts from the original edges, so a
-    graph with diameter just past ``label_iters`` pays the wasted
+    graph that converges just past ``label_iters`` pays the wasted
     label rounds plus the full star run (~1.5-2× either regime
-    alone). ``label_iters`` is deliberately LOW (10, vs label-prop's
-    standalone 20-round default): near-dup graphs converge in 2-5
-    rounds, so anything still moving after 10 is chain-shaped and
-    escalating early wastes less than probing longer. Callers who
-    KNOW the regime should force ``cc='label'`` / ``cc='star'``."""
+    alone). ``label_iters`` stays LOW (10, vs label-prop's standalone
+    20-round default): near-dup graphs converge in 2-5 rounds, and
+    since the round-11 pointer jump the 10-round budget already covers
+    diameter ~2^10 — anything still moving after that is pathological,
+    and escalating early wastes less than probing longer. Callers who
+    KNOW the regime should force ``cc='label'`` / ``cc='star'`` (or a
+    bigger ``label_iters``, e.g. the incremental merge's 20)."""
     try:
         return connected_components(
             pairs_df, src_col, dst_col, max_iters=label_iters
@@ -977,9 +1016,14 @@ def connected_components_incremental(
     the new data alone: new edges can bridge old components into
     chains whose diameter grows with corpus size (exactly r03's q171
     failure — %97 bridges chained ~16 contracted components and blew
-    min-label propagation's 20-round budget at sf0.1). So the merge
+    PLAIN min-label propagation's 20-round budget at sf0.1). The merge
     runs on :func:`connected_components_star`, whose O(log² n) round
-    count is independent of how the bridges chain.
+    count is independent of how the bridges chain. Round-11 A/B (the
+    pointer-jumped label propagation was the candidate): on THIS
+    bridge-chained merge shape star stays ahead — 74 jobs / ~4.9 s vs
+    132 jobs / ~5.4 s for jumped label-prop's 11 rounds at sf0.1,
+    identical labels — so the merge keeps star while the un-contracted
+    phases (and near-dup graphs generally) use the jumped label path.
 
     Output: (vertex, component) for old ∪ new vertices; components that
     new edges bridge collapse to the min id across the merged set.
