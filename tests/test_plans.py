@@ -1859,3 +1859,44 @@ def test_dedup_savings_has_no_cartesian(spark, sf_dir):
     anywhere in the physical plan."""
     df = _df(spark, sf_dir, "q514_dedup_storage_savings")
     assert "CartesianProduct" not in P.physical_plan(df)
+
+
+# --- round-11 block: preference/eval-pipeline analytics ---------------------
+
+
+def test_bradley_terry_iterates_on_broadcast_pair_table(spark, sf_dir):
+    """q515: the corpus contributes ONE shuffle (pair-id groupBy); both
+    MM iterations run on the 190-row pair aggregate via broadcast
+    joins — no corpus re-scan, no cartesian."""
+    df = _df(spark, sf_dir, "q515_bradley_terry_ranking")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.num_broadcast_joins(df) >= 2
+
+
+def test_preference_audit_single_pass(spark, sf_dir):
+    """q516: one corpus scan, pair-id groupBy, global aggregate —
+    no join of the fact table against itself."""
+    df = _df(spark, sf_dir, "q516_preference_pair_audit")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_curriculum_assigns_via_broadcast_cuts(spark, sf_dir):
+    """q517: the quartile cut table broadcasts into the assignment
+    scan (q293 shape); the only window is the bucket-offset prefix sum
+    over the metadata-sized per-bucket subtotal table (the __bkt
+    exclusion, same as the q290/q297 family)."""
+    df = _df(spark, sf_dir, "q517_curriculum_phases")
+    assert [w for w in P.global_windows(df) if "__bkt" not in w] == []
+    assert P.num_broadcast_joins(df) >= 1
+
+
+def test_cartography_is_one_codegen_pass(spark, sf_dir):
+    """q518: single corpus scan, all hash/region arithmetic inside
+    whole-stage codegen, one aggregate exchange."""
+    df = _df(spark, sf_dir, "q518_dataset_cartography")
+    plan = P.physical_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan

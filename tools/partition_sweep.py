@@ -332,6 +332,13 @@ QUERIES = [
     "q512_consistent_hash_rebalance",
     "q513_rank_biased_overlap",
     "q514_dedup_storage_savings",
+    # round 11: pair-keyed corpus shuffle + broadcast MM iterations,
+    # TTR preference pairing, exact-CDF curriculum cuts, md5-seeded
+    # cartography regions
+    "q515_bradley_terry_ranking",
+    "q516_preference_pair_audit",
+    "q517_curriculum_phases",
+    "q518_dataset_cartography",
 ]
 
 SETTINGS = [8, 32, 128]
