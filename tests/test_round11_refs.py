@@ -1,0 +1,207 @@
+"""Round-11 reference tests: independent pure-Python replicas of the
+four preference/eval-analytics entries added this round (q515-q518),
+extending the discipline of test_round10_refs.py — each replica
+recomputes the result from collected base tables with textbook Python
+(dict loops, hashlib, sorted lists), sharing NO code with the Spark
+plans or the DuckDB oracle SQL.
+
+Shared semantics under test (documented in the query docstrings):
+- TTR/difficulty/pseudo-confidence are exact INTEGER micro values, so
+  floor (//) and Spark's truncating `div` agree (operands non-negative
+  everywhere by construction).
+- The (2k, 2k+1) doc pairing, tie -> the even doc.
+- md5-portability of the q518 per-epoch hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+from tytodb_spark.catalog import load_tables
+from tytodb_spark.queries import REGISTRY
+
+_CACHE: dict = {}
+
+
+def _docs(spark, sf_dir):
+    key = (sf_dir, "documents")
+    if key not in _CACHE:
+        _CACHE[key] = load_tables(spark, sf_dir)["documents"].collect()
+    return _CACHE[key]
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def _ttr(text: str):
+    """Integer type-token ratio in micro; None when the doc has no
+    words (mirrors SQL NULL-on-zero-divide)."""
+    words = [w for w in re.split(r"\s+", text.strip().lower()) if w != ""]
+    if not words:
+        return None
+    return len(set(words)) * 1_000_000 // len(words)
+
+
+def _n_words(text: str) -> int:
+    return len([w for w in re.split(r"\s+", text.strip().lower()) if w != ""])
+
+
+def _pairs(docs):
+    """(2k, 2k+1) pairing: returns {pid: {0: row, 1: row}}."""
+    by_pid: dict = defaultdict(dict)
+    for r in docs:
+        by_pid[r["doc_id"] // 2][r["doc_id"] % 2] = r
+    return by_pid
+
+
+def test_q515_bradley_terry_ranking(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q515_bradley_terry_ranking")]
+    docs = _docs(spark, sf_dir)
+
+    # matches: winner = longer n_chars, tie -> the even doc
+    matches = []
+    for pid, sides in _pairs(docs).items():
+        if 0 not in sides or 1 not in sides:
+            continue
+        a, b = sides[0], sides[1]
+        if a["source"] == b["source"]:
+            continue
+        if a["n_chars"] >= b["n_chars"]:
+            matches.append((a["source"], b["source"]))
+        else:
+            matches.append((b["source"], a["source"]))
+
+    # per unordered model pair: n games, wins of the lexicographically
+    # smaller member
+    pg: dict = defaultdict(lambda: [0, 0])  # (ma, mb) -> [n, wa]
+    for w, l in matches:
+        ma, mb = (w, l) if w < l else (l, w)
+        cell = pg[(ma, mb)]
+        cell[0] += 1
+        if w == ma:
+            cell[1] += 1
+
+    games: dict = defaultdict(int)
+    wins: dict = defaultdict(int)
+    for (ma, mb), (n, wa) in pg.items():
+        games[ma] += n
+        wins[ma] += wa
+        games[mb] += n
+        wins[mb] += n - wa
+
+    # MM iteration 1 from the uniform start collapses to win rate
+    s1 = {m: max(1, (2_000_000 * wins[m]) // games[m]) for m in games}
+
+    # iteration 2 denominator: each pair term quantized BEFORE the sum
+    dm: dict = defaultdict(int)
+    for (ma, mb), (n, _wa) in pg.items():
+        term = (n * 1_000_000_000_000) // (s1[ma] + s1[mb])
+        dm[ma] += term
+        dm[mb] += term
+
+    want = [
+        (m, games[m], wins[m], max(1, (wins[m] * 1_000_000_000_000) // dm[m]))
+        for m in games
+    ]
+    want.sort(key=lambda t: (-t[3], t[0]))
+    assert got == want
+    # sanity: every fixture source fields a team and plays games
+    assert len(want) == len({r["source"] for r in docs})
+    assert all(g > 0 for _, g, _, _ in want)
+
+
+def test_q516_preference_pair_audit(spark, sf_dir):
+    got = _rows(spark, sf_dir, "q516_preference_pair_audit")[0]
+    docs = _docs(spark, sf_dir)
+
+    n_pairs = longer = sum_delta = sum_margin = 0
+    for pid, sides in _pairs(docs).items():
+        if 0 not in sides or 1 not in sides:
+            continue
+        q0, q1 = _ttr(sides[0]["text"]), _ttr(sides[1]["text"])
+        if q0 is None or q1 is None:
+            continue
+        if q0 >= q1:
+            chosen, rejected, margin = sides[0], sides[1], q0 - q1
+        else:
+            chosen, rejected, margin = sides[1], sides[0], q1 - q0
+        n_pairs += 1
+        lc, lr = chosen["n_chars"], rejected["n_chars"]
+        longer += 1 if lc > lr else 0
+        sum_delta += lc - lr
+        sum_margin += margin
+
+    assert got["n_pairs"] == n_pairs
+    assert got["chosen_longer_ppm"] == longer * 1_000_000 // n_pairs
+    assert got["sum_len_delta"] == sum_delta
+    assert got["mean_quality_margin_micro"] == sum_margin // n_pairs
+    assert n_pairs > 0
+
+
+def test_q517_curriculum_phases(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q517_curriculum_phases")]
+    docs = _docs(spark, sf_dir)
+
+    vs = []
+    for r in docs:
+        v = _ttr(r["text"])
+        assert v is not None  # fixture has no zero-word docs
+        vs.append((v, _n_words(r["text"])))
+
+    ordered = sorted(v for v, _ in vs)
+    n = len(ordered)
+    # exact quartile cut i = the value at 1-indexed rank ceil(n*i/4)
+    cuts = [ordered[(n * i + 3) // 4 - 1] for i in (1, 2, 3)]
+
+    agg: dict = defaultdict(lambda: [0, 0, 0])  # phase -> [n, tokens, sum_v]
+    for v, nt in vs:
+        phase = 1 + sum(1 for c in cuts if v > c)
+        cell = agg[phase]
+        cell[0] += 1
+        cell[1] += nt
+        cell[2] += v
+    want = [
+        (p, c[0], c[1], c[2] // c[0]) for p, c in sorted(agg.items())
+    ]
+    assert got == want
+    # the quartile rule can merge phases only on massive ties; fixture
+    # should produce all four
+    assert [p for p, *_ in want] == [1, 2, 3, 4]
+
+
+def _carto_conf(doc_id: int, epoch: int, ttr: int) -> int:
+    h = int(
+        hashlib.md5(f"carto:{doc_id}:{epoch}".encode()).hexdigest()[:8], 16
+    )
+    return ((h * 1_000_000) // 4_294_967_296 + ttr) // 2
+
+
+def test_q518_dataset_cartography(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q518_dataset_cartography")]
+    docs = _docs(spark, sf_dir)
+
+    agg: dict = defaultdict(lambda: [0, 0, 0])  # region -> [n, sum_conf, sum_var]
+    for r in docs:
+        ttr = _ttr(r["text"])
+        ps = [_carto_conf(r["doc_id"], k, ttr) for k in range(4)]
+        sp, sq = sum(ps), sum(p * p for p in ps)
+        conf, var16 = sp // 4, 4 * sq - sp * sp
+        assert var16 >= 0  # Cauchy-Schwarz: exact integer variance x16
+        region = (
+            "ambiguous"
+            if var16 > 300_000_000_000
+            else ("easy" if conf >= 500_000 else "hard")
+        )
+        cell = agg[region]
+        cell[0] += 1
+        cell[1] += conf
+        cell[2] += var16
+    want = [
+        (reg, c[0], c[1] // c[0], c[2] // c[0])
+        for reg, c in sorted(agg.items())
+    ]
+    assert got == want
+    assert sum(c for _, c, _, _ in want) == len(docs)
