@@ -1900,3 +1900,42 @@ def test_cartography_is_one_codegen_pass(spark, sf_dir):
     plan = P.physical_plan(df)
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_drift_audit_single_explode_pass(spark, sf_dir):
+    """q519: ONE corpus scan feeds the posexplode; partial aggregation
+    combines map-side into 2*d cells; the final cut is a distributed
+    top-k (TakeOrderedAndProject), never a global sort."""
+    df = _df(spark, sf_dir, "q519_embedding_drift_audit")
+    plan = P.physical_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert P.has_take_ordered(df)
+
+
+def test_gram_partials_is_python_map_not_self_join(spark, sf_dir):
+    """q520's primitive: the Gram accumulation is ONE corpus scan into
+    an Arrow-batched Python map stage plus a metadata-sized (i, j)
+    partial-sum shuffle — never the d^2-per-row explode-self-join."""
+    from tytodb_spark.catalog import load_tables
+    from tytodb_spark.operators.similarity import gram_partials
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    plan = P.physical_plan(gram_partials(emb, "embedding"))
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_gram_audit_never_rescans_corpus(spark, sf_dir):
+    """q520: downstream of the eager Gram checkpoint, every consumer
+    (pairs, sums, diagonal, row count) reads the 2.1k-row aggregate —
+    ZERO parquet scans in the final plan, metadata cuts broadcast, and
+    the top-8 cut is a distributed heap."""
+    df = _df(spark, sf_dir, "q520_embedding_gram_audit")
+    plan = P.physical_plan(df)
+    assert plan.count("FileScan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.has_take_ordered(df)

@@ -16,6 +16,7 @@ Shared semantics under test (documented in the query docstrings):
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 from collections import defaultdict
 
@@ -205,3 +206,70 @@ def test_q518_dataset_cartography(spark, sf_dir):
     ]
     assert got == want
     assert sum(c for _, c, _, _ in want) == len(docs)
+
+
+def _quant(x: float, scale: int) -> int:
+    return int(math.trunc(float(x) * scale))
+
+
+def test_q519_embedding_drift_audit(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q519_embedding_drift_audit")]
+    key = (sf_dir, "embeddings")
+    if key not in _CACHE:
+        _CACHE[key] = load_tables(spark, sf_dir)["embeddings"].collect()
+    vecs = _CACHE[key]
+
+    d = len(vecs[0]["embedding"])
+    cells = defaultdict(lambda: [0, 0, 0])  # (dim, grp) -> [n, s, ss]
+    for r in vecs:
+        grp = r["vec_id"] % 2
+        for dim, x in enumerate(r["embedding"]):
+            q = _quant(x, 10_000)
+            c = cells[(dim, grp)]
+            c[0] += 1
+            c[1] += q
+            c[2] += q * q
+    rows = []
+    for dim in range(d):
+        na, sa, ssa = cells[(dim, 0)]
+        nb, sb, ssb = cells[(dim, 1)]
+        mash = (sa + na * 10_000) // na
+        mbsh = (sb + nb * 10_000) // nb
+        va = max(0, ssa // na - (mash - 10_000) ** 2)
+        vb = max(0, ssb // nb - (mbsh - 10_000) ** 2)
+        delta, vp = mash - mbsh, (va + vb) // 2
+        rows.append((dim, delta, vp, delta * delta * 1_000_000 // (vp + 1)))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    assert got == rows[:8]
+    assert got[0][3] > 0  # fixture drift signal is non-degenerate
+
+
+def test_q520_embedding_gram_audit(spark, sf_dir):
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q520_embedding_gram_audit")]
+    key = (sf_dir, "embeddings")
+    if key not in _CACHE:
+        _CACHE[key] = load_tables(spark, sf_dir)["embeddings"].collect()
+    vecs = _CACHE[key]
+
+    qs = [[_quant(x, 1_000) for x in r["embedding"]] for r in vecs]
+    n, d = len(qs), len(qs[0])
+    s = [sum(row[i] for row in qs) for i in range(d)]
+    g2 = [sum(row[i] * row[i] for row in qs) for i in range(d)]
+    mu = [(s[i] + n * 1_000) // n - 1_000 for i in range(d)]
+    var = [max(0, g2[i] // n - mu[i] * mu[i]) for i in range(d)]
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            gij = sum(row[i] * row[j] for row in qs)
+            cnb = (gij + n * 400_000) // n - 400_000 - mu[i] * mu[j]
+            rows.append(
+                (
+                    i,
+                    j,
+                    cnb * cnb * 1_000_000 // (var[i] * var[j] + 1),
+                    -1 if cnb < 0 else 1,
+                )
+            )
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == rows[:8]
+    assert got[0][2] > 0

@@ -339,6 +339,11 @@ QUERIES = [
     "q516_preference_pair_audit",
     "q517_curriculum_phases",
     "q518_dataset_cartography",
+    # round 11b: bounded-integer drift SMD (shift-before-floor-div
+    # discipline) and the mapInPandas int64 Gram accumulation — both
+    # must be exact under any batch/partition split
+    "q519_embedding_drift_audit",
+    "q520_embedding_gram_audit",
 ]
 
 SETTINGS = [8, 32, 128]

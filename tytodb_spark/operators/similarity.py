@@ -899,3 +899,51 @@ def power_iteration_dominant(
         rows = v.collect()
         v = spark.createDataFrame(rows, "pos int, vq bigint")
     return v.select(F.col("pos"), F.col("vq").alias("v_q"))
+
+
+def gram_partials(df: DataFrame, vec_col: str, scale: float = 1e3) -> DataFrame:
+    """Distributed integer Gram accumulation for the embedding matrix:
+    each Arrow batch contributes its exact int64 ``X^T X`` upper
+    triangle (diagonal included), per-dimension sums, and row count,
+    tagged so one (i, j)-keyed partial-sum shuffle combines them.
+
+    Output rows (i int, j int, v long):
+      (-1, -1, n)      — batch row count
+      (d, -2, sum q_d) — per-dimension linear sum
+      (i, j, G_ij)     — upper-triangle second moments, i <= j
+
+    This is the covariance/whitening primitive at corpus scale: the
+    corpus contributes only d x d METADATA per partition — never the
+    d^2-per-row explode-self-join a naive SQL plan would use (4096x
+    row blowup at d=64). Components quantize to trunc-`scale` integer
+    units (numpy trunc == Spark cast-to-bigint truncation; float32 →
+    float64 widening is exact), so partials are order-independent
+    exact integers; with |q| <= 1e3 the int64 sums hold to
+    N ~ 9e18/1e6 = 9e12 rows per (i, j) cell before overflow.
+    """
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.trunc(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            n, d = X.shape
+            G = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(d, k=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(([-1], np.arange(d), iu)),
+                    "j": np.concatenate(([-1], np.full(d, -2), ju)),
+                    "v": np.concatenate(([n], s, G[iu, ju])),
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(gram, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
