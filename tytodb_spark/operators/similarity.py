@@ -942,7 +942,12 @@ def gram_partials(df: DataFrame, vec_col: str, scale: float = 1e3) -> DataFrame:
             )
 
     return (
+        # NULL vectors carry no moments; dropping them here keeps the
+        # row-count marker consistent with the per-dim sums (a NULL
+        # would otherwise crash np.stack — and silently skew n if the
+        # count were taken upstream of the map)
         df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
         .mapInPandas(gram, "i int, j int, v long")
         .groupBy("i", "j")
         .agg(F.sum("v").cast("bigint").alias("v"))
