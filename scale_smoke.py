@@ -628,6 +628,16 @@ def main() -> None:
         "per-value table grows k; bucket windows stay bounded",
     )
 
+    # round 11b — Gram accumulation (q520's primitive): the corpus pass
+    # is embarrassingly parallel (each Arrow batch emits d×d metadata),
+    # the combine shuffle is a CONSTANT 2.1k rows regardless of k
+    from tytodb_spark.operators.similarity import gram_partials
+
+    ops["gram_partials"] = (
+        gram_partials(emb, "embedding"),
+        "k× corpus through the Python map; combine shuffle constant-size",
+    )
+
     results: dict[str, dict[str, float | int]] = {}
     for name, (df, note) in ops.items():
         t0 = time.time()
