@@ -2093,3 +2093,58 @@ def test_connected_components_jump_converges_in_log_rounds(spark):
     out = connected_components(chain, max_iters=13).collect()
     assert len(out) == 200
     assert all(r["component"] == 0 for r in out)
+
+
+def test_gram_partials_matches_numpy_and_skips_null_vectors(spark):
+    """gram_partials: (a) the combined partials equal a single-shot
+    numpy Gram over the non-null vectors regardless of partitioning,
+    (b) NULL vectors contribute to NOTHING — not even the row-count
+    marker (the q520 oracle counts the same universe)."""
+    import numpy as np
+
+    from tytodb_spark.operators.similarity import gram_partials
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in rng.normal(0, 0.3, 6)] for _ in range(41)]
+    rows = [(i, v if i % 7 else None) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    for parts in (1, 5, 17):
+        got = {
+            (r["i"], r["j"]): r["v"]
+            for r in gram_partials(df.repartition(parts), "embedding").collect()
+        }
+        keep = [
+            np.trunc(np.array(v, dtype=np.float32).astype(np.float64) * 1e3)
+            .astype(np.int64)
+            for i, v in rows
+            if v is not None
+        ]
+        X = np.stack(keep)
+        assert got[(-1, -1)] == len(keep)
+        for d in range(6):
+            assert got[(d, -2)] == int(X[:, d].sum())
+        G = X.T @ X
+        for i in range(6):
+            for j in range(i, 6):
+                assert got[(i, j)] == int(G[i, j])
+
+
+@given(
+    s=st.integers(min_value=-(10**15), max_value=10**15),
+    n=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_shift_before_floor_div_identity(s, n):
+    """The q519/q520 discipline: for any int s and n > 0, shifting the
+    numerator non-negative before dividing gives exactly floor(s/n) —
+    so Spark's truncating `div` (applied to the non-negative shifted
+    numerator) equals DuckDB's flooring `//` equals Python's floor
+    division, for EVERY sum the quantized operators can produce."""
+    K = abs(s) // n + 1  # any K with s + n*K >= 0 works; pick minimal+1
+    assert s + n * K >= 0
+    shifted = (s + n * K) // n - K  # // == trunc here: numerator >= 0
+    assert shifted == s // n  # Python floor division == DuckDB //
+    # and the truncating engine agrees because the numerator is >= 0
+    q, r = divmod(s + n * K, n)
+    assert q == (s + n * K) // n and r >= 0
