@@ -40,34 +40,17 @@ def _warm_python_workers(spark) -> None:
     df.mapInPandas(_ident, "id long").count()
 
 
-def _committed_clean(repo: str, relpath: str) -> bool:
-    """True iff relpath exists, is tracked in HEAD, and has no local
-    modifications — i.e. it is a prior round's committed artifact that a
-    fresh bench run must not clobber. Untracked or locally-modified
-    files (this round's in-flight artifact) return False and may be
-    overwritten freely. Fails open (False) if git is unavailable."""
-    import subprocess
-
-    if not os.path.exists(os.path.join(repo, relpath)):
-        return False
-    try:
-        tracked = (
-            subprocess.run(
-                ["git", "-C", repo, "ls-files", "--error-unmatch", relpath],
-                capture_output=True,
-            ).returncode
-            == 0
-        )
-        if not tracked:
-            return False
-        dirty = subprocess.run(
-            ["git", "-C", repo, "status", "--porcelain", "--", relpath],
-            capture_output=True,
-            text=True,
-        ).stdout.strip()
-        return dirty == ""
-    except OSError:
-        return False
+def _next_free_slot(repo: str, n: int) -> int:
+    """First round number >= n whose bench_local file does not exist.
+    Records are NEVER overwritten — not even untracked in-flight ones:
+    an uncommitted record is still the only copy of a finished ~35-min
+    run (round 11 nearly lost one when a relaunch reused its slot;
+    the earlier committed-clean-only guard protected finished ROUNDS
+    but not finished RUNS). Stale extras are cheap to delete before
+    committing; lost records are gone."""
+    while os.path.exists(os.path.join(repo, f"bench_local_r{n:02d}.json")):
+        n += 1
+    return n
 
 
 def main() -> None:
@@ -169,10 +152,10 @@ def main() -> None:
     # occasionally skips committing a round's artifacts, and deriving N
     # from BENCH_r* alone then aliased a new run onto the PREVIOUS
     # round's bench_local file, destroying its history (this clobbered
-    # round-5's artifact mid-round-6). Guard: never overwrite a
-    # bench_local_r{N} that is committed-clean in git — that file
-    # belongs to a finished run; bump past it instead. An explicit
-    # SPARK_GRAFT_BENCH_ROUND env var overrides detection entirely.
+    # round-5's artifact mid-round-6). Guard: never overwrite ANY
+    # existing bench_local_r{N} — bump to the next free slot. An
+    # explicit SPARK_GRAFT_BENCH_ROUND env var overrides detection
+    # (and MAY overwrite: it is the deliberate-redo escape hatch).
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rounds = [
@@ -183,8 +166,7 @@ def main() -> None:
         env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
         n = int(env_round) if env_round else max(rounds, default=0) + 1
         if not env_round:
-            while _committed_clean(repo, f"bench_local_r{n:02d}.json"):
-                n += 1
+            n = _next_free_slot(repo, n)
         with open(os.path.join(repo, f"bench_local_r{n:02d}.json"), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError as e:

@@ -30,33 +30,18 @@ def test_compare_flags_only_material_regressions():
     assert "q4" not in rep["regressions"] and "q6" not in rep["regressions"]
 
 
-def test_committed_clean_protects_prior_round_artifacts(tmp_path):
-    # bench.py must never clobber a bench_local_r{N} that is
-    # committed-clean in git (a finished round's history) — the
-    # round-5 artifact was destroyed this way when the driver skipped
-    # committing BENCH_r05.json. Untracked / locally-modified files
-    # (this round's in-flight artifact) stay overwritable.
-    import subprocess
-
-    from bench import _committed_clean
+def test_next_free_slot_never_reuses_an_existing_record(tmp_path):
+    # bench.py must never clobber ANY existing bench_local_r{N} —
+    # committed ones are a finished round's history (round-5's was
+    # destroyed by round-number aliasing), and untracked ones are the
+    # only copy of a finished ~35-min run (round 11 nearly lost one
+    # when a relaunch reused its uncommitted slot).
+    from bench import _next_free_slot
 
     repo = str(tmp_path)
-    subprocess.run(["git", "init", "-q", repo], check=True)
-    subprocess.run(
-        ["git", "-C", repo, "-c", "user.email=t@t", "-c", "user.name=t",
-         "commit", "-q", "--allow-empty", "-m", "root"],
-        check=True,
-    )
-    f = tmp_path / "bench_local_r05.json"
-    assert not _committed_clean(repo, "bench_local_r05.json")  # missing
-    f.write_text("{}")
-    assert not _committed_clean(repo, "bench_local_r05.json")  # untracked
-    subprocess.run(["git", "-C", repo, "add", "bench_local_r05.json"], check=True)
-    subprocess.run(
-        ["git", "-C", repo, "-c", "user.email=t@t", "-c", "user.name=t",
-         "commit", "-q", "-m", "r05"],
-        check=True,
-    )
-    assert _committed_clean(repo, "bench_local_r05.json")  # prior round
-    f.write_text('{"v": 1}')
-    assert not _committed_clean(repo, "bench_local_r05.json")  # dirty again
+    assert _next_free_slot(repo, 5) == 5  # empty dir: first choice wins
+    (tmp_path / "bench_local_r05.json").write_text("{}")
+    assert _next_free_slot(repo, 5) == 6  # untracked still protected
+    (tmp_path / "bench_local_r06.json").write_text("{}")
+    assert _next_free_slot(repo, 5) == 7  # skips a contiguous run
+    assert _next_free_slot(repo, 2) == 2  # gaps below stay usable
