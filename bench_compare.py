@@ -19,6 +19,7 @@ queries absent from the baseline are reported informationally only).
 from __future__ import annotations
 
 import json
+import math
 import re
 import sys
 
@@ -63,11 +64,37 @@ def compare(
             regressions[name] = {"base": base, "cur": cur, "ratio": round(ratio, 2)}
         elif ratio < 1 / threshold and base - cur >= min_abs_sec:
             improvements[name] = {"base": base, "cur": cur, "ratio": round(ratio, 2)}
+    shared = [
+        n
+        for n, cur in current.items()
+        if cur > 0 and baseline.get(n, 0) > 0
+    ]
+    geomean = (
+        round(
+            math.exp(
+                sum(math.log(current[n] / baseline[n]) for n in shared)
+                / len(shared)
+            ),
+            4,
+        )
+        if shared
+        else None
+    )
+    tail = sorted(
+        ((v, n) for n, v in current.items() if v > 5.0), reverse=True
+    )
     return {
         "regressions": regressions,
         "improvements": improvements,
         "errors": errors,
         "n_compared": sum(1 for n in current if baseline.get(n, 0) > 0),
+        # round-over-round headline: geometric-mean ratio over shared
+        # queries (the number every VERDICT quotes), and the >5s tail
+        # (the floor-watch list) — both previously recomputed ad hoc
+        "geomean": geomean,
+        "tail_over_5s": [
+            {"query": n, "sec": round(v, 2)} for v, n in tail
+        ],
     }
 
 

@@ -45,3 +45,17 @@ def test_next_free_slot_never_reuses_an_existing_record(tmp_path):
     (tmp_path / "bench_local_r06.json").write_text("{}")
     assert _next_free_slot(repo, 5) == 7  # skips a contiguous run
     assert _next_free_slot(repo, 2) == 2  # gaps below stay usable
+
+
+def test_geomean_and_tail_summary():
+    from bench_compare import compare
+
+    base = {"q1": 1.0, "q2": 2.0, "q3": 4.0, "q7": -1.0}
+    cur = {"q1": 2.0, "q2": 1.0, "q3": 6.0, "q4": 9.0, "q7": 1.0}
+    rep = compare(base, cur)
+    # shared positive pairs: q1 2x, q2 0.5x, q3 1.5x -> geomean 1.1447
+    assert rep["geomean"] == 1.1447
+    # >5s tail lists current-run values only, slowest first
+    assert [t["query"] for t in rep["tail_over_5s"]] == ["q4", "q3"]
+    # all-new current run: no shared pairs -> geomean None, not a crash
+    assert compare({}, {"q9": 1.0})["geomean"] is None
