@@ -1939,3 +1939,16 @@ def test_gram_audit_never_rescans_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert P.num_broadcast_joins(df) >= 2
     assert P.has_take_ordered(df)
+
+
+def test_hll_algebra_corpus_touches_one_shuffle(spark, sf_dir):
+    """q521: downstream of the shingle checkpoint the plan works on
+    register/metadata tables — no parquet re-scan, the per-source
+    estimate table broadcasts, no cartesian; everything after the
+    distinct (source, shingle) shuffle is sketch algebra."""
+    df = _df(spark, sf_dir, "q521_hll_set_algebra")
+    plan = P.physical_plan(df)
+    assert plan.count("FileScan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert P.num_broadcast_joins(df) >= 2
+    assert P.has_take_ordered(df)

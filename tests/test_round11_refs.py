@@ -273,3 +273,60 @@ def test_q520_embedding_gram_audit(spark, sf_dir):
     rows.sort(key=lambda t: (-t[2], t[0], t[1]))
     assert got == rows[:8]
     assert got[0][2] > 0
+
+
+def test_q521_hll_set_algebra(spark, sf_dir):
+    """Textbook HLL replica: hashlib md5, dict registers, integer
+    harmonic sums — the full sketch algebra recomputed independently."""
+    got = [tuple(r) for r in _rows(spark, sf_dir, "q521_hll_set_algebra")]
+    docs = _docs(spark, sf_dir)
+
+    M, ALPHA_PPM = 256, 718272
+    ESTNUM = ALPHA_PPM * M * M * 65536
+
+    shingles: dict = defaultdict(set)
+    for r in docs:
+        ws = [w for w in re.split(r"\s+", r["text"].strip().lower()) if w]
+        for i in range(len(ws) - 2):
+            shingles[r["source"]].add(" ".join(ws[i : i + 3]))
+
+    def registers(toks):
+        regs = [0] * M
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            b, w = h % M, h // M
+            rho = 25 - w.bit_length()  # bit_length(0) == 0 -> rho 25
+            regs[b] = max(regs[b], rho)
+        return regs
+
+    def estimate(regs):
+        sh = sum(1 << (30 - m0) for m0 in regs)
+        return ESTNUM // ((sh // 16384) * 1_000_000)
+
+    regs = {s: registers(t) for s, t in shingles.items()}
+    est = {s: estimate(r) for s, r in regs.items()}
+
+    rows = []
+    for s1 in sorted(regs):
+        for s2 in sorted(regs):
+            if s1 >= s2:
+                continue
+            union = [max(a, b) for a, b in zip(regs[s1], regs[s2])]
+            eu = estimate(union)
+            ei = max(0, est[s1] + est[s2] - eu)
+            exact = len(shingles[s1] & shingles[s2])
+            rows.append(
+                (
+                    s1,
+                    s2,
+                    ei,
+                    ei * 1_000_000 // max(1, eu),
+                    exact,
+                    abs(ei - exact) * 1_000_000 // max(1, exact),
+                    ei < (eu * 130) // 1000,
+                )
+            )
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == rows[:10]
+    # sketch must be in its valid (non-small-range) regime here
+    assert all(len(t) >= 640 for t in shingles.values())

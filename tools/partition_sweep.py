@@ -344,6 +344,10 @@ QUERIES = [
     # must be exact under any batch/partition split
     "q519_embedding_drift_audit",
     "q520_embedding_gram_audit",
+    # round 11c: HLL register algebra — register max/harmonic sums are
+    # order-independent integers; the sketch must be bit-identical
+    # under any shuffle of the shingle stream
+    "q521_hll_set_algebra",
 ]
 
 SETTINGS = [8, 32, 128]
