@@ -435,7 +435,72 @@ def q414_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IPAIRS = (
+    "flatten(transform(ss, (x, i) ->"
+    " transform(slice(ss, i + 2, size(ss)),"
+    " y -> struct(x as item_a, y as item_b))))"
+)
+
+
+def q243_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ss"))
+        .localCheckpoint(eager=False)  # reused: n, item counts, pairs
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    ic = (
+        baskets.select(F.explode("ss").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    pr = (
+        baskets.select(F.explode(F.expr(_IPAIRS)).alias("pr"))
+        .select("pr.item_a", "pr.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    s = (
+        pr.join(
+            F.broadcast(
+                ic.select(
+                    F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                ic.select(
+                    F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        s.select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div n_a").cast("bigint").alias("conf_ab_ppm"),
+            F.expr("n_ab * 1000000 div n_b").cast("bigint").alias("conf_ba_ppm"),
+            F.expr("n_ab * n_orders * 1000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_mils"),
+        )
+        .orderBy(F.col("lift_mils").desc(), "item_a", "item_b")
+        .limit(100)
+    )
+
+
 EXPERIMENTS = {
+    "q243_market_basket": q243_basket,
     "q414_item_item_cf": q414_basket,
     "q222_adamic_adar": q222_basket,
     "q467_link_prediction": q467_basket,
