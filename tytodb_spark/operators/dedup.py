@@ -696,20 +696,30 @@ def connected_components_star(
     sig = signature(und)
     converged = False
     for _ in range(max_iters):
-        # large-star: (v, m(u)) for v > u
+        # large-star: (v, m(u)) for v > u. NO intermediate distinct —
+        # its only consumer is the oriented transform below, and
+        # distinct(f(x)) == distinct(f(distinct(x))), so the dedup
+        # exchange bought nothing (round-11 fusion: the per-round
+        # large.distinct() + oriented.distinct() exchanges and the und
+        # re-checkpoint were all removable with identical labels —
+        # measured q112 7.15→5.97 s / q378-family unaffected, see
+        # OPTIMIZATION_r11.md).
         lm = neighborhood_min(und)
         large = (
             und.join(lm, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over edges oriented high→low: node u and its
-        # smaller neighbors all re-hang onto the neighborhood min
+        # smaller neighbors all re-hang onto the neighborhood min.
+        # No distinct here either: sm's min-aggregate is duplicate-
+        # insensitive, and the join's duplicate outputs are removed by
+        # small's OWN distinct — the one exchange that must stay (the
+        # signature and the next round's edge set need set semantics).
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         sm = neighborhood_min(oriented)
         small = (
             oriented.join(sm, "u")
@@ -723,9 +733,14 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         new_sig = signature(small)
+        # und is two map-side projections of the checkpointed `small`;
+        # its two consumers next round (neighborhood_min + the join
+        # probe) plan the identical Exchange(hash u), which
+        # ReusedExchange dedups — a second checkpoint materialization
+        # per round bought nothing.
         und = small.union(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint(eager=True)
+        )
         if new_sig == sig:
             converged = True
             break
