@@ -18,13 +18,17 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Shuffle width is SCALE-DEPENDENT: 32 is sized for the local[32]
+# bench (200 default-config tasks multiply Python-worker batch overhead
+# on the pandas-UDF paths); a cluster deployment must NOT inherit it —
+# set TYTO_SHUFFLE_PARTITIONS to ~2x total executor cores there (AQE
+# coalesces down from it per advisory size, but can never split a
+# too-coarse non-skewed shuffle up).
+_SHUFFLE_PARTITIONS = os.environ.get("TYTO_SHUFFLE_PARTITIONS", "32")
+
 # Runtime-settable SQL confs applied to any session we receive.
 _RUNTIME_CONF = {
-    # sized for local[32]; a real cluster overrides it (AQE coalesces
-    # from the initial number anyway) — without this a default-config
-    # driver session runs 200 shuffle tasks, which multiplies Python
-    # worker batch overhead on the pandas-UDF paths
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _SHUFFLE_PARTITIONS,
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -141,7 +145,7 @@ def get_spark(app_name: str = "tytodb_spark", cpus: str | None = None) -> SparkS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", _SHUFFLE_PARTITIONS)
         .config("spark.driver.memory", os.environ.get("TYTO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/tyto_spark_warehouse")
