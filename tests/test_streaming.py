@@ -266,6 +266,24 @@ def test_stream_heavy_hitters_bounded_state_exact_output(spark):
     assert "hot" in got and "warm" in got and not any(t.startswith("rare") for t in got)
 
 
+def test_stream_heavy_hitters_stages_text_only(spark):
+    """Round 11 staged-bytes cut: the heavy-hitter stream stages ONLY
+    the text column — state and recount are term-keyed, so the id
+    column must never be touched. Pinned by passing an id_col that
+    does not exist in the frame: any staging/recount reference to it
+    would raise, and the output must still equal the batch answer."""
+    from tytodb_spark.operators.textual import frequent_tokens_exact
+    from tytodb_spark.streaming.pipeline import stream_heavy_hitters
+
+    rows = [(i, "hot " * 30 + f"rare{i} warm warm") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = stream_heavy_hitters(
+        spark, df.select("text"), "no_such_column", "text", min_frac=0.05
+    )
+    batch = frequent_tokens_exact(df, "doc_id", "text", min_frac=0.05)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_watermark_late_audit_matches_python_replay(spark, sf_dir):
     """q229's simulated watermark line vs a direct Python replay of the
     Structured Streaming rule (watermark before batch k = max event
