@@ -582,15 +582,24 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     )
     for i in range(max_iters):
+        # shuffle_hash hints (round 11, guide §3.1): every per-round
+        # join pairs the edge set against a node-sized, UNIQUE-keyed
+        # table (labels / neighbor-min / root), and checkpointed scans
+        # default to SortMergeJoin — sorting both sides every round for
+        # nothing. Hash-building the unique-keyed side skips the sorts
+        # (q171 interleaved A/B min +35.6%, all reps; build memory is
+        # one label row per vertex per partition, hash-uniform).
         neighbor_min = (
-            edges.join(labels, edges.src == labels.vertex)
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.vertex)
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
         # carry the previous label through the checkpoint so convergence
         # is a scan of already-materialized partitions — not an extra
         # join+shuffle job per round
-        stepped = labels.join(neighbor_min, "vertex", "left").select(
+        stepped = labels.join(
+            neighbor_min.hint("shuffle_hash"), "vertex", "left"
+        ).select(
             "vertex",
             F.col("component").alias("__prev"),
             F.least(
@@ -615,7 +624,7 @@ def connected_components(
                 F.col("component").alias("__rc"),
             )
             stepped = stepped.join(
-                root, stepped.component == root.__rv, "left"
+                root.hint("shuffle_hash"), stepped.component == root.__rv, "left"
             ).select(
                 "vertex",
                 "__prev",
@@ -706,7 +715,13 @@ def connected_components_star(
         # OPTIMIZATION_r11.md).
         lm = neighborhood_min(und)
         large = (
-            und.join(lm, "u")
+            # shuffle_hash hints (round 11, guide §3.1): both per-round
+            # joins pair the edge set against the node-sized, unique-
+            # keyed neighborhood-min table; SMJ's per-round sorts are
+            # pure overhead next to the hash build (q112 interleaved
+            # A/B min +5.1%, q171's merge phase rides the same code —
+            # +35.6% combined with the label-prop hints; all reps won).
+            und.join(lm.hint("shuffle_hash"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -722,7 +737,7 @@ def connected_components_star(
         )
         sm = neighborhood_min(oriented)
         small = (
-            oriented.join(sm, "u")
+            oriented.join(sm.hint("shuffle_hash"), "u")
             .select(F.col("v"), F.col("m"), F.col("u"))
             .select(
                 F.explode(F.array(F.col("v"), F.col("u"))).alias("u"),
