@@ -120,3 +120,24 @@ def test_catalog_matches_registry():
         f"{len(Q.REGISTRY)} — rerun tools/gen_query_catalog.py"
     )
     assert set(rows) == set(Q.REGISTRY)
+
+
+def test_no_oracle_returns_hugeint(con):
+    """Driver hash trap (r11's q453): an uncast DuckDB sum() over BIGINT
+    yields HUGEINT, which pandas-converts to float64 — the value hash
+    then compares "7.0" against Spark's "7" and fails even though every
+    value is equal. Guard: no oracle's result schema may contain
+    HUGEINT/UHUGEINT; cast aggregate outputs to BIGINT in the SQL."""
+    offenders = []
+    for name, qd in Q.REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        rel = con.sql(qd.oracle)
+        flagged = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if flagged:
+            offenders.append((name, flagged))
+    assert offenders == []
