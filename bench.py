@@ -75,19 +75,53 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0" and os.path.isdir(warm_dir)
     retry = os.environ.get("SPARK_GRAFT_RETRY", "1") != "0"
+    t_warm0 = time.perf_counter()
     if warm:
+        # Eight submitter threads: warm throughput is scheduler-latency
+        # bound (sf0.001 jobs are ~tens of ms of compute behind ~300 ms
+        # of job/stage setup), so overlapping submissions cuts the warm
+        # pass near-linearly (tools/warm_profile.py measured 7.98x
+        # parallelism at 8 threads: wall 341 s vs 837 s at 4 threads vs
+        # an estimated ~1500+ s sequential — the single biggest block
+        # of the bench wall-clock the round driver timed out at rc 124).
+        # checkpoint_scope is NOT concurrency-safe (overlapping scopes
+        # release each other's pins), so pins are released once at the
+        # end — sf0.001 barrier blocks are KB-sized, accumulation is
+        # harmless for the ~1 min the pass lasts.
+        import queue as _queue
+        import threading
+
+        work: _queue.SimpleQueue = _queue.SimpleQueue()
         for name, qd in Q.REGISTRY.items():
-            try:
-                with checkpoint_scope(spark):
+            work.put(qd)
+
+        def _drain() -> None:
+            while True:
+                try:
+                    qd = work.get_nowait()
+                except _queue.Empty:
+                    return
+                try:
                     (qd.bench_fn or qd.fn)(spark, warm_dir).count()
-            except Exception:
-                pass  # the timed loop will surface it as -1.0
+                except Exception:
+                    pass  # the timed loop will surface it as -1.0
+
+        threads = [threading.Thread(target=_drain) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        from tytodb_spark.session import release_persistent_rdds
+
+        release_persistent_rdds(spark, keep=set())
+    print(f"# warm pass: {time.perf_counter() - t_warm0:.1f}s", file=sys.stderr)
 
     # checkpoint_scope: chained localCheckpoint barriers are NOT
     # reclaimed by the ContextCleaner (see session.py), so a 500-query
     # session accumulates every query's blocks. Release each query's
     # pins as soon as its action completes — outside the timed region.
     timings: dict[str, float] = {}
+    t_main0 = time.perf_counter()
     for name, qd in Q.REGISTRY.items():
         fn = qd.bench_fn or qd.fn  # bench_fn: operator without its self-check
         with checkpoint_scope(spark):
@@ -98,6 +132,7 @@ def main() -> None:
             except Exception as e:  # a failing query should not zero the bench
                 timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
+    print(f"# main pass: {time.perf_counter() - t_main0:.1f}s", file=sys.stderr)
 
     # Single-shot timings above ~2s carry multi-second GC/contention
     # flukes on a shared box (verified: flagged "regressions" reproduce
@@ -107,9 +142,14 @@ def main() -> None:
     # GC settle between runs: the suite's heaviest DAGs (q166, q378)
     # were measured spanning 8-25s across same-code records purely on
     # accumulated-heap state, so a single retry doesn't converge.
+    t_retry0 = time.perf_counter()
     if retry:
+        # Threshold 3.0 (was 2.0 through r25): the [2,3) s band held 59
+        # queries whose reruns added ~140 s of wall-clock for sub-noise
+        # timing gains, and total bench wall is what the round driver's
+        # timeout gates (r11's 32-cpu run was killed at rc 124).
         for name, t in list(timings.items()):
-            if t < 2.0:
+            if t < 3.0:
                 continue
             fn = Q.REGISTRY[name].bench_fn or Q.REGISTRY[name].fn
             for attempt in range(3):
@@ -129,6 +169,7 @@ def main() -> None:
                         break  # keep the best timing so far
                 if timings[name] < 5.0:
                     break
+    print(f"# retry pass: {time.perf_counter() - t_retry0:.1f}s", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     out = {
@@ -143,7 +184,7 @@ def main() -> None:
         "warm_pass": warm,
         "retry_min": retry,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
     # The driver's BENCH_r{N}.json keeps only the tail of long stdout
     # lines, losing a third of the per-query numbers. Persist the full

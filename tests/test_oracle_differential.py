@@ -24,11 +24,58 @@ def con(oracle_sf_dir):
     c.close()
 
 
+@pytest.fixture(scope="module")
+def diff_results(spark, oracle_sf_dir):
+    """Run EVERY oracle comparison once, with 4 submitter threads.
+
+    The 515-query differential is scheduler-latency bound (each sf0.01
+    Spark job is ~tens of ms of compute behind ~1-2 s of job setup), so
+    overlapping submissions cuts the gate's wall-clock ~3x — the round
+    driver's verify pass killed the r11 suite on a timeout at ~26%
+    progress, so suite wall IS a gate, not a nicety. Safe to overlap:
+    every query's temp dirs are mkdtemp-unique, fixed-name temp views
+    are only touched by their own query, and DuckDB connections are
+    per-thread. The per-query tests below assert on this dict, keeping
+    one visible pass/fail row per registry entry."""
+    import queue as _queue
+    import threading
+
+    n_threads = int(os.environ.get("SPARK_GRAFT_DIFF_THREADS", "4"))
+    work: _queue.SimpleQueue = _queue.SimpleQueue()
+    for name in ORACLE_NAMES:
+        work.put(name)
+    results: dict[str, dict] = {}
+    lock = threading.Lock()
+
+    def _drain() -> None:
+        con = duckdb_connect(oracle_sf_dir)
+        try:
+            while True:
+                try:
+                    name = work.get_nowait()
+                except _queue.Empty:
+                    return
+                qd = Q.REGISTRY[name]
+                try:
+                    res = compare(qd.fn(spark, oracle_sf_dir), con, qd.oracle)
+                except Exception as e:  # surface as a per-query failure
+                    res = {"ok": False, "error": repr(e)}
+                with lock:
+                    results[name] = res
+        finally:
+            con.close()
+
+    threads = [threading.Thread(target=_drain) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
-def test_oracle_match(spark, oracle_sf_dir, con, name):
-    qd = Q.REGISTRY[name]
-    df = qd.fn(spark, oracle_sf_dir)
-    res = compare(df, con, qd.oracle)
+def test_oracle_match(diff_results, name):
+    res = diff_results[name]
     assert res["ok"], f"{name}: {res}"
 
 

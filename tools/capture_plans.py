@@ -1,5 +1,6 @@
 """Capture `.explain("formatted")` for named registry queries into
-plans/r11/<query>_<tag>.txt (tag = before/after). Usage:
+plans/r{N}/<query>_<tag>.txt (tag = before/after; PLAN_ROUND env
+picks N, default r12). Usage:
 
     python tools/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -23,7 +24,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("PLAN_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans", cpus="8")

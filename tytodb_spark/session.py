@@ -146,8 +146,13 @@ def get_spark(app_name: str = "tytodb_spark", cpus: str | None = None) -> SparkS
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", _SHUFFLE_PARTITIONS)
-        .config("spark.driver.memory", os.environ.get("TYTO_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("TYTO_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave \r-terminated fragments with stdout in
+        # captured logs (the round driver keeps a tail of combined output
+        # and parses the bench's one JSON line from it) and cost a redraw
+        # timer; a non-interactive harness has no use for them.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/tyto_spark_warehouse")
     )
     for k, v in _RUNTIME_CONF.items():
