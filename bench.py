@@ -158,16 +158,22 @@ def main() -> None:
                         spark.sparkContext._jvm.System.gc()
                     except Exception:
                         pass
+                best = timings[name]
                 with checkpoint_scope(spark):
                     t0 = time.perf_counter()
                     try:
                         fn(spark, sf_dir).count()
-                        timings[name] = min(
-                            timings[name], round(time.perf_counter() - t0, 4)
-                        )
+                        dt = round(time.perf_counter() - t0, 4)
+                        timings[name] = min(best, dt)
                     except Exception:
                         break  # keep the best timing so far
                 if timings[name] < 5.0:
+                    break
+                # Converged: the re-run found no meaningful improvement,
+                # so further attempts only burn wall-clock (the escalation
+                # exists for heap-churn flukes, which show up as LARGE
+                # deltas between attempts).
+                if dt >= 0.95 * best:
                     break
     print(f"# retry pass: {time.perf_counter() - t_retry0:.1f}s", file=sys.stderr)
 
