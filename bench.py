@@ -77,13 +77,15 @@ def main() -> None:
     retry = os.environ.get("SPARK_GRAFT_RETRY", "1") != "0"
     t_warm0 = time.perf_counter()
     if warm:
-        # Eight submitter threads: warm throughput is scheduler-latency
+        # Sixteen submitter threads: warm throughput is scheduler-latency
         # bound (sf0.001 jobs are ~tens of ms of compute behind ~300 ms
         # of job/stage setup), so overlapping submissions cuts the warm
-        # pass near-linearly (tools/warm_profile.py measured 7.98x
-        # parallelism at 8 threads: wall 341 s vs 837 s at 4 threads vs
-        # an estimated ~1500+ s sequential — the single biggest block
-        # of the bench wall-clock the round driver timed out at rc 124).
+        # pass near-linearly (tools/warm_profile.py, same box/session
+        # series: 8 threads 321 s at 7.98x, 16 threads 234 s at 15.83x,
+        # 24 threads 206 s at 23.1x — 16 keeps near-ideal parallelism
+        # while the last doubling buys only ~28 s; the warm pass was the
+        # single biggest untimed block of the bench wall-clock the round
+        # driver timed out at rc 124).
         # checkpoint_scope is NOT concurrency-safe (overlapping scopes
         # release each other's pins), so pins are released once at the
         # end — sf0.001 barrier blocks are KB-sized, accumulation is
@@ -106,7 +108,7 @@ def main() -> None:
                 except Exception:
                     pass  # the timed loop will surface it as -1.0
 
-        threads = [threading.Thread(target=_drain) for _ in range(8)]
+        threads = [threading.Thread(target=_drain) for _ in range(16)]
         for t in threads:
             t.start()
         for t in threads:

@@ -18,7 +18,18 @@ SF_ORACLE = os.environ.get(
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tytodb_spark_tests", cpus="8")
+    # cpus: all 32 by default (r12). The suite's wall-clock is a driver
+    # gate (the r11 verify pass was killed at ~26% progress), and its
+    # biggest block — the 515-query DuckDB differential — is
+    # core-bound, not submission-bound, at 8 cores: measured 403 s at
+    # local[8] vs 281 s (8 submitter threads) / 198 s (16 threads) at
+    # local[32] on the same box. Nothing in the suite depends on the
+    # core count (partition-invariance is itself under test); override
+    # with SPARK_GRAFT_TEST_CPUS for constrained boxes.
+    spark = get_spark(
+        "tytodb_spark_tests",
+        cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "32"),
+    )
     yield spark
 
 

@@ -15,8 +15,11 @@ from tytodb_spark.storage.bucketing import bucketed_join, write_bucketed
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture()
+@pytest.fixture(scope="module")
 def bucketed_tables(spark):
+    # module-scoped (r12): every test only READS the two bucketed
+    # tables; re-writing them per test repaid the bucketing shuffle
+    # 4x for nothing (~30-40 s of suite wall)
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     customer = spark.read.parquet(f"{SF}/customer.parquet")
     write_bucketed(orders, "b_orders", "o_custkey", 8)

@@ -1007,6 +1007,37 @@ def test_bpe_merge_table_learns_expected_pairs(spark):
     assert by_idx[2] == ("p", "q", 2)
 
 
+def test_bpe_round_barrier_is_semantically_inert(spark):
+    """r12: bpe_apply runs _bpe_rounds with barrier=True (per-round
+    corpus checkpoints — a materialization choice, never a semantic
+    one). Guard: both barrier settings produce identical merge rules
+    AND identical final segmentations, so the train/apply no-drift
+    contract survives the optimization."""
+    rows = [
+        Row(doc_id=0, text="x y x y p q"),
+        Row(doc_id=1, text="x y r x y s"),
+        Row(doc_id=2, text="p q r s"),
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import functions as SF
+
+    from tytodb_spark.operators.textual import _bpe_rounds, spread, tokens
+
+    def run(barrier):
+        cur = spread(df.select("doc_id", "text"), "doc_id").select(
+            SF.col("doc_id"),
+            SF.concat(
+                SF.lit(" "), SF.concat_ws(" ", tokens(SF.col("text"))), SF.lit(" ")
+            ).alias("__t"),
+        )
+        results, final = _bpe_rounds(cur, "doc_id", 2, "~", barrier=barrier)
+        rules = [tuple(r.collect()[0]) for r in results]
+        seg = sorted(tuple(r) for r in final.collect())
+        return rules, seg
+
+    assert run(False) == run(True)
+
+
 def test_hard_negatives_excludes_same_label(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # anchor
@@ -2052,31 +2083,43 @@ def test_water_fill_caps_matches_brute_force(spark):
         [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
         [999999999, 1, 1],        # extreme skew
     ]
-    for dens in ((1, 2), (9, 10), (1, 10), (1, 1)):
-        num, den = dens
-        for ts in cases:
-            rows = [Row(k=f"k{i}", t=t) for i, t in enumerate(ts)]
-            df = spark.createDataFrame(rows)
-            got = {
-                r["k"]: (r["tokens"], r["cap"], r["kept_tokens"], r["keep_ppm"])
-                for r in water_fill_caps(df, "k", "t", num, den).collect()
-            }
-            b = sum(ts) * num // den
-            # reference: largest c with sum(min(t, c)) <= b, by binary
-            # search on the monotone allocated(c)
-            lo, hi = 0, max(ts)
-            while lo < hi:
-                mid = (lo + hi + 1) // 2
-                if sum(min(t, mid) for t in ts) <= b:
-                    lo = mid
-                else:
-                    hi = mid - 1
-            cap = lo
-            ref = {
-                f"k{i}": (t, cap, min(t, cap), min(t, cap) * 1000000 // t)
-                for i, t in enumerate(ts)
-            }
-            assert got == ref, (ts, dens, got, ref)
+    def run_case(args):
+        # 24 independent tiny jobs: submitted from a pool so the suite
+        # pays one scheduling floor, not 24 in sequence (guide §2.6)
+        num, den, ts = args
+        rows = [Row(k=f"k{i}", t=t) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(rows)
+        return args, {
+            r["k"]: (r["tokens"], r["cap"], r["kept_tokens"], r["keep_ppm"])
+            for r in water_fill_caps(df, "k", "t", num, den).collect()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    all_cases = [
+        (num, den, ts)
+        for num, den in ((1, 2), (9, 10), (1, 10), (1, 1))
+        for ts in cases
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outs = list(pool.map(run_case, all_cases))
+    for (num, den, ts), got in outs:
+        b = sum(ts) * num // den
+        # reference: largest c with sum(min(t, c)) <= b, by binary
+        # search on the monotone allocated(c)
+        lo, hi = 0, max(ts)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(min(t, mid) for t in ts) <= b:
+                lo = mid
+            else:
+                hi = mid - 1
+        cap = lo
+        ref = {
+            f"k{i}": (t, cap, min(t, cap), min(t, cap) * 1000000 // t)
+            for i, t in enumerate(ts)
+        }
+        assert got == ref, (ts, (num, den), got, ref)
 
 
 def test_connected_components_jump_converges_in_log_rounds(spark):

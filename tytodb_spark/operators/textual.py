@@ -1165,9 +1165,17 @@ def bpe_merge_table(
     return out
 
 
-def _bpe_rounds(cur: DataFrame, id_col: str, n_merges: int, joiner: str):
+def _bpe_rounds(
+    cur: DataFrame, id_col: str, n_merges: int, joiner: str,
+    barrier: bool = False,
+):
     """The shared merge-round loop: returns ([per-round 1-row merge
-    DataFrames], final re-segmented corpus)."""
+    DataFrames], final re-segmented corpus).
+
+    ``barrier=True`` checkpoints each INTERMEDIATE round's corpus —
+    for callers that consume the final corpus (bpe_apply), where the
+    deep lazy lineage otherwise re-runs every earlier round's
+    scan + tokenize + replace layers per consumer."""
     results = []
     for k in range(1, n_merges + 1):
         toks = F.filter(F.split("__t", " "), lambda t: t != "")
@@ -1200,10 +1208,24 @@ def _bpe_rounds(cur: DataFrame, id_col: str, n_merges: int, joiner: str):
         merged = F.col("__t")
         for _ in range(3):
             merged = F.replace(merged, pat, rep)
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("w1", "w2")))
-            .select(F.col(id_col), merged.alias("__t"))
+        cur = cur.crossJoin(F.broadcast(best.select("w1", "w2"))).select(
+            F.col(id_col), merged.alias("__t")
         )
+        # Barrier per INTERMEDIATE round (r12, guide §5/§3.3), only for
+        # callers that consume the FINAL corpus (bpe_apply): its deep
+        # lazy lineage nests every round's scan + tokenize + replace
+        # layers inside broadcast-input subtrees that re-run per
+        # consumer — measured bimodal 2.9-7.6 s at sf0.1 (the q437
+        # broadcast-race signature) vs a stable 2.6-2.8 s with the
+        # barrier (interleaved A/B, min +10%). EAGER: a lazy barrier
+        # under concurrent consumers double-materializes. The FINAL
+        # round's corpus stays lazy (bpe_apply consumes it exactly
+        # once). bpe_merge_table keeps barrier=False: it never reads
+        # the final corpus, and barriers there force each round's
+        # argmax to compute twice (measured LOSS, like r11's rejected
+        # 1-row `best` checkpoints).
+        if barrier and k < n_merges:
+            cur = cur.localCheckpoint(eager=True)
     return results, cur
 
 
@@ -1226,7 +1248,7 @@ def bpe_apply(
             F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" ")
         ).alias("__t"),
     )
-    _, final = _bpe_rounds(cur, id_col, n_merges, joiner)
+    _, final = _bpe_rounds(cur, id_col, n_merges, joiner, barrier=True)
     n_of = lambda c: F.size(F.filter(F.split(c, " "), lambda t: t != ""))
     before = cur.select(F.col(id_col), n_of("__t").cast("bigint").alias("n_syms_before"))
     after = final.select(F.col(id_col), n_of("__t").cast("bigint").alias("n_syms_after"))
