@@ -23,6 +23,8 @@ from collections import defaultdict
 from tytodb_spark.catalog import load_tables
 from tytodb_spark.queries import REGISTRY
 
+from tests import smoke_cache
+
 _CACHE: dict = {}
 
 
@@ -34,7 +36,10 @@ def _docs(spark, sf_dir):
 
 
 def _rows(spark, sf_dir, name):
-    return REGISTRY[name].fn(spark, sf_dir).collect()
+    # compute-once + cross-module prefetch (tests/smoke_cache.py): the
+    # refs suites' ~190 serial sf0.001 query runs are scheduling-floor
+    # bound and overlap 12-wide behind this helper.
+    return smoke_cache.rows(spark, sf_dir, name)
 
 
 def _ttr(text: str):

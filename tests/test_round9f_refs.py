@@ -20,9 +20,14 @@ from collections import Counter, defaultdict
 from tytodb_spark.catalog import load_tables
 from tytodb_spark.queries import REGISTRY, _RAKE_STOP, _esd_lambdas
 
+from tests import smoke_cache
+
 
 def _rows(spark, sf_dir, name):
-    return REGISTRY[name].fn(spark, sf_dir).collect()
+    # compute-once + cross-module prefetch (tests/smoke_cache.py): the
+    # refs suites' ~190 serial sf0.001 query runs are scheduling-floor
+    # bound and overlap 12-wide behind this helper.
+    return smoke_cache.rows(spark, sf_dir, name)
 
 
 def test_ushape_matches_python(spark, sf_dir):

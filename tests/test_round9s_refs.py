@@ -15,11 +15,16 @@ from datetime import datetime
 from tytodb_spark.catalog import load_tables
 from tytodb_spark.queries import REGISTRY
 
+from tests import smoke_cache
+
 CENSOR = datetime(2001, 1, 1)
 
 
 def _rows(spark, sf_dir, name):
-    return REGISTRY[name].fn(spark, sf_dir).collect()
+    # compute-once + cross-module prefetch (tests/smoke_cache.py): the
+    # refs suites' ~190 serial sf0.001 query runs are scheduling-floor
+    # bound and overlap 12-wide behind this helper.
+    return smoke_cache.rows(spark, sf_dir, name)
 
 
 def _km(spark, sf_dir):

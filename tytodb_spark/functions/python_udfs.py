@@ -100,13 +100,26 @@ def make_median_udaf():
 
 def doc_terms(spark, docs: DataFrame) -> DataFrame:
     """(doc_id, pos, token) for every document via the tokenize UDTF
-    in a LATERAL join."""
+    in a LATERAL join.
+
+    The input view name is unique per call and dropped immediately:
+    ``spark.sql`` analyzes eagerly, so the returned DataFrame holds the
+    resolved plan and never re-reads the view. A fixed name would let
+    two concurrent callers (a multi-query session, the suite's threaded
+    sweeps) replace each other's input between create and analysis.
+    """
+    import uuid
+
     TokenizeUDTF = make_tokenize_udtf()
     spark.udtf.register("tyto_tokenize", TokenizeUDTF)
-    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
-        """
-        SELECT d.doc_id, t.pos, t.token
-        FROM __udtf_docs d, LATERAL tyto_tokenize(d.text) t
-        """
-    )
+    view = f"__udtf_docs_{uuid.uuid4().hex[:8]}"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT d.doc_id, t.pos, t.token
+            FROM {view} d, LATERAL tyto_tokenize(d.text) t
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
